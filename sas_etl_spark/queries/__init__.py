@@ -1,0 +1,14 @@
+"""Oracle-paired query definitions — importing this package populates
+``sas_etl_spark.registry.QUERIES``.
+
+Each module covers one SURVEY.md §2 family. Every query aliases its
+computed columns identically to its oracle SQL and follows the parity
+rules in registry.py's docstring.
+"""
+
+from sas_etl_spark.queries import (  # noqa: F401
+    aggregations,
+    joins,
+    llm,
+    windows,
+)

@@ -1,0 +1,116 @@
+"""Aggregation queries (SURVEY.md §2.4): PROC MEANS/SUMMARY/FREQ class.
+
+Reference note: /root/reference was empty at survey time (SURVEY.md
+§0); SAS construct names below are the reference-class capability
+model, verified via the DuckDB oracle instead of reference file:line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                           as sum_qty,
+           round(sum(l_extendedprice), 2)                      as sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)   as sum_disc,
+           round(avg(l_quantity), 6)                           as avg_qty,
+           round(avg(l_discount), 6)                           as avg_disc,
+           count(*)                                            as cnt
+    from lineitem
+    where l_shipdate <= timestamp '2000-09-01 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+    tags=("bench", "agg"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered group-by with sum/avg/count (SAS: PROC MEANS with CLASS;
+    TPC-H Q1 shape). SURVEY.md §2.4 #28.
+
+    Scale: filter + projection push to the parquet scan; partial
+    aggregation map-side; 6 output groups -> trivially small shuffle.
+    Doubles rounded identically on both sides (summation-order drift).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q_pivot_status",
+    oracle="""
+    select o_orderpriority,
+           cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as f_cnt,
+           cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as o_cnt,
+           cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint) as p_cnt
+    from orders
+    group by o_orderpriority
+    """,
+    tags=("bench", "agg"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via conditional aggregation (SAS: PROC FREQ TABLES
+    status*priority). SURVEY.md §2.4 #32.
+
+    Written as explicit sum(case..) rather than df.pivot so the pivot
+    column set is static — one aggregation pass, no distinct-values
+    pre-job, which is what you want when the fact table is 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cnt(status: str) -> F.Column:
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0)).alias(
+            f"{status.lower()}_cnt"
+        )
+
+    return orders.groupBy("o_orderpriority").agg(cnt("F"), cnt("O"), cnt("P"))
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    select coalesce(l_returnflag, 'ALL') as rf,
+           coalesce(l_linestatus, 'ALL') as ls,
+           round(sum(l_quantity), 2)     as q
+    from lineitem
+    group by rollup(l_returnflag, l_linestatus)
+    """,
+    tags=("bench", "agg"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (SAS: PROC MEANS _TYPE_ / TYPES).
+    SURVEY.md §2.4 #30.
+
+    Spark expands rollup into grouping sets inside one aggregation —
+    no N-pass scan. The coalesce-to-'ALL' labeling is safe because the
+    grouping columns are non-null in the fixtures.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "q",
+        )
+    )

@@ -1,0 +1,96 @@
+"""SparkSession construction and runtime configuration.
+
+Two use-cases:
+
+1. The driver hands us an already-built SparkSession (``entry(spark)`` /
+   ``queries()[name](spark, sf_dir)``). We can only set *runtime* SQL
+   confs on it — ``configure()`` applies exactly those.
+2. Our own tests/bench build a session from scratch — ``get_spark()``
+   applies the full tuned config (memory, UI, AQE) for local[N] mode.
+
+Conf rationale (SURVEY.md §4.2):
+- ``session.timeZone=UTC``: fixture timestamps are naive/UTC; DuckDB
+  oracle is UTC-naive — pinning avoids value shifts in comparisons.
+- ``legacy.parquet.nanosAsLong=true``: the events table stores
+  ``timestamp[ns]`` which Spark 4.x cannot read natively
+  (PARQUET_TYPE_ILLEGAL); we read nanos as long and convert with exact
+  integer arithmetic in catalog.load_table.
+- AQE on: runtime partition coalescing + skew-join splitting — the
+  100 TB story relies on it, and locally it stops tiny stages from
+  drowning in fixed shuffle-partition overhead.
+- Arrow on: every Python<->JVM data path (toPandas, pandas UDFs) is
+  batched through Arrow, never per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs settable on a live session (spark.conf.set). Applied to the
+#: driver's session before any fixture read.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs needed for oracle parity to a live session.
+
+    Idempotent and safe on a session we don't own: unknown/static confs
+    are skipped rather than raising.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # static conf on this build — leave as-is
+            pass
+    if shuffle_partitions is not None:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        except Exception:
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "sas_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a tuned local-mode session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, then to the machine's count.
+    Local mode is one JVM; ``spark.driver.memory`` is the only memory
+    knob that matters.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark, shuffle_partitions)
