@@ -8,7 +8,11 @@ rules in registry.py's docstring.
 
 from sas_etl_spark.queries import (  # noqa: F401
     aggregations,
+    events_stream,
     joins,
     llm,
+    row_transforms,
+    scalars,
+    setops_sorts,
     windows,
 )

@@ -7,7 +7,7 @@ model, verified via the DuckDB oracle instead of reference file:line.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -113,4 +113,102 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "q",
         )
+    )
+
+
+@query(
+    "q_distinct_count",
+    oracle="""
+    select c_mktsegment,
+           count(distinct c_nationkey) as n_nations,
+           count(*) as n_customers
+    from customer
+    group by c_mktsegment
+    """,
+    tags=("agg",),
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count per group (SAS: PROC SQL COUNT(DISTINCT) / PROC
+    FREQ NLEVELS). SURVEY.md §2.4 #29.
+
+    Exact countDistinct here (oracle-matchable). At 100 TB the same
+    query shape swaps in approx_count_distinct (HLL sketch, one pass,
+    mergeable) — exposed as q_approx_distinct (rows-only).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    select l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) as p25,
+           round(quantile_cont(l_quantity, 0.50), 6) as p50,
+           round(quantile_cont(l_quantity, 0.75), 6) as p75
+    from lineitem
+    group by l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SAS: PROC MEANS P25 MEDIAN P75 /
+    PROC UNIVARIATE with QNTLDEF=4). SURVEY.md §2.4 #31.
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation — semantically identical. The 100 TB variant is
+    ``percentile_approx`` (t-digest-like sketch; q_approx_distinct's
+    sibling) — exact percentile requires collecting per-group values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "q_remerge_share",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) /
+                 sum(l_extendedprice * (1 - l_discount)) over (partition by l_orderkey),
+                 6) as revenue_share
+    from lineitem
+    """,
+    tags=("agg", "window"),
+)
+def q_remerge_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detail rows with their share of the group total (SAS: PROC SQL
+    "remerging summary statistics"). SURVEY.md §2.4 #35.
+
+    SAS silently re-joins the aggregate onto detail rows; the Spark
+    expression of that is a window aggregate over an unordered
+    partition — one shuffle, no self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev / F.sum(rev).over(w), 6).alias("revenue_share"),
+    )
+
+
+@query("q_approx_distinct", oracle=None, tags=("agg", "approx", "scale"))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counts — the 100 TB path for #29 (HLL++
+    sketch: one pass, constant memory, mergeable across partitions).
+    Rows-only check: approximation is engine-specific by design;
+    tests assert the estimate is within rsd bounds of exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
     )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.asof import most_recent_prior
 from sas_etl_spark.registry import query
 
 
@@ -47,4 +48,194 @@ def q_join3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
+    )
+
+
+@query(
+    "q_merge_in_flags",
+    oracle="""
+    select coalesce(c.c_custkey, o.o_custkey) as custkey,
+           c.c_name, o.o_orderkey,
+           case when c.c_custkey is not null then 1 else 0 end as in_a,
+           case when o.o_custkey is not null then 1 else 0 end as in_b
+    from customer c full join orders o on c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def q_merge_in_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS match-merge: ``MERGE customer(IN=a) orders(IN=b); BY
+    custkey;`` — full outer join + IN= flags. SURVEY.md §2.3 #18.
+
+    The IN= subsetting idioms reduce to join types: ``IF a AND b`` →
+    inner, ``IF a AND NOT b`` → left_anti — see q_semi_join /
+    q_anti_join.
+    """
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn("in_a", F.lit(1))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .withColumn("in_b", F.lit(1))
+    )
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "full")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "o_orderkey",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+
+
+@query(
+    "q_left_join_null",
+    oracle="""
+    select c.c_custkey,
+           count(o.o_orderkey) as n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) as total_spend
+    from customer c left join orders o on c.c_custkey = o.o_custkey
+    group by c.c_custkey
+    """,
+    tags=("join",),
+)
+def q_left_join_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-aware aggregation (customers with
+    zero orders kept, count(col) skips nulls). SURVEY.md §2.3 #20."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    select c_custkey, c_name from customer
+    where exists (select 1 from orders
+                  where o_custkey = c_custkey and o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (SAS: MERGE IN= flags with IF a AND b, or WHERE
+    EXISTS). SURVEY.md §2.3 #23. left_semi never duplicates the left
+    side and shuffles only the key column of the right.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    select c_custkey, c_name from customer
+    where not exists (select 1 from orders
+                      where o_custkey = c_custkey
+                        and o_orderdate < timestamp '1996-01-01 00:00:00')
+    """,
+    tags=("join",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no pre-1996 order (SAS: MERGE IN=
+    with IF a AND NOT b). SURVEY.md §2.3 #24. Written as NOT EXISTS
+    (not NOT IN) so null semantics are identical across engines
+    (§4.3). The date filter keeps the result non-empty at every SF —
+    every customer has *some* order in the fixtures."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    early_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return customer.join(
+        early_orders, customer.c_custkey == early_orders.o_custkey, "left_anti"
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    select s.s_suppkey,
+           count(*) as n_richer
+    from supplier s
+    join customer c
+      on c.c_nationkey = s.s_nationkey and c.c_acctbal > s.s_acctbal
+    group by s.s_suppkey
+    """,
+    tags=("join",),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi-key + range residual (SAS: PROC SQL with
+    inequality ON). SURVEY.md §2.3 #22.
+
+    Per nation, count customers richer than each supplier. The small
+    side (supplier) is broadcast; the range predicate evaluates as a
+    post-probe filter — no nested-loop over the big side.
+    """
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    return (
+        customer.join(
+            F.broadcast(supplier),
+            (F.col("c_nationkey") == F.col("s_nationkey"))
+            & (F.col("c_acctbal") > F.col("s_acctbal")),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer"))
+    )
+
+
+@query(
+    "q_asof_event",
+    oracle="""
+    select p.event_id, max(c.ts) as last_click_ts
+    from events p
+    left join events c
+      on c.user_id = p.user_id and c.event_type = 'click' and c.ts < p.ts
+    where p.event_type = 'purchase'
+    group by p.event_id
+    """,
+    tags=("join", "events"),
+)
+def q_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent prior click of
+    the same user. SURVEY.md §2.3 #27.
+
+    The oracle uses the O(n²)-per-user join formulation; the Spark
+    plan is the scalable one — a single ordered window carrying the
+    last click timestamp forward (operators.asof.most_recent_prior):
+    one shuffle+sort per user partition, no row multiplication.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    relevant = events.filter(F.col("event_type").isin("click", "purchase"))
+    with_last = most_recent_prior(
+        relevant,
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        source_pred=F.col("event_type") == "click",
+        value="ts",
+        out_col="last_click_ts",
+    )
+    return with_last.filter(F.col("event_type") == "purchase").select(
+        "event_id", "last_click_ts"
     )

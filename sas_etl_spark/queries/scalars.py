@@ -1,0 +1,228 @@
+"""Scalar-function sweep (SURVEY.md §2.8): string / regex / date /
+math / array / JSON families, each exercised end-to-end against the
+oracle. Function-semantics edges (DuckDB vs Spark) are resolved in
+favor of expressions that are *semantically identical*, noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.functions.rowwise import sas_max, sas_sum
+from sas_etl_spark.operators.similarity import l2_norm
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    select doc_id,
+           upper(source)                         as src_upper,
+           length(text)                          as text_len,
+           substr(text, 1, 10)                   as prefix10,
+           string_split(text, ' ')[1]            as first_word,
+           cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+           concat_ws('|', lang, source)          as lang_src,
+           replace(lang, 'en', 'EN')             as lang_repl
+    from documents
+    """,
+    tags=("scalar", "string"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (SAS: UPCASE, LENGTH, SUBSTR, SCAN,
+    CATX, TRANWRD). SURVEY.md §2.8.
+
+    SCAN(text, 1) ≙ split+element_at(1) — both 1-based. Spark length()
+    returns int, DuckDB BIGINT -> cast long.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.regexp_replace("lang", "en", "EN").alias("lang_repl"),
+    )
+
+
+@query(
+    "q_regex_extract",
+    oracle="""
+    select lang,
+           cast(sum(case when regexp_matches(text, 'stream.*join') then 1 else 0 end)
+                as bigint) as n_stream_join,
+           cast(sum(case when regexp_matches(text, '^data')        then 1 else 0 end)
+                as bigint) as n_data_start
+    from documents
+    group by lang
+    """,
+    tags=("scalar", "regex"),
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicates (SAS: PRXMATCH). SURVEY.md §2.8.
+
+    rlike ≙ regexp_matches: both are unanchored contains-match. The
+    patterns avoid engine-divergent syntax (Java regex vs RE2 agree on
+    these).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("text").rlike("stream.*join"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stream_join"),
+        F.sum(F.when(F.col("text").rlike("^data"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_data_start"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    select o_orderkey,
+           cast(year(o_orderdate) as bigint)        as o_year,
+           cast(month(o_orderdate) as bigint)       as o_month,
+           cast(dayofweek(o_orderdate) as bigint)   as o_dow,
+           date_trunc('month', o_orderdate)         as month_start,
+           cast(date_diff('day', timestamp '1995-01-01 00:00:00', o_orderdate)
+                as bigint)                          as days_since_95,
+           cast(o_orderdate + interval 3 month as timestamp) as plus3m
+    from orders
+    """,
+    tags=("scalar", "date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (SAS: YEAR, MONTH, WEEKDAY, INTNX, DATDIF).
+    SURVEY.md §2.8.
+
+    Semantics edges handled: DuckDB dayofweek is 0=Sunday, Spark
+    dayofweek is 1=Sunday -> subtract 1; Spark add_months returns
+    DATE -> cast back to timestamp to match the interval arithmetic;
+    both clamp month-ends identically. datediff(ts) truncates to date
+    on both sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("o_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+    )
+
+
+@query(
+    "q_math_rowwise",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6)          as sqrt_price,
+           round(ln(l_extendedprice), 6)            as ln_price,
+           cast(floor(l_quantity) as bigint)        as qty_floor,
+           cast(ceil(l_discount * 100) as bigint)   as disc_pct_ceil,
+           abs(l_quantity - 25)                     as qty_dev,
+           l_orderkey % 7                           as key_mod,
+           greatest(l_quantity, l_discount * 100, l_tax * 100) as g3,
+           l_quantity + coalesce(l_discount, 0) + coalesce(l_tax, 0) as sas_sum3
+    from lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def q_math_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family + SAS row-wise SUM(of ...) semantics (null-skip).
+    SURVEY.md §2.8, §4.3.
+
+    ln/sqrt rounded to 6dp: libm implementations differ in the last
+    ulp between JVM and C. DuckDB ``log`` is base-10 — oracle uses
+    ``ln``. sas_sum over non-null fixture columns reduces to plain
+    coalesce-addition, which is what the oracle mirrors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.expr("l_orderkey % 7").alias("key_mod"),
+        sas_max(F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100).alias("g3"),
+        sas_sum("l_quantity", "l_discount", "l_tax").alias("sas_sum3"),
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    select vec_id,
+           cast(len(embedding) as bigint) as dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double)))), 6) as l2,
+           round(cast(list_max(embedding) as double), 6) as emax,
+           round(list_sum(list_transform(embedding, x -> cast(x as double)))
+                 / len(embedding), 6) as emean
+    from embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order family over the embedding column (SAS:
+    ARRAY + DO loop over variables). SURVEY.md §2.2 #17, §2.8.
+
+    Element arithmetic cast to double on BOTH sides before summing so
+    neither engine accumulates in float32. max is order-free (exact);
+    sums rounded for associativity drift.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    esum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("emax"),
+        F.round(esum / F.size("embedding"), 6).alias("emean"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    select event_type,
+           round(avg(cast(json_extract_string(props, '$.k') as bigint)), 6) as avg_k,
+           max(cast(json_extract_string(props, '$.k') as bigint))           as max_k,
+           count(*) as n
+    from events
+    group by event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (SAS has no native JSON
+    scalar funcs — libname JSON engine; here get_json_object ≙
+    json_extract_string). SURVEY.md §2.8, fixture `events.props`.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

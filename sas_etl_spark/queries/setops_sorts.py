@@ -1,0 +1,181 @@
+"""Set operations, sorts, limits, dedup (SURVEY.md §2.6-2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.dedup import distinct_rows, dupout, nodupkey
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    select c_custkey as id, c_name as name, 'customer' as src from customer
+    union all
+    select s_suppkey as id, s_name as name, 'supplier' as src from supplier
+    """,
+    tags=("setop",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation by name (SAS: ``SET a b;`` / OUTER UNION CORR).
+    SURVEY.md §2.7 #46. unionByName is position-independent — the SAS
+    SET statement matches variables by name, not position.
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("src"),
+    )
+    return customer.unionByName(supplier)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    select c_nationkey as nk from customer
+    union
+    select s_nationkey as nk from supplier
+    """,
+    tags=("setop",),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup (SAS: PROC SQL UNION). SURVEY.md §2.7 #47."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    select c_nationkey as nk from customer
+    intersect
+    select s_nationkey as nk from supplier
+    """,
+    tags=("setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SAS: PROC SQL INTERSECT). SURVEY.md §2.7 #48."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "q_except",
+    oracle="""
+    select c_nationkey as nk from customer
+    except
+    select s_nationkey as nk from supplier where s_acctbal > 8000
+    """,
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (SAS: PROC SQL EXCEPT). SURVEY.md §2.7 #49: nations with
+    customers but no high-balance supplier (filter keeps the result
+    non-empty — suppliers cover every nation).
+    subtract() is EXCEPT DISTINCT — a value present anywhere in the
+    right side is removed entirely (exceptAll().distinct() would
+    wrongly keep values the left has more occurrences of)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return c.subtract(s)
+
+
+@query(
+    "q_topn_sort",
+    oracle="""
+    select o_orderkey, o_custkey, o_totalprice
+    from orders
+    order by o_totalprice desc, o_orderkey
+    limit 50
+    """,
+    tags=("sort",),
+)
+def q_topn_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N by sort (SAS: PROC SORT + OBS=50). SURVEY.md §2.6
+    #41-42. orderBy().limit() compiles to TakeOrderedAndProject —
+    per-partition heap + k-row driver merge, never a full global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(50)
+
+
+@query(
+    "q_nodupkey",
+    oracle="""
+    select o_custkey, o_orderkey, o_orderdate from (
+        select o_custkey, o_orderkey, o_orderdate,
+               row_number() over (
+                   partition by o_custkey order by o_orderdate, o_orderkey
+               ) as rn
+        from orders
+    ) t where rn = 1
+    """,
+    tags=("dedup",),
+)
+def q_nodupkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First order per customer (SAS: PROC SORT BY custkey date;
+    NODUPKEY). SURVEY.md §2.6 #43.
+
+    Deliberately NOT dropDuplicates: its kept row is whichever task
+    finishes first. keep-first is defined by an explicit tiebreak so
+    results are stable across engines and runs (§4.3).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return nodupkey(
+        orders, keys=["o_custkey"], order_by=[F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+
+
+@query(
+    "q_dupout",
+    oracle="""
+    select o_custkey, o_orderkey from (
+        select o_custkey, o_orderkey,
+               row_number() over (
+                   partition by o_custkey order by o_orderdate, o_orderkey
+               ) as rn
+        from orders
+    ) t where rn > 1
+    """,
+    tags=("dedup",),
+)
+def q_dupout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discarded-duplicates side (SAS: DUPOUT=). SURVEY.md §2.6 #45."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return dupout(
+        orders, keys=["o_custkey"], order_by=[F.col("o_orderdate"), F.col("o_orderkey")]
+    ).select("o_custkey", "o_orderkey")
+
+
+@query(
+    "q_distinct_rows",
+    oracle="""
+    select distinct l_returnflag, l_linestatus from lineitem
+    """,
+    tags=("dedup",),
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row dedup (SAS: PROC SORT NODUP). SURVEY.md §2.6 #44.
+    Hash aggregation with map-side partials — no sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    return distinct_rows(li)

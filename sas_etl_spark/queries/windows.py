@@ -2,12 +2,12 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
 from sas_etl_spark.operators.events import session_counts
-from sas_etl_spark.operators.windows import top_k_per_group
+from sas_etl_spark.operators.windows import moving_avg, running_total, top_k_per_group
 from sas_etl_spark.registry import query
 
 
@@ -36,13 +36,12 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
-    ranked = top_k_per_group(
+    return top_k_per_group(
         orders,
         partition_by=["o_custkey"],
         order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
         k=3,
     )
-    return ranked
 
 
 @query(
@@ -94,3 +93,100 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     return session_counts(events, gap_seconds=30 * 60)
+
+
+@query(
+    "q_running_total",
+    oracle="""
+    select o_custkey, o_orderkey,
+           round(sum(o_totalprice) over (
+               partition by o_custkey
+               order by o_orderdate, o_orderkey
+               rows between unbounded preceding and current row
+           ), 2) as running_total
+    from orders
+    """,
+    tags=("window",),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend in order-date order (SAS: RETAIN
+    + sum statement within BY group). SURVEY.md §2.2 #14, §2.5 #40."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = running_total(
+        orders,
+        value="o_totalprice",
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("running_total", 2).alias("running_total")
+    )
+
+
+@query(
+    "q_rank_ntile",
+    oracle="""
+    select c_custkey, c_nationkey,
+           rank()       over (partition by c_nationkey order by c_acctbal desc) as rnk,
+           dense_rank() over (partition by c_nationkey order by c_acctbal desc) as drnk,
+           ntile(4)     over (partition by c_nationkey
+                              order by c_acctbal desc, c_custkey) as quartile
+    from customer
+    """,
+    tags=("window",),
+)
+def q_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranks and quartiles per nation (SAS: PROC RANK, GROUPS=4).
+    SURVEY.md §2.5 #36.
+
+    rank/dense_rank are functions of the order value, so ties are
+    deterministic without a tiebreak; ntile is position-based, so its
+    window adds the unique-key tiebreak. All cast to long (ANSI window
+    functions are BIGINT).
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w_val = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    w_pos = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("drnk"),
+        F.ntile(4).over(w_pos).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+    select event_id,
+           round(avg(value) over (
+               partition by user_id
+               order by ts, event_id
+               rows between 6 preceding and current row
+           ), 6) as mavg7
+    from events
+    """,
+    tags=("window", "events"),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving average per user (SAS: LAG chain or PROC
+    EXPAND). SURVEY.md §2.5 #38."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = moving_avg(
+        events,
+        value="value",
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        preceding=6,
+        out_col="mavg7",
+    )
+    return out.select("event_id", F.round("mavg7", 6).alias("mavg7"))
