@@ -1,0 +1,86 @@
+"""Approximate nearest-neighbor search — the 100 TB scale path for
+vector similarity (SURVEY.md §2.9 #53; exact baseline in
+similarity.py).
+
+IVF (inverted-file) flavor:
+  1. pick n_centroids deterministic seed centroids,
+  2. assign every vector to its nearest centroid (one broadcast
+     "cross join" + max_by — map-side only, no shuffle of the big
+     side),
+  3. at query time score centroids against the query, keep the top
+     nprobe, and brute-force ONLY vectors assigned to those lists.
+
+Cost: scan fraction ~ nprobe/n_centroids of the corpus instead of all
+of it. nprobe = n_centroids degrades gracefully to exact search (used
+by tests as an equivalence oracle). No .collect() anywhere — the probe
+set is itself a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sas_etl_spark.operators.similarity import cosine, cosine_topk
+
+
+def seed_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid seeds: the n lowest ids. (A k-means
+    refinement can replace this without changing the search path.)"""
+    return (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid.
+    Broadcast nested-loop against the tiny centroid table + max_by
+    aggregation; ties broken toward the lower centroid id."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "centroid_id",
+        cosine(vec_col, "centroid_vec").alias("_sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("_sim"), -F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Top-k by cosine among vectors whose IVF list is one of the
+    query's nprobe closest centroids."""
+    centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
+    assignments = ivf_assign(emb, centroids, id_col, vec_col)
+    probes = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("centroid_id", cosine("centroid_vec", query_vec_col).alias("_qsim"))
+        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidate_ids = assignments.join(F.broadcast(probes), "centroid_id").select(id_col)
+    candidates = emb.join(candidate_ids, id_col, "left_semi")
+    return cosine_topk(candidates, query, k, id_col, vec_col, query_vec_col, sim_col)

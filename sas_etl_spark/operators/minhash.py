@@ -1,0 +1,114 @@
+"""Near-duplicate detection: shingling + MinHash + LSH banding.
+
+Driver-mandated LLM-pipeline operator (SURVEY.md §2.9 #52). Pipeline:
+
+    tokens -> n-gram shingles -> 128-hash MinHash signature
+           -> 32 bands x 4 rows -> band-hash bucket join (candidates)
+           -> exact Jaccard verification on candidate pairs
+
+All stages are Catalyst expressions (higher-order array functions +
+xxhash64) — no Python UDF, whole-stage codegen end to end.
+
+Scale design:
+- The O(n²) all-pairs comparison never happens: candidates come from
+  the band-hash equi-join, whose cost is bucket-size bounded.
+- Shingle arrays are NOT carried through the band explode (32x row
+  multiplication); candidates are id pairs, shingles re-joined after.
+- Recall: P(candidate | jaccard j) = 1 - (1 - j^4)^32, i.e. >0.9998
+  for j >= 0.7 and ~1 - 5e-8 for j >= 0.8; precision is exact because
+  every candidate is verified with true Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 128
+NUM_BANDS = 32  # rows per band r = 128/32 = 4
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles; a doc shorter than n tokens
+    contributes its whole token sequence as one shingle."""
+    toks = F.split(text, " ")
+    nsh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nsh),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature: element i = min over shingles of
+    xxhash64(i, shingle). One expression, evaluated JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def band_hashes(sig: Column, num_bands: int = NUM_BANDS, num_hashes: int = NUM_HASHES) -> Column:
+    """LSH bands: hash each contiguous r-slice of the signature."""
+    r = num_hashes // num_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda j: F.xxhash64(j, F.slice(sig, j * r + 1, r)),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two (distinct-element) arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-duplicate id pairs (a_id < b_id) with exact Jaccard >=
+    threshold, found via MinHash-LSH candidates."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingle_array(F.col(text_col), shingle_n).alias("_sh")
+    )
+    banded = sh.select(
+        "_id",
+        F.posexplode(band_hashes(minhash_signature(F.col("_sh"), num_hashes), num_bands, num_hashes)).alias(
+            "_band", "_h"
+        ),
+    )
+    left = banded.select(
+        F.col("_id").alias("a_id"), F.col("_band").alias("_band"), F.col("_h").alias("_h")
+    )
+    right = banded.select(
+        F.col("_id").alias("b_id"), F.col("_band").alias("_band2"), F.col("_h").alias("_h2")
+    )
+    candidates = (
+        left.join(
+            right,
+            (left._band == right._band2)
+            & (left._h == right._h2)
+            & (left.a_id < right.b_id),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sh_a"))
+    sh_b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sh_b"))
+    return (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

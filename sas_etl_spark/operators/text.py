@@ -1,17 +1,36 @@
 """Text-analysis operators over document tables.
 
 SURVEY.md §2.9 #54-55 plus the driver-mandated LLM-pipeline additions:
-tokenization, term stats, quality scoring, language id, fingerprints.
-Everything is built from JVM-side expressions (split/explode/regexp) —
-no Python in the hot path, so the scan parallelism is the only limit.
+tokenization, term stats, quality scoring, language id, BPE-ish token
+counting, winnowing fingerprints. Everything is built from JVM-side
+expressions (split/explode/regexp/higher-order) — no Python in the
+hot path, so the scan parallelism is the only limit.
 """
 
 from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small — language ID here demonstrates the
+#: operator shape; swap in real lists for production.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "est", "en", "que"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+#: BPE-ish tokenizer regex: runs of word chars, runs of digits already
+#: inside \w, else single non-space symbols. Agreed-on syntax between
+#: Java regex (Spark) and RE2 (DuckDB) — used by the token-count oracle.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def tokens(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:
@@ -43,3 +62,70 @@ def top_terms(
         .orderBy(F.desc(count_col), F.asc(word_col))
         .limit(n)
     )
+
+
+def quality_columns(
+    text: Column, stopwords: Sequence[str] = ("the", "a", "of", "and", "to")
+) -> dict[str, Column]:
+    """Per-document quality metrics (length, token stats, stopword
+    ratio, lexical diversity) as named column expressions."""
+    toks = F.split(text, " ")
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": (F.length(F.regexp_replace(text, " ", "")) / n_tok),
+        "stopword_ratio": n_stop / n_tok,
+        "type_token_ratio": F.size(F.array_distinct(toks)) / n_tok,
+    }
+
+
+def token_count_bpe_ish(text: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Approximate LLM token count via the BPE-ish regex."""
+    return F.regexp_count(text, F.lit(pattern)).cast("long")
+
+
+def lang_id(text: Column, stopwords: Mapping[str, list[str]] = LANG_STOPWORDS) -> Column:
+    """Stopword-overlap language classifier: argmax over languages of
+    the fraction of tokens in that language's stopword list. Ties
+    break toward the lexicographically larger code (struct-greatest),
+    'und' (undetermined) when no stopword hits at all."""
+    toks = F.split(text, " ")
+    n_tok = F.size(toks)
+    scored = [
+        F.struct(
+            (
+                F.size(
+                    F.filter(
+                        toks,
+                        lambda t: F.array_contains(F.array([F.lit(w) for w in ws]), t),
+                    )
+                )
+                / n_tok
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in stopwords.items()
+    ]
+    best = F.greatest(*scored)
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def winnow_fingerprint(
+    text: Column, shingle_n: int = 3, keep_mod: int = 8
+) -> Column:
+    """Winnowing-style document fingerprint: 64-bit hash of the sorted
+    set of shingle hashes that fall in the 1/keep_mod selection class.
+    Robust to local edits outside selected shingles; deterministic."""
+    from sas_etl_spark.operators.minhash import shingle_array
+
+    sh = shingle_array(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    selected = F.array_sort(
+        F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    )
+    return F.xxhash64(selected)

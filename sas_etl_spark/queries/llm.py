@@ -1,5 +1,7 @@
-"""LLM-data-pipeline queries (SURVEY.md §2.9): dedup, text analysis,
-vector similarity over the documents/embeddings fixtures."""
+"""LLM-data-pipeline queries (SURVEY.md §2.9): dedup (exact, MinHash,
+SimHash), text analysis (tokens, stats, quality, lang-id, token count,
+fingerprints), vector similarity (exact + IVF), multimodal doc⋈vector
+join — over the documents/embeddings fixtures."""
 
 from __future__ import annotations
 
@@ -7,9 +9,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.ann import ivf_topk
 from sas_etl_spark.operators.dedup import exact_dup_counts
-from sas_etl_spark.operators.similarity import cosine_topk
-from sas_etl_spark.operators.text import top_terms
+from sas_etl_spark.operators.minhash import near_dup_pairs
+from sas_etl_spark.operators.similarity import cosine, cosine_topk
+from sas_etl_spark.operators.simhash import simhash_near_dup_pairs, with_simhash
+from sas_etl_spark.operators.text import (
+    lang_id,
+    quality_columns,
+    token_count_bpe_ish,
+    top_terms,
+    winnow_fingerprint,
+)
 from sas_etl_spark.registry import query
 
 
@@ -53,7 +64,8 @@ def q_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Groups on raw text here (fixture docs are short); the 100 TB
     variant groups on sha2(text) via exact_dup_counts(hash_col=...) to
-    shrink the shuffle — same operator, one flag.
+    shrink the shuffle — same operator, one flag. (Duplicates exist
+    only at sf0.1 in the fixtures — empty-but-correct at sf0.01.)
     """
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -91,4 +103,225 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     topk = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, sim_col="sim_raw")
+    return topk.select("vec_id", F.round("sim_raw", 4).alias("sim"))
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    select lang,
+           count(*) as n_docs,
+           round(avg(n_chars), 6) as avg_chars,
+           round(avg(len(string_split(text, ' '))), 6) as avg_tokens
+    from documents
+    group by lang
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language (SAS: PROC MEANS over computed vars).
+    SURVEY.md §2.9 #55."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_doc_quality",
+    oracle="""
+    select doc_id,
+           length(text) as n_chars,
+           cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 6) as avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) * 1.0
+                 / len(string_split(text, ' ')), 6) as stopword_ratio,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 6) as type_token_ratio
+    from documents
+    """,
+    tags=("text", "quality"),
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length, token stats, stopword
+    ratio, lexical diversity (driver-mandated text-analysis operator).
+    Pure column expressions — one scan pass, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        F.round(cols["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(cols["type_token_ratio"], 6).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    select doc_id,
+           cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                as bigint) as n_bpe_tokens
+    from documents
+    """,
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via tokenizer regex (driver-mandated).
+    regexp_count ≙ len(regexp_extract_all) — same RE semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "q_doc_embed_join",
+    oracle="""
+    select d.lang, e.label,
+           count(*) as n,
+           round(avg(d.n_chars), 6) as avg_chars
+    from documents d join embeddings e on d.doc_id = e.vec_id
+    group by d.lang, e.label
+    """,
+    tags=("multimodal", "join"),
+)
+def q_doc_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join: text modality ⋈ vector modality on doc identity
+    (SURVEY.md §2.9 #56), aggregated by language x cluster label."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_cosine_pairs",
+    oracle="""
+    select a.vec_id as a_id, b.vec_id as b_id
+    from embeddings a, embeddings b
+    where a.vec_id < b.vec_id
+      and cast(list_cosine_similarity(a.embedding, b.embedding) as double) > 0.45
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold
+    (driver-mandated dedup flavor). Exact all-pairs here (verifiable);
+    at 100 TB the same contract is served by LSH blocking (ann.py) —
+    only ids are output, so float32-vs-double drift can't break
+    parity (0.45 sits in a density gap; max off-diagonal sim ≈ 0.51).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb"))
+    return (
+        a.join(b, a.a_id < b.b_id)
+        .filter(cosine("_va", "_vb") > 0.45)
+        .select("a_id", "b_id")
+    )
+
+
+@query(
+    "q_near_dup_minhash",
+    oracle="""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) as s
+        from documents
+    )
+    select a.doc_id as a_id, b.doc_id as b_id,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) as jaccard
+    from sh a, sh b
+    where a.doc_id < b.doc_id
+      and round(len(list_intersect(a.s, b.s)) * 1.0
+                / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+    """,
+    tags=("dedup", "minhash"),
+)
+def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate docs: 3-gram shingles -> MinHash(128) -> LSH
+    (32 bands x 4) -> exact-Jaccard verify >= 0.8 (SURVEY.md §2.9 #52).
+
+    The oracle is the exact O(n²) shingle-Jaccard join; the Spark side
+    is the LSH pipeline. They agree because candidate recall at
+    j >= 0.8 is 1 - (1 - 0.8^4)^32 ≈ 1 - 5e-8 and every candidate is
+    exact-verified — a deliberate demonstration that the approximate
+    scale path preserves exact semantics above threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.8)
+    return pairs.select("a_id", "b_id", "jaccard")
+
+
+@query("q_near_dup_simhash", oracle=None, tags=("dedup", "simhash"))
+def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 64-bit fingerprints,
+    pigeonhole 16-bit block join). Rows-only: SimHash is
+    engine-specific by construction; unit tests pin its behavior on
+    synthetic edits and exact duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs)
+
+
+@query("q_simhash_fingerprints", oracle=None, tags=("dedup", "simhash"))
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (fingerprint column for downstream
+    blocking). Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_simhash(docs).select("doc_id", "simhash")  # noqa: F811
+
+
+@query("q_doc_fingerprint", oracle=None, tags=("text", "fingerprint"))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint per document
+    (driver-mandated). Rows-only; determinism + edit-robustness pinned
+    by unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", winnow_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query("q_lang_id", oracle=None, tags=("text", "langid"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (driver-mandated). Rows-only: the
+    fixture corpus is synthetic same-vocabulary soup, so accuracy is
+    meaningless here; unit tests verify the classifier on real
+    per-language sentences."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query("q_knn_ivf", oracle=None, tags=("similarity", "ann", "scale"))
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors of vector 0 — the 100 TB scale
+    path for q_knn_cosine (scan ~nprobe/n_centroids of the corpus).
+    Rows-only: recall-vs-exact pinned by unit tests; with
+    nprobe = n_centroids it must equal the exact result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    topk = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=4,
+        sim_col="sim_raw",
+    )
     return topk.select("vec_id", F.round("sim_raw", 4).alias("sim"))

@@ -1,0 +1,126 @@
+"""Unit tests for LLM-pipeline operators the SQL oracle can't check
+(SURVEY.md §5.3): MinHash-LSH recall, SimHash robustness, IVF search,
+language ID, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sas_etl_spark.operators.ann import ivf_topk
+from sas_etl_spark.operators.minhash import near_dup_pairs
+from sas_etl_spark.operators.similarity import cosine_topk
+from sas_etl_spark.operators.simhash import simhash_near_dup_pairs, with_simhash
+from sas_etl_spark.operators.text import lang_id, winnow_fingerprint
+from tests.conftest import SF_CORRECTNESS
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm windowsill", "cold windowsill")  # one-token edit
+FAR = (
+    "completely different content about spark dataframes shuffles and "
+    "catalyst optimizer rules running on large distributed clusters today"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_finds_near_and_exact_dups(spark):
+    pairs = near_dup_pairs(_docs(spark), threshold=0.5)
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got and got[(1, 2)] >= 0.5  # one-token edit
+    assert (2, 4) in got
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_idempotent_on_disjoint_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, FAR)], "doc_id long, text string"
+    )
+    assert near_dup_pairs(docs, threshold=0.3).count() == 0
+
+
+def test_simhash_blocks_find_small_edits(spark):
+    pairs = simhash_near_dup_pairs(_docs(spark), max_hamming=10)
+    got = {(r.a_id, r.b_id): r.hamming for r in pairs.collect()}
+    assert got.get((1, 4)) == 0  # identical text -> identical simhash
+    assert (1, 2) in got and got[(1, 2)] <= 10  # small edit, small distance
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_deterministic(spark):
+    a = with_simhash(_docs(spark)).select("doc_id", "simhash").collect()
+    b = with_simhash(_docs(spark)).select("doc_id", "simhash").collect()
+    assert sorted(a) == sorted(b)
+
+
+def _emb(spark):
+    from sas_etl_spark.catalog import load_table
+
+    return load_table(spark, SF_CORRECTNESS, "embeddings")
+
+
+def test_ivf_equals_exact_when_probing_everything(spark):
+    emb = _emb(spark)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(cand, qv, k=10).collect()]
+    ivf_all = [
+        r.vec_id
+        for r in ivf_topk(cand, qv, k=10, n_centroids=8, nprobe=8).collect()
+    ]
+    assert ivf_all == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = _emb(spark)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk(cand, qv, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(cand, qv, k=10, n_centroids=8, nprobe=4).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 3  # random vectors: partial recall expected
+
+
+def test_lang_id_on_real_sentences(spark):
+    rows = spark.createDataFrame(
+        [
+            ("en", "the cat sat on a mat and looked to the door"),
+            ("de", "der hund und die katze sind mit dem ball"),
+            ("es", "el perro y la gata juegan en un parque por la tarde"),
+            ("fr", "le chien et le chat jouent dans les jardins de la ville"),
+            ("xx", "zzz qqq www eee rrr"),
+        ],
+        "truth string, text string",
+    ).select("truth", lang_id(F.col("text")).alias("pred"))
+    got = {r.truth: r.pred for r in rows.collect()}
+    assert got["en"] == "en"
+    assert got["de"] == "de"
+    assert got["es"] == "es"
+    assert got["fr"] == "fr"
+    assert got["xx"] == "und"
+
+
+def test_fingerprint_deterministic_and_edit_sensitive(spark):
+    docs = _docs(spark)
+    fp = docs.select("doc_id", winnow_fingerprint(F.col("text")).alias("fp"))
+    got = {r.doc_id: r.fp for r in fp.collect()}
+    assert got[1] == got[4]  # identical docs -> identical fingerprint
+    assert got[1] != got[3]  # different docs -> different fingerprint
+    again = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", winnow_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got == again
