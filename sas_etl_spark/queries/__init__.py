@@ -9,6 +9,7 @@ rules in registry.py's docstring.
 from sas_etl_spark.queries import (  # noqa: F401
     aggregations,
     events_stream,
+    io_stream,
     joins,
     llm,
     row_transforms,

@@ -1,0 +1,130 @@
+"""I/O, sink, and streaming queries (SURVEY.md §2.1 #5-7, §2.2 #11,
+§2.10). File-writing queries target fresh temp dirs so driver reruns
+are hermetic; rows-only checks verify round-trip counts and schemas.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.multimodal import attach_fake_payload, extract_features
+from sas_etl_spark.registry import query
+from sas_etl_spark.sources import append_to, multi_output_split, read_csv, write_csv
+from sas_etl_spark.streaming import (
+    run_bounded_to_memory,
+    stream_events,
+    tumbling_agg,
+)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    select time_bucket(interval 6 hour, ts) as bucket,
+           event_type,
+           count(*) as n,
+           round(sum(value), 2) as total_value
+    from events
+    group by 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed BY A STRUCTURED STREAMING QUERY
+    (file stream -> watermark -> window agg -> memory sink, complete
+    mode) over the bounded events fixture — then hash-checked against
+    the same DuckDB batch oracle as q_tumbling_counts.
+
+    This is the proof that the event operators are stream/batch
+    equivalent (SURVEY.md §2.10): identical grouping expressions,
+    identical results, only the execution mode differs.
+    """
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    agg = tumbling_agg(events, width="6 hours", watermark="1 hour")
+    return run_bounded_to_memory(agg, spark)
+
+
+@query("q_csv_roundtrip", oracle=None, tags=("io",))
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export + import with explicit schema (SAS: PROC EXPORT /
+    PROC IMPORT with informats). Round-trips a projection of orders
+    through CSV and aggregates the re-read rows; counts must equal the
+    source (pinned by tests)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sas_etl_csv_")
+    write_csv(orders, path)
+    back = read_csv(
+        spark, path, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query("q_multi_split", oracle=None, tags=("io",))
+def q_multi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional multi-output split (SAS: IF cond THEN OUTPUT dsN)
+    into parquet sinks, one scan; returns per-sink row counts re-read
+    from the written files (round-trip proof)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="sas_etl_split_")
+    multi_output_split(
+        orders,
+        {
+            "open": F.col("o_orderstatus") == "O",
+            "finished": F.col("o_orderstatus") == "F",
+            "big": F.col("o_totalprice") > 200000,  # overlaps others, like SAS OUTPUT
+        },
+        base,
+    )
+    frames = [
+        spark.read.parquet(f"{base}/{name}")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("sink"), "n")
+        for name in ("open", "finished", "big")
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@query("q_append_sink", oracle=None, tags=("io",))
+def q_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-to-table sink (SAS: PROC APPEND): write base, append a
+    filtered increment, re-read and count by source flag."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{tempfile.mkdtemp(prefix='sas_etl_append_')}/nation"
+    nation.withColumn("batch", F.lit("base")).write.parquet(path)
+    append_to(
+        nation.filter(F.col("n_regionkey") == 0).withColumn("batch", F.lit("increment")),
+        path,
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("q_multimodal_features", oracle=None, tags=("multimodal",))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction (stubbed decode) via
+    Arrow-batched mapInPandas, aggregated per language — exercises the
+    full multimodal plumbing: struct(media) column -> pandas batches
+    -> array<double> features -> relational agg. Deterministic, so the
+    rows-only check is stable across runs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    with_media = attach_fake_payload(docs, key_col="doc_id")
+    feats = extract_features(with_media)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+    )

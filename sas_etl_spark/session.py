@@ -40,6 +40,37 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make sas_etl_spark importable on executor Python workers.
+
+    The driver process may run from any cwd with the repo reachable
+    only via its own sys.path; executor workers inherit neither. A
+    zip of the package added via addPyFile lands on every worker's
+    sys.path, so UDF closures that reference package modules resolve.
+    One-shot per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sas_etl_pkg_shipped", False):
+        return
+    try:
+        import shutil
+        import tempfile
+
+        import sas_etl_spark
+
+        pkg_dir = os.path.dirname(os.path.abspath(sas_etl_spark.__file__))
+        zip_base = os.path.join(
+            tempfile.mkdtemp(prefix="sas_etl_pkg_"), "sas_etl_spark_pkg"
+        )
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="sas_etl_spark"
+        )
+        sc.addPyFile(zip_path)
+    except Exception:  # packaging is best-effort; hot paths are UDF-free
+        pass
+    sc._sas_etl_pkg_shipped = True
+
+
 def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs needed for oracle parity to a live session.
 
@@ -56,6 +87,7 @@ def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> Spa
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         except Exception:
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,59 @@
+"""Writers / sinks (SAS: PROC EXPORT, DATA lib.out, PROC APPEND,
+conditional OUTPUT to multiple datasets). SURVEY.md §2.1 #6-7, §2.2 #11.
+
+Scale conventions:
+- parquet + optional partitionBy for downstream partition pruning;
+- multi-output split caches the source ONCE then writes N filtered
+  views — the SAS DATA step reads its input once for N OUTPUTs, and so
+  do we (without the cache, N writes = N full scans).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def append_to(df: DataFrame, path: str) -> None:
+    """PROC APPEND: add rows to an existing dataset (by-name schema
+    evolution is the reader's concern; parquet appends are file-level)."""
+    df.write.mode("append").parquet(path)
+
+
+def multi_output_split(
+    df: DataFrame, outputs: Mapping[str, Column], base_path: str
+) -> dict[str, int]:
+    """Conditional multi-output (SAS: IF cond THEN OUTPUT ds;).
+
+    Writes one parquet dataset per named predicate under base_path,
+    scanning the source once (cache + N filters). Rows matching
+    several predicates go to several outputs, matching SAS OUTPUT
+    semantics. Returns rows written per output.
+    """
+    df = df.cache()
+    try:
+        counts: dict[str, int] = {}
+        for name, pred in outputs.items():
+            subset = df.filter(pred)
+            write_parquet(subset, f"{base_path}/{name}")
+            counts[name] = subset.count()
+        return counts
+    finally:
+        df.unpersist()

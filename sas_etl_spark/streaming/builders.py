@@ -1,0 +1,87 @@
+"""Streaming builders: bounded-fixture streams + windowed aggregations.
+
+Design rules for the unbounded case (documented here, exercised on the
+bounded stand-in):
+- every aggregation is keyed by an event-time window -> state is
+  droppable once the watermark passes the window end;
+- watermark delay bounds state size AND late-data acceptance;
+- session windows use F.session_window (gap-merged state), the
+  streaming twin of the batch lag-gap cumulative-sum operator.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.session import configure
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """The events fixture as a file stream (bounded stand-in for a
+    real source; swap .format for kafka in production). pathGlobFilter
+    restricts the directory listing to the events file; ts arrives as
+    raw nanos (nanosAsLong) and converts exactly like the batch path.
+    """
+    configure(spark)
+    schema = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    )  # nanosAsLong → ts is long
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts — the streaming twin of
+    q_tumbling_counts (identical grouping expressions)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows per user (streaming twin of the batch
+    lag-gap sessionizer)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_bounded_to_memory(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming aggregation over a bounded source to
+    completion via a memory sink; returns the final table as a batch
+    DataFrame. Complete mode: each trigger rewrites the full result,
+    so the final table equals the batch answer."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
