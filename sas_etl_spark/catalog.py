@@ -36,12 +36,24 @@ TABLES: tuple[str, ...] = (
 )
 
 
+#: Table-handle cache: avoids re-running file listing + footer schema
+#: resolution (and the Py4J conf round-trips in configure) on every
+#: query build. DataFrames are immutable plan handles — safe to share.
+#: Keyed per SparkContext so a fresh session never sees stale handles.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types (events ns->us)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
