@@ -1,0 +1,88 @@
+"""Scale-design plan audits (SURVEY.md §4.2): assert the physical
+plans have the properties the 100 TB story depends on. These tests
+pin plan SHAPE, not timings — a regression here (lost pushdown, a
+join degrading to cartesian, a window collapsing to one partition)
+is a scale bug even while correctness stays green."""
+
+from __future__ import annotations
+
+import pytest
+
+from sas_etl_spark.plans import (
+    assert_no_cartesian,
+    assert_no_single_partition_exchange,
+    audit,
+)
+from sas_etl_spark.registry import QUERIES, queries_map
+from tests.conftest import SF_CORRECTNESS
+
+queries_map()
+
+
+def _plan(spark, name):
+    return audit(QUERIES[name].fn(spark, SF_CORRECTNESS))
+
+
+def test_join3_broadcasts_dimensions_and_prunes_columns(spark):
+    a = _plan(spark, "q_join3_revenue")
+    assert a["broadcast_joins"] >= 3  # orders/customer/nation all small at this SF
+    assert not a["cartesian"]
+    # lineitem scan must read exactly the 3 needed columns
+    assert any(
+        "l_orderkey" in s and "l_extendedprice" in s and "l_shipdate" not in s
+        for s in a["read_schemas"]
+    ), a["read_schemas"]
+
+
+def test_filter_pushes_to_scan(spark):
+    a = _plan(spark, "q_filter_pred")
+    joined = ";".join(a["pushed_filters"])
+    assert "o_totalprice" in joined and "o_orderstatus" in joined
+
+
+def test_projection_prunes_scan(spark):
+    a = _plan(spark, "q_project_rename")
+    assert a["read_schemas"] and all(
+        "c_acctbal" not in s and "c_nationkey" not in s for s in a["read_schemas"]
+    )
+
+
+def test_topn_uses_take_ordered_not_global_sort(spark):
+    a = _plan(spark, "q_topn_sort")
+    assert a["take_ordered"]
+    assert a["single_partition_exchanges"] == 0
+
+
+def test_knn_broadcasts_query_side(spark):
+    df = QUERIES["q_knn_cosine"].fn(spark, SF_CORRECTNESS)
+    assert_no_cartesian(df, "q_knn_cosine")
+    a = audit(df)
+    assert a["take_ordered"]  # top-k via per-partition heap
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_running_total", "q_window_rank", "q_rank_ntile", "q_moving_avg", "q_sessionize"],
+)
+def test_windows_are_partitioned_not_global(spark, name):
+    assert_no_single_partition_exchange(
+        QUERIES[name].fn(spark, SF_CORRECTNESS), name
+    )
+
+
+def test_aggregations_have_map_side_partials(spark):
+    a = _plan(spark, "q_pricing_summary")
+    # partial + final HashAggregate pair around the exchange
+    assert a["plan"].count("HashAggregate") >= 2
+
+
+def test_minhash_pipeline_avoids_cartesian(spark):
+    assert_no_cartesian(
+        QUERIES["q_near_dup_minhash"].fn(spark, SF_CORRECTNESS), "q_near_dup_minhash"
+    )
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    for name in ("q_semi_join", "q_anti_join"):
+        plan = audit(QUERIES[name].fn(spark, SF_CORRECTNESS))["plan"]
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
