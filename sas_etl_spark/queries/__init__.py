@@ -15,5 +15,6 @@ from sas_etl_spark.queries import (  # noqa: F401
     row_transforms,
     scalars,
     setops_sorts,
+    udfs,
     windows,
 )

@@ -1,0 +1,81 @@
+"""UDF-surface queries (SURVEY.md §2.11): each Arrow-batched Python
+path is oracle-paired with the equivalent plain SQL, proving the
+pandas UDF lane is result-identical to the JVM lane."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.functions.udfs import charge_udf, weighted_avg_udaf, zscore_per_group
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_udf_charge",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) as charge
+    from lineitem
+    """,
+    tags=("udf",),
+)
+def q_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (PROC FCMP analog) computing the extended
+    charge; must equal the pure-SQL expression bit-for-bit (identical
+    IEEE ops, elementwise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge_udf("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@query(
+    "q_udaf_weighted",
+    oracle="""
+    select l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) as wavg_disc
+    from lineitem
+    group by l_returnflag
+    """,
+    tags=("udf",),
+)
+def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (custom PROC MEANS statistic):
+    quantity-weighted mean discount per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg_udaf("l_discount", "l_quantity"), 6).alias("wavg_disc")
+    )
+
+
+@query(
+    "q_grouped_zscore",
+    oracle="""
+    select o_orderkey,
+           round((o_totalprice - avg(o_totalprice) over w)
+                 / nullif(stddev_samp(o_totalprice) over w, 0), 6) as z
+    from orders
+    window w as (partition by o_custkey)
+    """,
+    tags=("udf", "window"),
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (BY-group DATA step with arbitrary
+    logic): z-score each order's price within its customer. Singleton
+    customers -> null (stddev_samp undefined), mirrored on both sides;
+    pandas NaN is normalized to SQL NULL before comparison."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    z = zscore_per_group(
+        orders,
+        group_col="o_custkey",
+        value_col="o_totalprice",
+        out_schema="o_custkey long, o_orderkey long, o_totalprice double, z double",
+    )
+    z_clean = F.when(F.isnan("z"), F.lit(None).cast("double")).otherwise(F.col("z"))
+    return z.select("o_orderkey", F.round(z_clean, 6).alias("z"))
