@@ -1,0 +1,60 @@
+"""Stateful streaming: running per-user totals via
+applyInPandasWithState over the bounded fixture stream must converge
+to the batch groupBy answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.streaming import run_bounded_to_memory, stream_events
+from sas_etl_spark.streaming.stateful import running_user_totals
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_running_totals_converge_to_batch(spark):
+    stream = stream_events(spark, SF_SMOKE)
+    out = running_user_totals(stream)
+    # update-mode memory sink keeps every emitted snapshot; the LAST
+    # snapshot per user (max events) must equal the batch totals.
+    snapshots = (
+        out.writeStream.outputMode("update").format("memory")
+    )
+    import uuid
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = snapshots.queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("events").alias("events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    got = {r.user_id: (r.events, round(r.total_value, 6)) for r in final.collect()}
+    want = {r.user_id: (r.events, round(r.total_value, 6)) for r in batch.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_lakehouse_stub_raises_clearly(spark):
+    from sas_etl_spark.sources.lakehouse import read_table
+
+    with pytest.raises(NotImplementedError, match="delta requires"):
+        read_table(spark, "delta", "/tmp/nonexistent")
