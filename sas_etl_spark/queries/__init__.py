@@ -15,6 +15,7 @@ from sas_etl_spark.queries import (  # noqa: F401
     row_transforms,
     scalars,
     setops_sorts,
+    transpose_stats,
     udfs,
     windows,
 )

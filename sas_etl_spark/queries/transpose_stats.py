@@ -1,0 +1,91 @@
+"""PROC TRANSPOSE + PROC CORR/UNIVARIATE families (SAS ETL staples
+beyond the §2.4 summary stats): wide<->long reshaping and second-
+moment statistics, oracle-paired."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    select l_orderkey, l_linenumber, 'quantity' as measure, l_quantity as val
+    from lineitem
+    union all
+    select l_orderkey, l_linenumber, 'price', l_extendedprice from lineitem
+    union all
+    select l_orderkey, l_linenumber, 'discount', l_discount from lineitem
+    """,
+    tags=("transpose",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long (SAS: PROC TRANSPOSE BY order line). The stack()
+    table-generating expression multiplies rows JVM-side in one pass —
+    no union of N scans (the oracle's formulation) and no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) as (measure, val)"
+        ),
+    )
+
+
+@query(
+    "q_pivot_api",
+    oracle="""
+    select o_orderpriority,
+           cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as F,
+           cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint) as O,
+           cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint) as P
+    from orders
+    group by o_orderpriority
+    """,
+    tags=("transpose",),
+)
+def q_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide via the pivot API (SAS: PROC TRANSPOSE / PROC FREQ
+    crosstab). Pivot values passed explicitly, so Spark skips the
+    distinct-values pre-job — one aggregation pass (the 100 TB form).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "q_corr_stats",
+    oracle="""
+    select l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        as qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  as qty_price_cov,
+           round(stddev_samp(l_quantity), 6)                  as qty_std,
+           round(var_samp(l_extendedprice), 2)                as price_var
+    from lineitem
+    group by l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (SAS: PROC CORR / PROC MEANS STD VAR).
+    Pearson correlation, sample covariance/stddev/variance per group —
+    single-pass mergeable aggregates (co-moment formulas), so they
+    scale exactly like sum/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+    )
