@@ -1,0 +1,69 @@
+"""CUBE/grouping-id and sampling queries — completing the PROC MEANS
+TYPES/WAYS surface (SAS _TYPE_) and PROC SURVEYSELECT."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_cube",
+    oracle="""
+    select coalesce(l_returnflag, 'ALL') as rf,
+           coalesce(l_linestatus, 'ALL') as ls,
+           cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint) as type_id,
+           round(sum(l_quantity), 2) as q,
+           count(*) as n
+    from lineitem
+    group by cube(l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All CLASS-combination subtotals (SAS: PROC MEANS with two CLASS
+    vars — all _TYPE_ levels). grouping_id() reproduces _TYPE_ exactly
+    (bit per grouped-out column). One aggregation pass expands the 4
+    grouping sets internally — never 4 scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("type_id"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "type_id",
+            "q",
+            "n",
+        )
+    )
+
+
+@query("q_approx_percentile", oracle=None, tags=("agg", "approx", "scale"))
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the 100 TB twin of q_percentiles
+    (mergeable, bounded memory; exact percentile buffers each group).
+    Rows-only: accuracy-vs-exact pinned by a unit test instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10_000).alias("approx_q")
+    )
+
+
+@query("q_sample", oracle=None, tags=("scan", "sample"))
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (SAS: PROC SURVEYSELECT
+    METHOD=SRS). Row membership is engine-specific -> rows-only;
+    statistical bounds pinned by a unit test. Sampling happens at the
+    scan (no shuffle, no materialization of the unsampled rest)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
