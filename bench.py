@@ -33,7 +33,8 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
-BENCH_RUNS = 5
+BENCH_RUNS = 7
+WARMUP_PASSES = 2
 
 
 def main() -> None:
@@ -49,10 +50,11 @@ def main() -> None:
 
     spark = get_spark("sas_etl_spark-bench", shuffle_partitions=shuffle)
 
-    # Prepare plans once; warm codegen/broadcast/IO with one run each.
+    # Prepare plans once; warm codegen/broadcast/IO/JIT with two passes.
     plans = {name: spec.fn(spark, sf_dir) for name, spec in bench_specs.items()}
-    for df in plans.values():
-        df.toPandas()
+    for _ in range(WARMUP_PASSES):
+        for df in plans.values():
+            df.toPandas()
 
     per_query: dict[str, float] = {}
     for name, df in plans.items():
