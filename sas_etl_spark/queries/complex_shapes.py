@@ -1,0 +1,140 @@
+"""Composite query shapes: multi-operator pipelines of the kind real
+reference workloads chain together (filter+join+agg+top-N, correlated
+subqueries, exact pairwise text similarity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.minhash import jaccard, shingle_array
+from sas_etl_spark.registry import query
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+    select l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           o_orderdate, o_orderpriority
+    from customer
+    join orders   on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1996-03-15 00:00:00'
+      and l_shipdate  > timestamp '1996-03-15 00:00:00'
+    group by l_orderkey, o_orderdate, o_orderpriority
+    order by revenue desc, l_orderkey
+    limit 10
+    """,
+    tags=("join", "composite"),
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3 class): selective dimension
+    filter -> two joins -> agg -> global top-10. Filters sit before the
+    joins so they push to the scans; the segment-filtered customer side
+    broadcasts; top-10 is TakeOrdered on the rounded revenue with
+    orderkey tiebreak (deterministic limit boundary)."""
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-03-15 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_min_per_group_join",
+    oracle="""
+    select s.s_nationkey, s.s_suppkey, s.s_name, s.s_acctbal
+    from supplier s
+    where s.s_acctbal = (select min(s2.s_acctbal) from supplier s2
+                         where s2.s_nationkey = s.s_nationkey)
+    """,
+    tags=("join", "composite"),
+)
+def q_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2 class): rows achieving their
+    group's minimum. SAS: PROC SQL correlated subquery (or sort +
+    FIRST.). Implemented as a min-over-window + filter — one shuffle,
+    no self-join, and ties are kept exactly like the correlated
+    subquery keeps them (Catalyst decorrelates the oracle's form into
+    the same aggregate-join shape)."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey", "s_name", "s_acctbal"
+    )
+    w = Window.partitionBy("s_nationkey")
+    return (
+        supplier.withColumn("_mn", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mn"))
+        .drop("_mn")
+    )
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle="""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) as s
+        from documents
+    )
+    select a.doc_id as a_id, b.doc_id as b_id,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) as jaccard
+    from sh a, sh b
+    where a.doc_id < b.doc_id
+      and round(len(list_intersect(a.s, b.s)) * 1.0
+                / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
+    """,
+    tags=("dedup", "text"),
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard pair scoring (driver-mandated dedup
+    flavor, standalone exact form): all pairs >= 0.2 on 3-gram shingle
+    sets. This is the verification primitive the MinHash-LSH pipeline
+    (q_near_dup_minhash) accelerates; kept exact here as its own
+    operator and as the LSH ground truth. All-pairs is the verifiable
+    test-SF form — at 100 TB candidates come from LSH only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), shingle_array(F.col("text")).alias("_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sb"))
+    return (
+        a.join(b, a.a_id < b.b_id)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
