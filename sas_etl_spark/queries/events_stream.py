@@ -85,3 +85,44 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("wstart"), "n")
     )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    with flags as (
+        select user_id, ts, event_id,
+               case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                         or ts - lag(ts) over (partition by user_id order by ts, event_id)
+                            > interval 30 minute
+                    then 1 else 0 end as f
+        from events
+    ),
+    islands as (
+        select user_id, ts,
+               sum(f) over (partition by user_id order by ts, event_id
+                            rows between unbounded preceding and current row) as sid
+        from flags
+    )
+    select user_id, min(ts) as session_start, count(*) as n_events
+    from islands
+    group by user_id, sid
+    """,
+    tags=("events", "streaming"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregation via F.session_window in BATCH mode
+    (SURVEY.md §2.10) — the same gap-merged session operator the
+    streaming path uses, oracle-checked against the classic
+    gaps-and-islands SQL formulation. Session start = first event;
+    n_events per session. (session_window's end = last event + gap is
+    a Spark-specific convention, so the comparison pins start+count.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )

@@ -6,6 +6,7 @@ from sas_etl_spark.sources.readers import read_binary_dir, read_csv, read_json
 from sas_etl_spark.sources.writers import (
     append_to,
     multi_output_split,
+    write_bucketed,
     write_csv,
     write_parquet,
 )
@@ -18,4 +19,5 @@ __all__ = [
     "write_csv",
     "append_to",
     "multi_output_split",
+    "write_bucketed",
 ]

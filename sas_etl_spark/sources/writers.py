@@ -37,6 +37,30 @@ def append_to(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, sorted managed table (SAS analog: indexed dataset).
+
+    Two tables bucketed by the same key and count join WITHOUT a
+    shuffle of either side — the physical layout carries the hash
+    partitioning. At 100 TB this converts every recurring fact⋈fact
+    join on the bucket key from a full shuffle into a zipped local
+    merge (tests assert the Exchange-free plan).
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def multi_output_split(
     df: DataFrame, outputs: Mapping[str, Column], base_path: str
 ) -> dict[str, int]:

@@ -19,8 +19,18 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
-    s = get_spark("sas_etl_spark-tests", cpus=cpus, shuffle_partitions=8)
+    s = get_spark(
+        "sas_etl_spark-tests",
+        cpus=cpus,
+        shuffle_partitions=8,
+        extra_confs={
+            # static conf: managed-table home for bucketing tests
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="sas_etl_wh_")
+        },
+    )
     yield s
     s.stop()
 
