@@ -226,3 +226,58 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q_string_funcs2",
+    oracle="""
+    select doc_id,
+           lpad(lang, 5, '_')          as lang_pad,
+           rpad(source, 8, '.')        as src_pad,
+           reverse(lang)               as lang_rev,
+           repeat(lang, 3)             as lang_x3,
+           translate(lang, 'aeiou', 'AEIOU') as lang_vowels,
+           trim(concat(' ', source, ' '))    as src_trim,
+           ltrim(concat('xx', source), 'x')  as src_ltrim
+    from documents
+    """,
+    tags=("scalar", "string"),
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-family sweep (SAS: REPEAT, REVERSE, TRANSLATE,
+    TRIM/STRIP, z-padding formats via LPAD/RPAD). SURVEY.md §2.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("src_pad"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 3).alias("lang_x3"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels"),
+        F.trim(F.concat(F.lit(" "), F.col("source"), F.lit(" "))).alias("src_trim"),
+        F.expr("ltrim('x', concat('xx', source))").alias("src_ltrim"),
+    )
+
+
+@query(
+    "q_date_format",
+    oracle="""
+    select o_orderkey,
+           strftime(o_orderdate, '%Y-%m')            as month_label,
+           strftime(o_orderdate, '%Y/%m/%d')         as ymd_label,
+           cast(strftime(o_orderdate, '%Y') as bigint) as year_str_int
+    from orders
+    """,
+    tags=("scalar", "date"),
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date rendering via format strings (SAS: PUT(date, yymmd7.) and
+    friends — the format half of the informat/format pair).
+    date_format ≙ strftime for these patterns."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_label"),
+        F.date_format("o_orderdate", "yyyy/MM/dd").alias("ymd_label"),
+        F.date_format("o_orderdate", "yyyy").cast("long").alias("year_str_int"),
+    )
