@@ -84,3 +84,64 @@ def ivf_topk(
     candidate_ids = assignments.join(F.broadcast(probes), "centroid_id").select(id_col)
     candidates = emb.join(candidate_ids, id_col, "left_semi")
     return cosine_topk(candidates, query, k, id_col, vec_col, query_vec_col, sim_col)
+
+
+def srp_signature(vec_col: str, num_bits: int = 16, dim: int = 64, seed: int = 7) -> "F.Column":
+    """Signed-random-projection (hyperplane LSH) signature for cosine:
+    bit b = sign of <v, h_b> where h_b is a deterministic pseudo-random
+    hyperplane derived from xxhash64(seed, b, i) — no stored model, no
+    Python; pure codegen. Vectors with high cosine agree on most bits.
+    """
+    planes = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(
+                        *[
+                            (
+                                F.xxhash64(F.lit(seed), F.lit(b), F.lit(i)).cast("double")
+                                / F.lit(float(2**63))
+                            )
+                            for i in range(dim)
+                        ]
+                    ),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for b in range(num_bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            planes,
+            F.array(*[F.lit(1 << b).cast("long") for b in range(num_bits)]),
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def srp_bucket_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate pairs sharing an SRP bucket (identical num_bits-bit
+    signature) — the LSH-bucketed cosine blocking path: only
+    within-bucket pairs are ever compared, no all-pairs join."""
+    sig = emb.select(
+        F.col(id_col).alias("_id"),
+        srp_signature(vec_col, num_bits, dim).alias("_sig"),
+    )
+    a = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_s1"))
+    b = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_s2"))
+    return (
+        a.join(b, (a._s1 == b._s2) & (a.a_id < b.b_id))
+        .select("a_id", "b_id")
+    )
