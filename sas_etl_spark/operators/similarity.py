@@ -66,3 +66,27 @@ def cosine_topk(
         .orderBy(F.desc(sim_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_literal(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Exact top-k cosine against a *bound* query vector.
+
+    The vector is compiled into the plan as an array literal — the
+    prepared-statement-with-parameter form of cosine_topk. One job,
+    no broadcast build stage; right for single-vector point lookups
+    (the query vector is a parameter, not data). Use cosine_topk when
+    the query set itself is a DataFrame.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.select(id_col, cosine(vec_col, qv).alias(sim_col))
+        .orderBy(F.desc(sim_col), F.asc(id_col))
+        .limit(k)
+    )

@@ -12,7 +12,7 @@ from sas_etl_spark.catalog import load_table
 from sas_etl_spark.operators.ann import ivf_topk
 from sas_etl_spark.operators.dedup import exact_dup_counts
 from sas_etl_spark.operators.minhash import near_dup_pairs
-from sas_etl_spark.operators.similarity import cosine, cosine_topk
+from sas_etl_spark.operators.similarity import cosine, cosine_topk_literal
 from sas_etl_spark.operators.simhash import simhash_near_dup_pairs, with_simhash
 from sas_etl_spark.operators.text import (
     lang_id,
@@ -95,14 +95,19 @@ def q_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of vector 0 (SURVEY.md §2.9 #53).
 
-    Query vector broadcast -> map-side cosine via zip_with/aggregate
-    (JVM codegen, no UDF) -> TakeOrderedAndProject. sim rounded to 4dp
-    on both sides: DuckDB computes in float32, Spark in double; raw
-    values differ ~1e-7.
+    Map-side cosine via zip_with/aggregate (JVM codegen, no UDF) ->
+    TakeOrderedAndProject. sim rounded to 4dp on both sides: DuckDB
+    computes in float32, Spark in double; raw values differ ~1e-7.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    topk = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, sim_col="sim_raw")
+    # bind the query vector at plan-build time (1-row driver-side
+    # parameter fetch; SURVEY.md §4.2 allows k-row driver results) —
+    # execution is then a single scan+TakeOrdered job. The broadcast
+    # DataFrame form for query SETS is operators.similarity.cosine_topk.
+    query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = cosine_topk_literal(
+        emb.filter(F.col("vec_id") != 0), query_vec, k=10, sim_col="sim_raw"
+    )
     return topk.select("vec_id", F.round("sim_raw", 4).alias("sim"))
 
 
