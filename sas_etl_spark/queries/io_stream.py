@@ -114,13 +114,31 @@ def q_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features", oracle=None, tags=("multimodal",))
+#: DuckDB twin of the sha256-based fake decode: payload is the utf-8
+#: bytes of hex(sha256(key)), feature 0 is byte 0 of sha256(payload)
+#: over 255.0 — reproduced with nested sha256 + hex-pair arithmetic.
+_MULTIMODAL_ORACLE = """
+with feat as (
+  select lang,
+    ((strpos('0123456789abcdef',
+             substr(sha256(sha256(cast(doc_id as varchar))), 1, 1)) - 1) * 16
+     + (strpos('0123456789abcdef',
+               substr(sha256(sha256(cast(doc_id as varchar))), 2, 1)) - 1)) / 255.0 as f0
+  from documents
+)
+select lang, cast(count(*) as bigint) as n, round(avg(f0), 6) as avg_f0
+from feat group by lang
+"""
+
+
+@query("q_multimodal_features", oracle=_MULTIMODAL_ORACLE, tags=("multimodal",))
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction (stubbed decode) via
     Arrow-batched mapInPandas, aggregated per language — exercises the
     full multimodal plumbing: struct(media) column -> pandas batches
-    -> array<double> features -> relational agg. Deterministic, so the
-    rows-only check is stable across runs."""
+    -> array<double> features -> relational agg. The sha256 fake
+    decode is engine-reproducible, so the oracle pins the whole
+    pandas-UDF lane against DuckDB, not just a rows-only check."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     with_media = attach_fake_payload(docs, key_col="doc_id")
     feats = extract_features(with_media)

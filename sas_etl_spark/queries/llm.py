@@ -305,12 +305,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_lang_id", oracle=None, tags=("text", "langid"))
+def _lang_id_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id, generated from the same
+    LANG_STOPWORDS so the two sides cannot drift. Argmax-with-tiebreak
+    is list_sort(list of {'score','lang'} structs)[-1] — DuckDB struct
+    ordering is lexicographic by field order, same as Spark's
+    F.greatest over structs (score first, then larger lang code)."""
+    from sas_etl_spark.operators.text import LANG_STOPWORDS
+
+    def entry(lang: str, words: list[str]) -> str:
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        return (
+            "{'score': cast(len(list_filter(toks, t -> list_contains("
+            f"{lst}, t))) as double)/n_tok, 'lang': '{lang}'}}"
+        )
+
+    structs = ",\n      ".join(entry(l, ws) for l, ws in LANG_STOPWORDS.items())
+    return f"""
+    with base as (
+      select doc_id, lang, string_split(text, ' ') as toks,
+             len(string_split(text, ' ')) as n_tok
+      from documents
+    ),
+    best as (
+      select doc_id, lang, (list_sort([{structs}]))[-1] as b from base
+    )
+    select doc_id, lang,
+      case when b['score'] > 0 then b['lang'] else 'und' end as lang_pred
+    from best
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle(), tags=("text", "langid"))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (driver-mandated). Rows-only: the
-    fixture corpus is synthetic same-vocabulary soup, so accuracy is
+    """Stopword-overlap language ID (driver-mandated). The fixture
+    corpus is synthetic same-vocabulary soup, so accuracy is
     meaningless here; unit tests verify the classifier on real
-    per-language sentences."""
+    per-language sentences, and the oracle pins exact argmax/tiebreak
+    parity against DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
