@@ -43,6 +43,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid.
     Broadcast nested-loop against the tiny centroid table + max_by
@@ -50,7 +51,7 @@ def ivf_assign(
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         id_col,
         "centroid_id",
-        cosine(vec_col, "centroid_vec").alias("_sim"),
+        cosine(vec_col, "centroid_vec", dim).alias("_sim"),
     )
     return scored.groupBy(id_col).agg(
         F.max_by(
@@ -69,21 +70,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
     sim_col: str = "sim",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine among vectors whose IVF list is one of the
     query's nprobe closest centroids."""
     centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
-    assignments = ivf_assign(emb, centroids, id_col, vec_col)
+    assignments = ivf_assign(emb, centroids, id_col, vec_col, dim)
     probes = (
         centroids.crossJoin(F.broadcast(query))
-        .select("centroid_id", cosine("centroid_vec", query_vec_col).alias("_qsim"))
+        .select("centroid_id", cosine("centroid_vec", query_vec_col, dim).alias("_qsim"))
         .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
         .limit(nprobe)
         .select("centroid_id")
     )
     candidate_ids = assignments.join(F.broadcast(probes), "centroid_id").select(id_col)
     candidates = emb.join(candidate_ids, id_col, "left_semi")
-    return cosine_topk(candidates, query, k, id_col, vec_col, query_vec_col, sim_col)
+    return cosine_topk(
+        candidates, query, k, id_col, vec_col, query_vec_col, sim_col, dim
+    )
 
 
 def srp_signature(vec_col: str, num_bits: int = 16, dim: int = 64, seed: int = 7) -> "F.Column":

@@ -234,6 +234,11 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb"))
     return (
         a.join(b, a.a_id < b.b_id)
+        # NB: keep the HOF cosine here (no dim=): the predicate lands in
+        # the BNLJ join condition, where a 64-term unrolled expression
+        # overflows janino's 64KB method limit and kills codegen for
+        # the whole join (measured 13s vs 1s). Unrolling pays off only
+        # in scan-side Projects (see cosine_topk_literal).
         .filter(cosine("_va", "_vb") > 0.45)
         .select("a_id", "b_id")
     )
