@@ -46,6 +46,9 @@ def audit(df: DataFrame) -> dict[str, object]:
         ),
         "pushed_filters": re.findall(r"PushedFilters: \[(.*?)\]", plan),
         "read_schemas": re.findall(r"ReadSchema: (\S+)", plan),
+        # operators carrying "[codegen id : N]" run inside whole-stage
+        # codegen; a hot-path Project without it is interpreted per-row
+        "codegen_projects": len(re.findall(r"Project \[codegen id", plan)),
     }
 
 

@@ -7,6 +7,7 @@ is a scale bug even while correctness stays green."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sas_etl_spark.plans import (
     assert_no_cartesian,
@@ -58,6 +59,32 @@ def test_knn_broadcasts_query_side(spark):
     assert_no_cartesian(df, "q_knn_cosine")
     a = audit(df)
     assert a["take_ordered"]  # top-k via per-partition heap
+    # the unrolled cosine must keep the scoring Project inside
+    # whole-stage codegen (HOF lambdas would drop it to interpreted)
+    assert a["codegen_projects"] >= 1, a["plan"]
+
+
+def test_unrolled_cosine_is_bit_identical_to_hof_form(spark):
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.similarity import (
+        cosine,
+        dot,
+        dot_unrolled,
+        l2_norm,
+        l2_norm_unrolled,
+    )
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").limit(200)
+    pairs = (
+        emb.select("vec_id", F.col("embedding").alias("a"))
+        .withColumn("b", F.reverse("a"))
+    )
+    got = pairs.select(
+        (dot("a", "b") == dot_unrolled("a", "b", 64)).alias("d"),
+        (l2_norm("a") == l2_norm_unrolled("a", 64)).alias("n"),
+        (cosine("a", "b") == cosine("a", "b", dim=64)).alias("c"),
+    ).collect()
+    assert all(r.d and r.n and r.c for r in got)
 
 
 @pytest.mark.parametrize(
