@@ -115,6 +115,30 @@ def lang_id(text: Column, stopwords: Mapping[str, list[str]] = LANG_STOPWORDS) -
     )
 
 
+def winnow_fingerprint_portable(
+    text: Column, shingle_n: int = 3, keep_mod: int = 8
+) -> Column:
+    """Engine-portable twin of winnow_fingerprint: shingle hashes are
+    the top 60 bits (15 hex chars) of sha256 instead of xxhash64, and
+    the selected-set hash is sha256 over the comma-joined decimal
+    values — every step reproducible in ANSI-ish SQL, so a DuckDB
+    oracle can verify the whole fingerprint bit-for-bit. Production
+    pipelines should prefer winnow_fingerprint (xxhash64 is ~10x
+    cheaper per shingle); selection behavior is identical in shape."""
+    from sas_etl_spark.operators.minhash import shingle_array
+
+    sh = shingle_array(text, shingle_n)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+    )
+    selected = F.array_sort(
+        F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    )
+    return F.sha2(
+        F.array_join(F.transform(selected, lambda h: h.cast("string")), ","), 256
+    )
+
+
 def winnow_fingerprint(
     text: Column, shingle_n: int = 3, keep_mod: int = 8
 ) -> Column:

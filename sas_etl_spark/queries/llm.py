@@ -19,7 +19,7 @@ from sas_etl_spark.operators.text import (
     quality_columns,
     token_count_bpe_ish,
     top_terms,
-    winnow_fingerprint,
+    winnow_fingerprint_portable,
 )
 from sas_etl_spark.registry import query
 
@@ -299,14 +299,48 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_simhash(docs).select("doc_id", "simhash")  # noqa: F811
 
 
-@query("q_doc_fingerprint", oracle=None, tags=("text", "fingerprint"))
+#: DuckDB twin of winnow_fingerprint_portable: same shingling, the
+#: 60-bit sha256-prefix shingle hash rebuilt with Horner list_reduce
+#: over hex digits, same mod-8 selection, same set-hash. coalesce('')
+#: because DuckDB's array_to_string([]) is NULL while Spark's
+#: array_join([]) is ''.
+_FINGERPRINT_ORACLE = """
+with base as (
+  select doc_id, string_split(text, ' ') as toks from documents
+), sh as (
+  select doc_id,
+    list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+      i -> array_to_string(toks[i:i+2], ' '))) as shingles
+  from base
+), hashed as (
+  select doc_id,
+    list_sort(list_filter(
+      list_transform(shingles, s ->
+        list_reduce(
+          list_transform(range(1,16),
+            j -> strpos('0123456789abcdef', substr(sha256(s), j, 1)) - 1),
+          (a,b) -> a*16+b)),
+      h -> h % 8 = 0)) as selected
+  from sh
+)
+select doc_id,
+  sha256(coalesce(
+    array_to_string(list_transform(selected, h -> cast(h as varchar)), ','),
+    '')) as fingerprint
+from hashed
+"""
+
+
+@query("q_doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text", "fingerprint"))
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint per document
-    (driver-mandated). Rows-only; determinism + edit-robustness pinned
-    by unit tests."""
+    """Winnowing-style shingle fingerprint per document
+    (driver-mandated). Uses the engine-portable sha256 hash variant so
+    the whole fingerprint is oracle-verified bit-for-bit; the xxhash64
+    production variant (winnow_fingerprint) keeps determinism +
+    edit-robustness pinned by unit tests."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", winnow_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id", winnow_fingerprint_portable(F.col("text")).alias("fingerprint")
     )
 
 
