@@ -13,7 +13,10 @@ from sas_etl_spark.operators.ann import ivf_topk
 from sas_etl_spark.operators.dedup import exact_dup_counts
 from sas_etl_spark.operators.minhash import near_dup_pairs
 from sas_etl_spark.operators.similarity import cosine, cosine_topk_literal
-from sas_etl_spark.operators.simhash import simhash_near_dup_pairs, with_simhash
+from sas_etl_spark.operators.simhash import (
+    simhash_near_dup_pairs,
+    with_simhash_portable,
+)
 from sas_etl_spark.operators.text import (
     lang_id,
     quality_columns,
@@ -281,22 +284,60 @@ def q_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", "jaccard")
 
 
-@query("q_near_dup_simhash", oracle=None, tags=("dedup", "simhash"))
+#: Portable 60-bit simhash per doc, as a reusable oracle CTE: per-token
+#: sha256-prefix hashes (Horner over hex digits), then bit j of the
+#: fingerprint = sign of the +-1 vote sum over token-hash bit j.
+_SIMHASH_ORACLE_CTE = """
+with hs as (
+  select doc_id, list_transform(string_split(text, ' '), x ->
+    list_reduce(
+      list_transform(range(1,16),
+        j -> strpos('0123456789abcdef', substr(sha256(x), j, 1)) - 1),
+      (a,b) -> a*16+b)) as hashes
+  from documents
+), fp as (
+  select doc_id,
+    cast(list_sum(list_transform(range(60), j ->
+      case when list_sum(list_transform(hashes, h ->
+             case when ((h >> j) & 1) = 1 then 1 else -1 end)) > 0
+           then (1::bigint << j) else 0::bigint end)) as bigint) as simhash
+  from hs
+)
+"""
+
+
+@query(
+    "q_near_dup_simhash",
+    oracle=_SIMHASH_ORACLE_CTE
+    + """
+    select a.doc_id as a_id, b.doc_id as b_id,
+      cast(bit_count(xor(a.simhash, b.simhash)) as integer) as hamming
+    from fp a join fp b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
 def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3 over 64-bit fingerprints,
-    pigeonhole 16-bit block join). Rows-only: SimHash is
-    engine-specific by construction; unit tests pin its behavior on
-    synthetic edits and exact duplicates."""
+    """SimHash near-dup pairs (Hamming <= 3, pigeonhole block join —
+    no O(n^2) comparison on the Spark side). The portable sha256
+    fingerprint makes the result oracle-verifiable: DuckDB checks it
+    with a brute-force all-pairs xor, proving the block join finds
+    exactly the true pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs)
+    return simhash_near_dup_pairs(docs, portable=True)
 
 
-@query("q_simhash_fingerprints", oracle=None, tags=("dedup", "simhash"))
+@query(
+    "q_simhash_fingerprints",
+    oracle=_SIMHASH_ORACLE_CTE + "select doc_id, simhash from fp",
+    tags=("dedup", "simhash"),
+)
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (fingerprint column for downstream
-    blocking). Rows-only."""
+    """60-bit portable SimHash per document (fingerprint column for
+    downstream blocking), bit-for-bit oracle-verified; the xxhash64
+    64-bit production variant stays covered by unit tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return with_simhash(docs).select("doc_id", "simhash")  # noqa: F811
+    return with_simhash_portable(docs).select("doc_id", "simhash")
 
 
 #: DuckDB twin of winnow_fingerprint_portable: same shingling, the
