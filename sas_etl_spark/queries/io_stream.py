@@ -48,12 +48,21 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded_to_memory(agg, spark)
 
 
-@query("q_csv_roundtrip", oracle=None, tags=("io",))
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+    select o_orderstatus, cast(count(*) as bigint) as n,
+           round(sum(o_totalprice), 2) as total
+    from orders group by o_orderstatus
+    """,
+    tags=("io",),
+)
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV export + import with explicit schema (SAS: PROC EXPORT /
     PROC IMPORT with informats). Round-trips a projection of orders
-    through CSV and aggregates the re-read rows; counts must equal the
-    source (pinned by tests)."""
+    through CSV and aggregates the re-read rows; the oracle aggregates
+    the source directly, so the hash match proves the CSV round-trip
+    is lossless (keys, statuses, and double totalprice formatting)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -68,11 +77,26 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multi_split", oracle=None, tags=("io",))
+@query(
+    "q_multi_split",
+    oracle="""
+    select 'open' as sink, cast(count(*) as bigint) as n
+      from orders where o_orderstatus = 'O'
+    union all
+    select 'finished', cast(count(*) as bigint)
+      from orders where o_orderstatus = 'F'
+    union all
+    select 'big', cast(count(*) as bigint)
+      from orders where o_totalprice > 200000
+    """,
+    tags=("io",),
+)
 def q_multi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional multi-output split (SAS: IF cond THEN OUTPUT dsN)
     into parquet sinks, one scan; returns per-sink row counts re-read
-    from the written files (round-trip proof)."""
+    from the written files. The oracle evaluates the same predicates
+    against the source, so the hash match proves each sink received
+    exactly its predicate's rows."""
     orders = load_table(spark, sf_dir, "orders")
     base = tempfile.mkdtemp(prefix="sas_etl_split_")
     multi_output_split(
@@ -96,10 +120,20 @@ def q_multi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("q_append_sink", oracle=None, tags=("io",))
+@query(
+    "q_append_sink",
+    oracle="""
+    select 'base' as batch, cast(count(*) as bigint) as n from nation
+    union all
+    select 'increment', cast(count(*) as bigint)
+      from nation where n_regionkey = 0
+    """,
+    tags=("io",),
+)
 def q_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-to-table sink (SAS: PROC APPEND): write base, append a
-    filtered increment, re-read and count by source flag."""
+    filtered increment, re-read and count by source flag. Oracle
+    recomputes both batch counts from the source table."""
     nation = load_table(spark, sf_dir, "nation")
     path = f"{tempfile.mkdtemp(prefix='sas_etl_append_')}/nation"
     nation.withColumn("batch", F.lit("base")).write.parquet(path)
