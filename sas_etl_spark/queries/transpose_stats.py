@@ -89,3 +89,37 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
     )
+
+
+@query(
+    "q_univariate_moments",
+    oracle="""
+    with m as (
+      select l_returnflag as g, avg(l_quantity) as mu from lineitem group by 1
+    )
+    select l_returnflag,
+      cast(count(*) as bigint) as n,
+      round(avg(l_quantity), 6) as qty_mean,
+      round(avg(pow(l_quantity - mu, 3))
+            / pow(avg(pow(l_quantity - mu, 2)), 1.5), 6) as qty_skew,
+      round(avg(pow(l_quantity - mu, 4))
+            / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 6) as qty_kurt
+    from lineitem join m on l_returnflag = m.g
+    group by l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_univariate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (SAS: PROC UNIVARIATE — skewness,
+    kurtosis). Spark's skewness/kurtosis are population moments
+    (m3/m2^1.5, m4/m2^2-3) computed in one mergeable streaming pass;
+    DuckDB's built-ins apply sample bias corrections, so the oracle
+    spells out the same population formulas two-pass. Rounded to 6dp:
+    the single-pass and two-pass paths agree to ~1e-12 relative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
+        F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
+    )
