@@ -1,4 +1,10 @@
-"""Driver simulation parameterized by SF dir (env SFDIR)."""
+"""Driver simulation parameterized by SF dir (env SFDIR).
+
+Optional env filters:
+  ONLY=q_a,q_b    run just these queries
+  SKIP=q_x,q_y    exclude these (e.g. the O(n^2) Jaccard oracles that
+                  take 35+ min in DuckDB at sf0.1)
+"""
 import hashlib, importlib.util, os, sys
 import duckdb, pandas as pd
 from pyspark.sql import SparkSession
@@ -24,8 +30,12 @@ def norm(d):
             d[c] = col.astype("datetime64[us]")
     return d
 fails = 0
+only = set(filter(None, os.environ.get("ONLY", "").split(",")))
+skip = set(filter(None, os.environ.get("SKIP", "").split(",")))
 for name, fn in sorted(Q.items()):
     if name not in O: continue
+    if only and name not in only: continue
+    if name in skip: continue
     sp = norm(fn(spark, SFDIR).toPandas()); du = norm(con.execute(O[name]).df())
     ok = len(sp)==len(du) and vhash(sp)==vhash(du)
     if not ok:
