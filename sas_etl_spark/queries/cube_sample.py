@@ -46,6 +46,42 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouping_sets",
+    oracle="""
+    select o_orderstatus, o_orderpriority,
+           cast(count(*) as bigint) as n,
+           round(sum(o_totalprice), 2) as total,
+           cast(grouping(o_orderstatus) as integer) as g_status,
+           cast(grouping(o_orderpriority) as integer) as g_prio
+    from orders
+    group by grouping sets ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SAS: PROC MEANS TYPES statement picking
+    specific _TYPE_ levels) — the third grouping-combination shape
+    next to rollup/cube: two disjoint one-column sets in ONE
+    aggregation pass over one scan, via Spark 4's native
+    DataFrame.groupingSets API. grouping() flags disambiguate which
+    set produced each row (a real NULL key vs a grouped-out column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+    )
+
+
 @query("q_approx_percentile", oracle=None, tags=("agg", "approx", "scale"))
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the 100 TB twin of q_percentiles
