@@ -87,9 +87,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_session_window",
-    oracle="""
+#: Gaps-and-islands sessions oracle, shared by the batch
+#: (q_session_window) and streaming (q_stream_session) twins.
+SESSIONS_ORACLE = """
     with flags as (
         select user_id, ts, event_id,
                case when lag(ts) over (partition by user_id order by ts, event_id) is null
@@ -107,7 +107,12 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     select user_id, min(ts) as session_start, count(*) as n_events
     from islands
     group by user_id, sid
-    """,
+    """
+
+
+@query(
+    "q_session_window",
+    oracle=SESSIONS_ORACLE,
     tags=("events", "streaming"),
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,11 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE
 from sas_etl_spark.operators.multimodal import attach_fake_payload, extract_features
 from sas_etl_spark.registry import query
 from sas_etl_spark.sources import append_to, multi_output_split, read_csv, write_csv
 from sas_etl_spark.streaming import (
     run_bounded_to_memory,
+    session_window_agg,
     stream_events,
     tumbling_agg,
 )
@@ -46,6 +48,25 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir, max_files_per_trigger=1)
     agg = tumbling_agg(events, width="6 hours", watermark="1 hour")
     return run_bounded_to_memory(agg, spark)
+
+
+@query(
+    "q_stream_session",
+    oracle=SESSIONS_ORACLE,
+    tags=("streaming",),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY A STRUCTURED STREAMING QUERY
+    (file stream -> watermark -> session_window gap-merge -> memory
+    sink, complete mode) over the bounded events fixture — the second
+    batch/stream equivalence proof next to q_stream_tumbling: it must
+    hash-match the same gaps-and-islands DuckDB oracle as the batch
+    q_session_window."""
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    agg = session_window_agg(events, gap="30 minutes", watermark="1 hour")
+    return run_bounded_to_memory(agg, spark).select(
+        "user_id", "session_start", "n_events"
+    )
 
 
 @query(
