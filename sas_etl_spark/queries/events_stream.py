@@ -47,9 +47,9 @@ def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sliding_window",
-    oracle="""
+#: Sliding-window counts oracle, shared by the batch
+#: (q_sliding_window) and streaming (q_stream_sliding) twins.
+SLIDING_ORACLE = """
     with buckets as (
         select distinct time_bucket(interval 3 hour, ts) as b from events
     ),
@@ -64,7 +64,12 @@ def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from starts s
     join events e on e.ts >= s.wstart and e.ts < s.wstart + interval 6 hour
     group by s.wstart
-    """,
+    """
+
+
+@query(
+    "q_sliding_window",
+    oracle=SLIDING_ORACLE,
     tags=("events", "streaming"),
 )
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,13 +11,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
-from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE
+from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE, SLIDING_ORACLE
 from sas_etl_spark.operators.multimodal import attach_fake_payload, extract_features
 from sas_etl_spark.registry import query
 from sas_etl_spark.sources import append_to, multi_output_split, read_csv, write_csv
 from sas_etl_spark.streaming import (
     run_bounded_to_memory,
     session_window_agg,
+    sliding_agg,
     stream_events,
     tumbling_agg,
 )
@@ -67,6 +68,23 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded_to_memory(agg, spark).select(
         "user_id", "session_start", "n_events"
     )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=SLIDING_ORACLE,
+    tags=("streaming",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h length, 3h slide) computed BY A STRUCTURED
+    STREAMING QUERY (file stream -> watermark -> overlapping-window
+    group -> memory sink, complete mode) over the bounded events
+    fixture — the third batch/stream equivalence proof: it must
+    hash-match the same covering-windows DuckDB oracle as the batch
+    q_sliding_window."""
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    agg = sliding_agg(events, width="6 hours", slide="3 hours", watermark="1 hour")
+    return run_bounded_to_memory(agg, spark).select("wstart", "n")
 
 
 @query(

@@ -12,6 +12,7 @@ batch oracle.
 from sas_etl_spark.streaming.builders import (
     run_bounded_to_memory,
     session_window_agg,
+    sliding_agg,
     stream_events,
     tumbling_agg,
 )
@@ -19,6 +20,7 @@ from sas_etl_spark.streaming.builders import (
 __all__ = [
     "stream_events",
     "tumbling_agg",
+    "sliding_agg",
     "session_window_agg",
     "run_bounded_to_memory",
 ]

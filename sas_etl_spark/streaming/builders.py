@@ -52,6 +52,23 @@ def tumbling_agg(events: DataFrame, width: str = "6 hours", watermark: str = "1 
     )
 
 
+def sliding_agg(
+    events: DataFrame,
+    width: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time window counts — the streaming twin of
+    q_sliding_window (identical window expression; each row lands in
+    width/slide covering windows via Spark's internal explode)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Gap-based session windows per user (streaming twin of the batch
     lag-gap sessionizer)."""
