@@ -14,7 +14,15 @@ from sas_etl_spark.catalog import load_table
 from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE, SLIDING_ORACLE
 from sas_etl_spark.operators.multimodal import attach_fake_payload, extract_features
 from sas_etl_spark.registry import query
-from sas_etl_spark.sources import append_to, multi_output_split, read_csv, write_csv
+from sas_etl_spark.sources import (
+    append_to,
+    multi_output_split,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 from sas_etl_spark.streaming import (
     run_bounded_to_memory,
     session_window_agg,
@@ -111,6 +119,67 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     )
     return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    select o_orderpriority, cast(count(*) as bigint) as n,
+           round(sum(o_totalprice), 2) as total
+    from orders group by o_orderpriority
+    """,
+    tags=("io",),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines export + import with explicit schema (SAS: PROC
+    JSON / libname json engine). Round-trips a projection of orders
+    through JSON and aggregates the re-read rows; the oracle
+    aggregates the source directly, so the hash match proves the JSON
+    round-trip is lossless (keys, priorities, and shortest-round-trip
+    double serialization)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sas_etl_json_")
+    write_json(orders, path)
+    back = read_json(
+        spark, path, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_partitioned_write",
+    oracle="""
+    select o_orderpriority, cast(count(*) as bigint) as n,
+           round(sum(o_totalprice), 2) as total
+    from orders where o_orderstatus = 'O'
+    group by o_orderpriority
+    """,
+    tags=("io",),
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write (SAS analog: one dataset
+    per BY value in a library) + partition-pruned read-back. Writes
+    orders partitioned by o_orderstatus, re-reads with a partition
+    filter, and aggregates; the oracle filters the source directly, so
+    the hash match proves the layout preserved every row AND the
+    filter column. At 100 TB this directory layout is what turns a
+    status-filtered scan into reading 1/3 of the files (the pruning
+    itself is asserted in tests/test_plans.py)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sas_etl_part_")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )

@@ -8,6 +8,7 @@ from sas_etl_spark.sources.writers import (
     multi_output_split,
     write_bucketed,
     write_csv,
+    write_json,
     write_parquet,
 )
 
@@ -17,6 +18,7 @@ __all__ = [
     "read_binary_dir",
     "write_parquet",
     "write_csv",
+    "write_json",
     "append_to",
     "multi_output_split",
     "write_bucketed",

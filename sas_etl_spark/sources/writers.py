@@ -31,6 +31,13 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export (SAS: PROC JSON). One object per row; doubles
+    serialize via Java's shortest-round-trip toString, so a read-back
+    with the explicit schema is bit-lossless."""
+    df.write.mode(mode).json(path)
+
+
 def append_to(df: DataFrame, path: str) -> None:
     """PROC APPEND: add rows to an existing dataset (by-name schema
     evolution is the reader's concern; parquet appends are file-level)."""

@@ -6,6 +6,8 @@ is a scale bug even while correctness stays green."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -113,3 +115,25 @@ def test_semi_anti_joins_stay_semi(spark):
     for name in ("q_semi_join", "q_anti_join"):
         plan = audit(QUERIES[name].fn(spark, SF_CORRECTNESS))["plan"]
         assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+def test_partitioned_write_readback_prunes_partitions(spark, tmp_path):
+    """A Hive-partitioned layout + partition filter must prune at plan
+    time: the scan's PartitionFilters carry the predicate and only the
+    matching directory is listed (1 of 3 statuses here — at 100 TB the
+    same layout cuts a status-filtered scan by the same fraction)."""
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.plans import formatted_plan
+    from sas_etl_spark.sources import write_parquet
+
+    orders = load_table(spark, SF_CORRECTNESS, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    plan = formatted_plan(back)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+    n_parts = back.select("o_orderstatus").distinct().count()
+    assert n_parts == 1
