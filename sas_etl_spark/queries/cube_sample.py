@@ -103,3 +103,44 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "q_split_hash",
+    oracle="""
+    with b as (
+        select case
+            when list_reduce(
+                   list_transform(range(1,16),
+                     j -> strpos('0123456789abcdef',
+                                 substr(sha256(cast(doc_id as varchar)), j, 1)) - 1),
+                   (a,x) -> a*16+x) % 100 < 80 then 'train'
+            when list_reduce(
+                   list_transform(range(1,16),
+                     j -> strpos('0123456789abcdef',
+                                 substr(sha256(cast(doc_id as varchar)), j, 1)) - 1),
+                   (a,x) -> a*16+x) % 100 < 90 then 'valid'
+            else 'test' end as split
+        from documents
+    )
+    select split, cast(count(*) as bigint) as n from b group by split
+    """,
+    tags=("sample", "dedup"),
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by sha256 of the
+    document key (SAS: PROC SURVEYSELECT with a hash stratifier; the
+    training-pipeline replacement for seeded sampling). Unlike
+    df.sample, assignment is a pure function of doc_id — stable across
+    engines, runs, and repartitioning — so the DuckDB oracle recomputes
+    the exact same membership (first 15 sha256 hex digits -> 60-bit
+    int -> mod 100). Shuffle-free narrow op; verified here by split
+    counts (membership itself is pinned by unit test)."""
+    from sas_etl_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -123,3 +123,54 @@ def q_univariate_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
         F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
     )
+
+
+@query(
+    "q_freq_chisq",
+    oracle="""
+    with c as (
+        select o_orderstatus as s, o_orderpriority as p,
+               cast(count(*) as double) as o
+        from orders group by s, p
+    ),
+    r as (select s, sum(o) as rt from c group by s),
+    k as (select p, sum(o) as ct from c group by p),
+    g as (select sum(o) as gt from c)
+    select round(sum(pow(o - rt*ct/gt, 2) / (rt*ct/gt)), 6) as chi2,
+           cast((count(distinct s) - 1) * (count(distinct p) - 1) as bigint)
+               as dof
+    from c join r using (s) join k using (p) cross join g
+    """,
+    tags=("stats",),
+)
+def q_freq_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROC FREQ TABLES status*priority / CHISQ: Pearson chi-square
+    test of independence over the contingency table. One groupBy
+    builds the observed cells; row/column/grand totals come from
+    re-aggregating those few cells (cardinality = |status|x|priority|,
+    small by construction at any data scale) and broadcast back — so
+    the only pass over the fact table is the first count, and the
+    test statistic itself costs nothing more at 100 TB than at sf0.01.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    r = c.groupBy("s").agg(F.sum("o").alias("rt"))
+    k = c.groupBy("p").agg(F.sum("o").alias("ct"))
+    g = c.agg(F.sum("o").alias("gt"))
+    e = F.col("rt") * F.col("ct") / F.col("gt")
+    return (
+        c.join(F.broadcast(r), "s")
+        .join(F.broadcast(k), "p")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+            (
+                (F.countDistinct("s") - 1) * (F.countDistinct("p") - 1)
+            ).alias("dof"),
+        )
+    )

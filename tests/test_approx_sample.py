@@ -58,3 +58,33 @@ def test_sample_fraction_and_determinism(spark):
     assert sorted(r.o_orderkey for r in df1.collect()) == sorted(
         r.o_orderkey for r in df2.collect()
     )  # fixed seed -> deterministic
+
+
+def test_deterministic_split_is_stable_and_partitioning_invariant(spark):
+    from sas_etl_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in deterministic_split(docs, "doc_id").collect()}
+    # invariant under repartitioning — the property df.sample lacks
+    b = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["valid"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_deterministic_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from sas_etl_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    with _pytest.raises(ValueError):
+        deterministic_split(docs, "doc_id", splits=(("a", 50), ("b", 40)))
