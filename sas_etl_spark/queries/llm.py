@@ -442,3 +442,54 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_col="sim_raw",
     )
     return topk.select("vec_id", F.round("sim_raw", 4).alias("sim"))
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    with tok as (
+        select doc_id, unnest(string_split(text, ' ')) as term
+        from documents
+    ),
+    tf as (
+        select doc_id, term, cast(count(*) as double) as tf
+        from tok group by doc_id, term
+    ),
+    df as (select term, cast(count(*) as double) as df from tf group by term),
+    n as (select cast(count(*) as double) as n from documents)
+    select doc_id, term, round(tf * ln(n / df), 6) as tfidf
+    from tf join df using (term) cross join n
+    order by tfidf desc, doc_id, term limit 20
+    """,
+    tags=("text",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF scoring, top-20 (doc, term) pairs (the classic
+    term-weighting op of a text-training pipeline; SAS analog: PROC
+    FREQ counts + DATA-step weight arithmetic).
+
+    Two aggregations: tf over (doc, term) — the only pass over the
+    exploded token stream — then document frequency by re-aggregating
+    the much smaller tf relation (vocab-sized). N arrives via a
+    broadcast 1-row cross join, idf = ln(N/df) stays in codegen, and
+    top-20 compiles to TakeOrderedAndProject. Ordering is made
+    engine-deterministic by ranking on the ROUNDED score with
+    (doc_id, term) tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(20)
+    )

@@ -190,3 +190,36 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="mavg7",
     )
     return out.select("event_id", F.round("mavg7", 6).alias("mavg7"))
+
+
+@query(
+    "q_rank_ties_mean",
+    oracle="""
+    select c_custkey, c_nationkey,
+           rank() over w
+             + (cast(count(*) over (partition by c_nationkey, c_acctbal)
+                     as double) - 1) / 2 as mean_rank
+    from customer
+    window w as (partition by c_nationkey order by c_acctbal desc)
+    """,
+    tags=("window",),
+)
+def q_rank_ties_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROC RANK's DEFAULT tie handling, TIES=MEAN: tied values share
+    the average of the positions they span — rank + (n_ties - 1)/2.
+    Composed from two window functions over the same partitioning
+    (one ordered, one value-grouped), so Spark plans a single exchange
+    on c_nationkey for both; no second shuffle for the tie count."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    w_tie = Window.partitionBy("c_nationkey", "c_acctbal")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(w_tie).cast("double") - 1) / 2
+        ).alias("mean_rank"),
+    )
