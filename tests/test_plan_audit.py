@@ -15,6 +15,7 @@ from sas_etl_spark.plans import (
     assert_no_cartesian,
     assert_no_single_partition_exchange,
     audit,
+    formatted_plan,
 )
 from sas_etl_spark.registry import QUERIES, queries_map
 from tests.conftest import SF_CORRECTNESS
@@ -137,3 +138,27 @@ def test_partitioned_write_readback_prunes_partitions(spark, tmp_path):
     assert m and "o_orderstatus" in m.group(1), plan
     n_parts = back.select("o_orderstatus").distinct().count()
     assert n_parts == 1
+
+
+def test_no_query_plans_cartesian_or_single_partition_exchange(spark):
+    """Global scale invariant over the ENTIRE registered surface: no
+    query's physical plan may contain a CartesianProduct (quadratic
+    blowup) or an Exchange SinglePartition (funnels the dataset
+    through one task). TakeOrderedAndProject is the sanctioned global
+    top-N form and trips neither. Runs at sf0.001 — plan shape, not
+    data, is under test."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, spec in sorted(QUERIES.items()):
+        plan = formatted_plan(spec.fn(spark, sf))
+        flags = [
+            f
+            for f, marker in (
+                ("cartesian", "CartesianProduct"),
+                ("single-partition exchange", "Exchange SinglePartition"),
+            )
+            if marker in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
