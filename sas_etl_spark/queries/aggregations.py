@@ -212,3 +212,29 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+#: One SQL text, two engines: q_proc_sql submits this string verbatim
+#: through spark.sql AND as the DuckDB oracle — dialect-neutral ANSI.
+_PROC_SQL_TEXT = """
+    select c_nationkey, cast(count(*) as bigint) as n_cust,
+           round(sum(c_acctbal), 2) as total_bal
+    from customer
+    where c_acctbal > 0
+    group by c_nationkey
+    having count(*) >= 10
+    """
+
+
+@query("q_proc_sql", oracle=_PROC_SQL_TEXT, tags=("agg", "sql"))
+def q_proc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end itself (SAS: PROC SQL). The exact ANSI string
+    a PROC SQL user would write — WHERE + GROUP BY + HAVING — is
+    submitted verbatim via spark.sql over registered views, and the
+    SAME string is the DuckDB oracle: paste-your-SQL-unchanged parity,
+    hash-proven. Catalyst plans it identically to the DataFrame form
+    (filter pushdown, partial aggregates); views carry no overhead."""
+    from sas_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_PROC_SQL_TEXT)
