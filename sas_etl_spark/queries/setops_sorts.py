@@ -179,3 +179,65 @@ def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash aggregation with map-side partials — no sort."""
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
     return distinct_rows(li)
+
+
+@query(
+    "q_missing_semantics",
+    oracle="""
+    with x as (
+        select o_orderkey,
+               nullif(o_orderstatus, 'P') as st,
+               case when o_totalprice < 50000 then null
+                    else o_totalprice end as price
+        from orders
+    ),
+    ranked as (
+        select st, price,
+               row_number() over (partition by o_orderkey % 4
+                                  order by st asc nulls first, o_orderkey)
+                   as rnk
+        from x
+    )
+    select coalesce(st, '_missing_') as status,
+           cast(count(*) as bigint) as n_rows,
+           cast(count(price) as bigint) as n_price,
+           round(coalesce(sum(price), 0), 2) as sum_price,
+           cast(min(rnk) as bigint) as first_rank
+    from ranked group by st
+    """,
+    tags=("sort", "semantics"),
+)
+def q_missing_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS missing-value semantics in one query (SURVEY.md §4.3):
+    missing SORTS LOW (nulls-first ordering — Spark's asc default,
+    explicit NULLS FIRST in the oracle since DuckDB defaults last),
+    missing forms its own BY group (null grouping), and the SUM/N
+    statistics SKIP missing (count(col)/sum ignore nulls) rather than
+    propagate. Nulls are introduced deterministically via nullif/case
+    so the demonstration is oracle-exact despite null-free fixtures.
+    The rank window is hash-partitioned (missing ranks FIRST within
+    every partition, min(rnk)=1 for the null group) — the ordering
+    proof without a global single-partition sort."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("st"),
+        F.when(F.col("o_totalprice") < 50000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    w = Window.partitionBy(F.col("o_orderkey") % 4).orderBy(
+        F.asc_nulls_first("st"), F.asc("o_orderkey")
+    )
+    ranked = x.select(
+        "st", "price", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    return ranked.groupBy("st").agg(
+        F.coalesce(F.first("st"), F.lit("_missing_")).alias("status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_price"),
+        F.round(F.coalesce(F.sum("price"), F.lit(0.0)), 2).alias("sum_price"),
+        F.min("rnk").alias("first_rank"),
+    ).drop("st")
