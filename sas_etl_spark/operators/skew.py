@@ -72,7 +72,17 @@ def explode_salt_join(
     partition id — deterministic per execution plan), the small side is
     exploded across every salt value, and the join key becomes
     (on, salt). Row multiplication: small x salt_buckets only.
+
+    Only ``inner`` and ``left`` are semantics-preserving: under a
+    right/full outer join every UNMATCHED small-side row would surface
+    once per exploded salt copy (salt_buckets null-extended duplicates).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"explode_salt_join: how={how!r} not supported — an unmatched "
+            "small-side row would appear salt_buckets times under "
+            "right/full outer; use inner or left"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets))
     )

@@ -32,8 +32,16 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-def audit(df: DataFrame) -> dict[str, object]:
-    """Summarize scale-relevant plan facts."""
+def audit(df: DataFrame, execute: bool = False) -> dict[str, object]:
+    """Summarize scale-relevant plan facts.
+
+    Pass ``execute=True`` when the query plan is adaptive (AQE wraps any
+    plan with an exchange): the pre-execution formatted plan shows
+    ``isFinalPlan=false`` with no ``[codegen id]`` annotations, so
+    codegen facts are only observable on the executed final plan.
+    """
+    if execute:
+        df.collect()
     plan = formatted_plan(df)
     return {
         "plan": plan,

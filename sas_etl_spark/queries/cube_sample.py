@@ -86,10 +86,20 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the 100 TB twin of q_percentiles
     (mergeable, bounded memory; exact percentile buffers each group).
-    Rows-only: accuracy-vs-exact pinned by a unit test instead."""
+    Rows-only: accuracy-vs-exact pinned by a unit test instead.
+
+    The sketch returns array<double>; project it to scalar p25/p50/p75
+    columns — registry rule: no array/struct/map in a registered query's
+    output (the driver's pandas canonicalizer can't hash them)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketch = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10_000).alias("approx_q")
+    )
+    return sketch.select(
+        "l_returnflag",
+        F.element_at("approx_q", 1).alias("p25"),
+        F.element_at("approx_q", 2).alias("p50"),
+        F.element_at("approx_q", 3).alias("p75"),
     )
 
 

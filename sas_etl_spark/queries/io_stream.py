@@ -1,11 +1,15 @@
 """I/O, sink, and streaming queries (SURVEY.md §2.1 #5-7, §2.2 #11,
-§2.10). File-writing queries target fresh temp dirs so driver reruns
-are hermetic; rows-only checks verify round-trip counts and schemas.
+§2.10).
+
+NOTE: sink queries run their write jobs at PLAN-BUILD time (the
+returned DataFrame reads back what was just written — that is the
+point of a round-trip check). Each build writes into a fresh
+subdirectory of a session-scoped scratch root (sas_etl_spark.scratch)
+that is removed at interpreter exit, so reruns are hermetic and
+nothing leaks across verify/test invocations.
 """
 
 from __future__ import annotations
-
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -14,6 +18,7 @@ from sas_etl_spark.catalog import load_table
 from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE, SLIDING_ORACLE
 from sas_etl_spark.operators.multimodal import attach_fake_payload, extract_features
 from sas_etl_spark.registry import query
+from sas_etl_spark.scratch import scratch_dir
 from sas_etl_spark.sources import (
     append_to,
     multi_output_split,
@@ -113,7 +118,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="sas_etl_csv_")
+    path = scratch_dir(spark, "csv")
     write_csv(orders, path)
     back = read_csv(
         spark, path, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
@@ -143,7 +148,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="sas_etl_json_")
+    path = scratch_dir(spark, "json")
     write_json(orders, path)
     back = read_json(
         spark, path, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
@@ -176,7 +181,7 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="sas_etl_part_")
+    path = scratch_dir(spark, "part")
     write_parquet(orders, path, partition_by=["o_orderstatus"])
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
     return back.groupBy("o_orderpriority").agg(
@@ -206,7 +211,7 @@ def q_multi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the source, so the hash match proves each sink received
     exactly its predicate's rows."""
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="sas_etl_split_")
+    base = scratch_dir(spark, "split")
     multi_output_split(
         orders,
         {
@@ -243,7 +248,7 @@ def q_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered increment, re-read and count by source flag. Oracle
     recomputes both batch counts from the source table."""
     nation = load_table(spark, sf_dir, "nation")
-    path = f"{tempfile.mkdtemp(prefix='sas_etl_append_')}/nation"
+    path = f"{scratch_dir(spark, 'append')}/nation"
     nation.withColumn("batch", F.lit("base")).write.parquet(path)
     append_to(
         nation.filter(F.col("n_regionkey") == 0).withColumn("batch", F.lit("increment")),

@@ -12,7 +12,7 @@ from sas_etl_spark.catalog import load_table
 from sas_etl_spark.operators.ann import ivf_topk
 from sas_etl_spark.operators.dedup import exact_dup_counts
 from sas_etl_spark.operators.minhash import near_dup_pairs
-from sas_etl_spark.operators.similarity import cosine, cosine_topk_literal
+from sas_etl_spark.operators.similarity import cosine
 from sas_etl_spark.operators.simhash import (
     simhash_near_dup_pairs,
     with_simhash_portable,
@@ -78,19 +78,23 @@ def q_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DIM = 64  # fixture embedding dimension (TESTDATA.md)
+
+
 @query(
     "q_knn_cosine",
     oracle="""
     with q as (select embedding as qv from embeddings where vec_id = 0),
     scored as (
         select e.vec_id,
-               cast(list_cosine_similarity(e.embedding, q.qv) as double) as sim_raw
+               round(cast(list_cosine_similarity(e.embedding, q.qv) as double), 4)
+                   as sim
         from embeddings e, q
         where e.vec_id <> 0
     )
-    select vec_id, round(sim_raw, 4) as sim
+    select vec_id, sim
     from scored
-    order by sim_raw desc
+    order by sim desc, vec_id
     limit 10
     """,
     tags=("bench", "similarity"),
@@ -98,20 +102,27 @@ def q_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of vector 0 (SURVEY.md §2.9 #53).
 
-    Map-side cosine via zip_with/aggregate (JVM codegen, no UDF) ->
-    TakeOrderedAndProject. sim rounded to 4dp on both sides: DuckDB
-    computes in float32, Spark in double; raw values differ ~1e-7.
+    ONE job: the 1-row query side is broadcast, so the "cross join" is
+    a map-side loop and the cosine lands in a post-join Project (codegen
+    unrolled form, dim known) -> TakeOrderedAndProject. No driver-side
+    .first() parameter fetch (round 1 paid the local job floor twice).
+    The LIMIT cut ranks on the 4dp-ROUNDED sim with a vec_id tiebreak on
+    BOTH sides: DuckDB scores in float32, Spark in double (~1e-7 drift),
+    so ranking on raw sim could flip boundary candidates between engines
+    — rounding first makes the cut engine-stable (registry LIMIT rule).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # bind the query vector at plan-build time (1-row driver-side
-    # parameter fetch; SURVEY.md §4.2 allows k-row driver results) —
-    # execution is then a single scan+TakeOrdered job. The broadcast
-    # DataFrame form for query SETS is operators.similarity.cosine_topk.
-    query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    topk = cosine_topk_literal(
-        emb.filter(F.col("vec_id") != 0), query_vec, k=10, sim_col="sim_raw"
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "qv", dim=EMBED_DIM), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
     )
-    return topk.select("vec_id", F.round("sim_raw", 4).alias("sim"))
 
 
 @query(

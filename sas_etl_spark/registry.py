@@ -45,6 +45,74 @@ class QuerySpec:
 #: name -> spec; populated by the @query decorator at import time.
 QUERIES: dict[str, QuerySpec] = {}
 
+#: Driver-facing emission order. The verify harness attests the FIRST 50
+#: entries of ``queries()`` in dict order (hard cap, measured in round 1),
+#: so each round this list leads with the queries that most need a fresh
+#: green row: previously-unattested operators, queries whose plan changed
+#: this round, and brand-new queries — followed by a few always-green
+#: sentinels to guard regressions. Names not listed keep registration
+#: order after the prioritized block; names listed but not registered are
+#: an error (pinned by tests/test_registry_order.py).
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round-1 unattested: row transforms / scalars (SURVEY §2.2, §2.8)
+    "q_project_rename",
+    "q_filter_pred",
+    "q_derive_cols",
+    "q_case_when",
+    "q_format_lookup",
+    "q_string_funcs",
+    "q_string_funcs2",
+    "q_regex_extract",
+    "q_date_funcs",
+    "q_date_format",
+    "q_math_rowwise",
+    "q_array_ops",
+    "q_json_extract",
+    "q_missing_semantics",
+    # -- round-1 unattested: windows (§2.5)
+    "q_window_rank",
+    "q_sessionize",
+    "q_running_total",
+    "q_moving_avg",
+    "q_rank_ntile",
+    "q_rank_ties_mean",
+    "q_dedup_firstlast",
+    # -- round-1 unattested: sorts / dedup / set ops (§2.6, §2.7)
+    "q_topn_sort",
+    "q_nodupkey",
+    "q_dupout",
+    "q_distinct_rows",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    # -- round-1 unattested: reshapes / stats / UDF lane (§2.4, §2.11)
+    "q_unpivot",
+    "q_pivot_api",
+    "q_corr_stats",
+    "q_univariate_moments",
+    "q_freq_chisq",
+    "q_udf_charge",
+    "q_udaf_weighted",
+    "q_grouped_zscore",
+    # -- changed this round (need re-attestation)
+    "q_approx_percentile",
+    "q_knn_cosine",
+    "q_multimodal_features",
+    "q_lang_id",
+    # -- new this round
+    "q_knn_ivf_exactprobe",
+    "q_stream_dedup",
+    "q_bucketed_join",
+    # -- always-green sentinels (round-1 pass) to catch regressions
+    "q_pricing_summary",
+    "q_join3_revenue",
+    "q_near_dup_minhash",
+    "q_merge_in_flags",
+    "q_asof_event",
+    "q_percentiles",
+)
+
 
 def query(
     name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
@@ -67,13 +135,24 @@ def _load_all() -> None:
     import sas_etl_spark.queries  # noqa: F401  (imports submodules)
 
 
+def _driver_order() -> list[str]:
+    """Registry names, DRIVER_PRIORITY block first, rest in registration order."""
+    prioritized = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    seen = set(prioritized)
+    return prioritized + [n for n in QUERIES if n not in seen]
+
+
 def queries_map() -> dict[str, QueryFn]:
-    """The driver-facing ``queries()`` payload."""
+    """The driver-facing ``queries()`` payload (DRIVER_PRIORITY order)."""
     _load_all()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _driver_order()}
 
 
 def oracle_sql_map() -> dict[str, str]:
     """The driver-facing ``oracle_sql()`` payload (SQL-expressible only)."""
     _load_all()
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+    return {
+        name: QUERIES[name].oracle
+        for name in _driver_order()
+        if QUERIES[name].oracle
+    }

@@ -60,8 +60,13 @@ def test_topn_uses_take_ordered_not_global_sort(spark):
 def test_knn_broadcasts_query_side(spark):
     df = QUERIES["q_knn_cosine"].fn(spark, SF_CORRECTNESS)
     assert_no_cartesian(df, "q_knn_cosine")
-    a = audit(df)
+    # AQE wraps this plan (broadcast exchange) — codegen annotations
+    # only appear on the executed final plan
+    a = audit(df, execute=True)
     assert a["take_ordered"]  # top-k via per-partition heap
+    # one job total: the query side is a broadcast, not a driver fetch
+    assert "BroadcastNestedLoopJoin" in a["plan"]
+    assert a["single_partition_exchanges"] == 0
     # the unrolled cosine must keep the scoring Project inside
     # whole-stage codegen (HOF lambdas would drop it to interpreted)
     assert a["codegen_projects"] >= 1, a["plan"]
