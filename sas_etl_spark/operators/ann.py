@@ -71,9 +71,11 @@ def ivf_topk(
     query_vec_col: str = "qv",
     sim_col: str = "sim",
     dim: int | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine among vectors whose IVF list is one of the
-    query's nprobe closest centroids."""
+    query's nprobe closest centroids. ``round_dp`` rounds the sim
+    before the cut (see cosine_topk — cross-engine boundary rule)."""
     centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
     assignments = ivf_assign(emb, centroids, id_col, vec_col, dim)
     probes = (
@@ -86,7 +88,7 @@ def ivf_topk(
     candidate_ids = assignments.join(F.broadcast(probes), "centroid_id").select(id_col)
     candidates = emb.join(candidate_ids, id_col, "left_semi")
     return cosine_topk(
-        candidates, query, k, id_col, vec_col, query_vec_col, sim_col, dim
+        candidates, query, k, id_col, vec_col, query_vec_col, sim_col, dim, round_dp
     )
 
 

@@ -89,6 +89,7 @@ def cosine_topk(
     query_vec_col: str = "qv",
     sim_col: str = "sim",
     dim: int | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of a (tiny, broadcast) query set.
 
@@ -98,10 +99,18 @@ def cosine_topk(
     Spark executes as TakeOrderedAndProject (per-partition heap +
     driver merge of k rows), not a global sort — the plan that
     survives a 100 TB candidate table.
+
+    ``round_dp``: round the similarity to that many decimals BEFORE
+    the cut (registry LIMIT rule — a cross-engine oracle scoring in
+    float32 can flip raw-double boundary candidates; ranking both
+    sides on the rounded value + id tiebreak makes the cut stable).
     """
     joined = candidates.crossJoin(F.broadcast(query))
+    sim = cosine(vec_col, query_vec_col, dim)
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     return (
-        joined.select(id_col, cosine(vec_col, query_vec_col, dim).alias(sim_col))
+        joined.select(id_col, sim.alias(sim_col))
         .orderBy(F.desc(sim_col), F.asc(id_col))
         .limit(k)
     )

@@ -2,6 +2,7 @@
 
 from sas_etl_spark.plans.audit import (
     assert_no_cartesian,
+    assert_no_exchange,
     assert_no_single_partition_exchange,
     audit,
     formatted_plan,
@@ -11,5 +12,6 @@ __all__ = [
     "formatted_plan",
     "audit",
     "assert_no_cartesian",
+    "assert_no_exchange",
     "assert_no_single_partition_exchange",
 ]

@@ -65,6 +65,14 @@ def assert_no_cartesian(df: DataFrame, name: str = "") -> None:
     assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
 
 
+def assert_no_exchange(df: DataFrame, name: str = "") -> None:
+    """ZERO shuffle anywhere in the plan — the bar for bucketed
+    co-located join pipelines, where the on-disk layout must carry the
+    hash partitioning through join AND same-key aggregation."""
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, f"{name}: Exchange in plan:\n{plan}"
+
+
 def assert_no_single_partition_exchange(df: DataFrame, name: str = "") -> None:
     """A SinglePartition exchange funnels the whole dataset through one
     task — fatal at scale. (TakeOrderedAndProject is fine: it merges

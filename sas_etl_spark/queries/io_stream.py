@@ -29,6 +29,7 @@ from sas_etl_spark.sources import (
     write_parquet,
 )
 from sas_etl_spark.streaming import (
+    dedup_within_watermark,
     run_bounded_to_memory,
     session_window_agg,
     sliding_agg,
@@ -98,6 +99,38 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir, max_files_per_trigger=1)
     agg = sliding_agg(events, width="6 hours", slide="3 hours", watermark="1 hour")
     return run_bounded_to_memory(agg, spark).select("wstart", "n")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    select event_type, cast(count(*) as bigint) as n,
+           round(sum(value), 2) as total_value
+    from events
+    group by event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (the ingestion guard an LLM event
+    pipeline puts in front of everything downstream): the event stream
+    is UNIONED WITH ITSELF — every event arrives exactly twice — then
+    dropDuplicatesWithinWatermark(event_id) must reconstruct precisely
+    the original set. Append-mode memory sink collects the surviving
+    rows; a batch aggregate per event_type is hash-checked against the
+    DuckDB oracle over the UN-doubled source, so any duplicate leaking
+    through (or real row dropped) flips the count AND the value sum.
+    State is watermark-bounded (see dedup_within_watermark) — the
+    shape that survives an unbounded ingest, unlike dropDuplicates'
+    forever-state."""
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    doubled = events.unionByName(events)
+    deduped = dedup_within_watermark(doubled, ["event_id"], watermark="1 hour")
+    rows = run_bounded_to_memory(deduped, spark, mode="append")
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
 
 
 @query(

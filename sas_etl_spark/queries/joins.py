@@ -239,3 +239,61 @@ def q_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_last.filter(F.col("event_type") == "purchase").select(
         "event_id", "last_click_ts"
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    select o_orderkey, cast(count(*) as bigint) as n_items,
+           round(sum(l_quantity), 2) as qty
+    from lineitem join orders on l_orderkey = o_orderkey
+    group by o_orderkey
+    order by qty desc, o_orderkey
+    limit 20
+    """,
+    tags=("join", "bucketed", "scale"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (SAS analog: indexed MERGE): both
+    sides written bucketBy(8, o_orderkey) + sortBy, then fact⋈fact
+    join + SAME-KEY aggregation + top-20 — with ZERO Exchange in the
+    plan, asserted at build time. The on-disk bucket layout carries
+    hash partitioning through the SortMergeJoin AND the per-orderkey
+    aggregate; the only cross-partition movement left is the k-row
+    TakeOrderedAndProject driver merge. At 100 TB this is the
+    recurring-join pattern: pay one bucketed write, then every later
+    join/agg on the key is shuffle-free (SCALE.md). The merge hint
+    pins SMJ so the proof can't silently degrade to a broadcast plan.
+    Data lands in session scratch (external tables, cleaned at exit);
+    oracle recomputes from the raw source, proving the bucketed
+    round-trip lost nothing.
+    """
+    from sas_etl_spark.plans import assert_no_exchange
+    from sas_etl_spark.scratch import scratch_dir
+    from sas_etl_spark.sources import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    base = scratch_dir(spark, "bucketed")
+    write_bucketed(orders, "sas_etl_b_orders", "o_orderkey", 8, path=f"{base}/orders")
+    write_bucketed(
+        li, "sas_etl_b_lineitem", "o_orderkey", 8, path=f"{base}/lineitem"
+    )
+    joined = (
+        spark.table("sas_etl_b_lineitem")
+        .hint("merge")
+        .join(spark.table("sas_etl_b_orders"), "o_orderkey")
+    )
+    out = (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy(F.desc("qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+    assert_no_exchange(out, "q_bucketed_join")
+    return out

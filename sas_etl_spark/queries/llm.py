@@ -440,6 +440,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_knn_ivf_exactprobe",
+    oracle="""
+    with q as (select embedding as qv from embeddings where vec_id = 0),
+    scored as (
+        select e.vec_id,
+               round(cast(list_cosine_similarity(e.embedding, q.qv) as double), 4)
+                   as sim
+        from embeddings e, q
+        where e.vec_id <> 0
+    )
+    select vec_id, sim
+    from scored
+    order by sim desc, vec_id
+    limit 10
+    """,
+    tags=("similarity", "ann"),
+)
+def q_knn_ivf_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with nprobe = n_centroids — every inverted list is
+    probed, so the candidate set is the whole corpus and the result is
+    PROVABLY identical to exact top-k. Shares q_knn_cosine's DuckDB
+    oracle verbatim: this is the driver-attested equivalence proof for
+    the whole IVF machinery (seed -> assign -> probe -> list-scan),
+    putting a hash-green row on operators/ann.py. Production sets
+    nprobe << n_centroids (q_knn_ivf) and scans ~nprobe/n_centroids of
+    the corpus; this query pins that shrinking the probe set is the
+    ONLY approximation in the operator. Same rounded-sim + vec_id
+    deterministic cut as q_knn_cosine (registry LIMIT rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=16,
+        sim_col="sim", round_dp=4,
+    )
+
+
 @query("q_knn_ivf", oracle=None, tags=("similarity", "ann", "scale"))
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 neighbors of vector 0 — the 100 TB scale

@@ -50,22 +50,29 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 8,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed, sorted managed table (SAS analog: indexed dataset).
+    """Bucketed, sorted table (SAS analog: indexed dataset).
 
     Two tables bucketed by the same key and count join WITHOUT a
     shuffle of either side — the physical layout carries the hash
     partitioning. At 100 TB this converts every recurring fact⋈fact
     join on the bucket key from a full shuffle into a zipped local
     merge (tests assert the Exchange-free plan).
+
+    ``path`` makes the table EXTERNAL with data at that location
+    (e.g. a session scratch dir, cleaned at exit) instead of the
+    cwd-relative spark-warehouse default.
     """
-    (
+    writer = (
         df.write.mode(mode)
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def multi_output_split(

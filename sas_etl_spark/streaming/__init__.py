@@ -10,6 +10,7 @@ batch oracle.
 """
 
 from sas_etl_spark.streaming.builders import (
+    dedup_within_watermark,
     run_bounded_to_memory,
     session_window_agg,
     sliding_agg,
@@ -22,5 +23,6 @@ __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "session_window_agg",
+    "dedup_within_watermark",
     "run_bounded_to_memory",
 ]

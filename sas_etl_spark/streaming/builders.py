@@ -85,14 +85,36 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
-def run_bounded_to_memory(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    """Drive a streaming aggregation over a bounded source to
-    completion via a memory sink; returns the final table as a batch
-    DataFrame. Complete mode: each trigger rewrites the full result,
-    so the final table equals the batch answer."""
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once ingestion guard: drop duplicate events by key,
+    keeping dedup state only within the watermark horizon
+    (dropDuplicatesWithinWatermark). Unlike plain dropDuplicates —
+    whose key state grows forever on an unbounded stream — state here
+    is evicted once the watermark passes, so memory is bounded by
+    (arrival rate x watermark delay), the only shape that survives an
+    always-on 100 TB/day ingest. Contract: duplicates are only
+    guaranteed dropped if they arrive within the watermark delay of
+    the first occurrence (at-least-once upstreams re-deliver promptly,
+    so that is the real-world case)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    if not src.isStreaming:
+        return src.dropDuplicates(keys)
+    return src.dropDuplicatesWithinWatermark(keys)
+
+
+def run_bounded_to_memory(
+    agg: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming query over a bounded source to completion via
+    a memory sink; returns the final table as a batch DataFrame.
+    Complete mode (aggregations): each trigger rewrites the full
+    result, so the final table equals the batch answer. Append mode
+    (dedup / row streams): the table accumulates every emitted row."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

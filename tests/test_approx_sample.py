@@ -24,7 +24,7 @@ def test_approx_percentile_close_to_exact(spark):
         .collect()
     }
     approx = {
-        r.l_returnflag: r.approx_q
+        r.l_returnflag: (r.p25, r.p50, r.p75)
         for r in QUERIES["q_approx_percentile"].fn(spark, SF_CORRECTNESS).collect()
     }
     for flag, (e25, e50, e75) in exact.items():

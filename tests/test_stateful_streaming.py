@@ -53,6 +53,39 @@ def test_stateful_running_totals_converge_to_batch(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-6
 
 
+def test_stream_dedup_restores_original_set(spark):
+    """Self-unioned stream (every event twice) -> watermarked dedup
+    must emit each event_id exactly once — same ids, same row count as
+    the batch source; and the un-deduped control stream really does
+    carry 2x rows (proving the dedup did the work)."""
+    from sas_etl_spark.streaming import dedup_within_watermark
+
+    stream = stream_events(spark, SF_SMOKE)
+    doubled = stream.unionByName(stream)
+    deduped = dedup_within_watermark(doubled, ["event_id"])
+    got = run_bounded_to_memory(deduped, spark, mode="append")
+    src = load_table(spark, SF_SMOKE, "events")
+    n_src = src.count()
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+    control = run_bounded_to_memory(
+        stream_events(spark, SF_SMOKE).unionByName(stream_events(spark, SF_SMOKE)),
+        spark,
+        mode="append",
+    )
+    assert control.count() == 2 * n_src
+
+
+def test_dedup_within_watermark_batch_fallback(spark):
+    """The same builder degrades to plain dropDuplicates on a batch
+    frame (stream/batch one-API parity, like the window builders)."""
+    from sas_etl_spark.streaming import dedup_within_watermark
+
+    src = load_table(spark, SF_SMOKE, "events")
+    doubled = src.unionByName(src)
+    assert dedup_within_watermark(doubled, ["event_id"]).count() == src.count()
+
+
 def test_lakehouse_stub_raises_clearly(spark):
     from sas_etl_spark.sources.lakehouse import read_table
 
