@@ -123,27 +123,49 @@ def cosine_topk_literal(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_col: str = "sim",
+    unroll: bool = False,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine against a *bound* query vector.
 
-    The vector is compiled into the plan as an array literal — the
-    prepared-statement-with-parameter form of cosine_topk. One job,
-    no broadcast build stage; right for single-vector point lookups
-    (the query vector is a parameter, not data). Use cosine_topk when
-    the query set itself is a DataFrame.
+    The vector is compiled into the plan as ONE array-literal node —
+    the prepared-statement-with-parameter form of cosine_topk. One
+    job, no broadcast build stage; right for single-vector point
+    lookups (the query vector is a parameter, not data). Use
+    cosine_topk when the query set itself is a DataFrame.
+
+    The query norm is always folded driver-side (Catalyst's
+    ConstantFolding cannot fold through HOF lambdas, and recomputing
+    it per row is dead work); Python's left-assoc sum matches the
+    Spark fold order, so qnorm is bit-identical to the HOF fold.
+
+    ``unroll`` trades plan size for per-row speed. False (default):
+    HOF dot/norm — a tiny expression tree that plans in ~1 ms but is
+    interpreted per row (~10 us/row at dim 64). True: element_at
+    chains — per-row cost drops ~100x inside whole-stage codegen, but
+    the ~3*dim-term tree costs ~1 s to build+plan+compile. Measured
+    crossover on the 64-dim fixtures is ~10^5 candidate rows; below
+    it (interactive point lookups) keep the default, above it (the
+    batch-scoring scale path) pass unroll=True — at 100 TB the plan
+    is built once and the per-row term is everything.
+
+    ``round_dp``: round sim before the cut (cross-engine boundary
+    rule, see cosine_topk).
     """
     import math
 
     dim = len(query_vec)
-    # fold the query-side constants driver-side: Catalyst's
-    # ConstantFolding cannot fold through HOF lambdas, and even the
-    # unrolled literal norm is dead per-row work. Python's left-assoc
-    # sum matches the Spark fold order, so qnorm is bit-identical.
-    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    acc: Column = F.lit(0.0)
-    for i, x in enumerate(query_vec, start=1):
-        acc = acc + F.element_at(vec_col, i).cast("double") * F.lit(float(x))
-    sim = acc / (l2_norm_unrolled(vec_col, dim) * F.lit(qnorm))
+    qv = [float(x) for x in query_vec]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    if unroll:
+        acc: Column = F.lit(0.0)
+        for i, x in enumerate(qv, start=1):
+            acc = acc + F.element_at(vec_col, i).cast("double") * F.lit(x)
+        sim = acc / (l2_norm_unrolled(vec_col, dim) * F.lit(qnorm))
+    else:
+        sim = dot(vec_col, F.lit(qv)) / (l2_norm(vec_col) * F.lit(qnorm))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     return (
         candidates.select(id_col, sim.alias(sim_col))
         .orderBy(F.desc(sim_col), F.asc(id_col))

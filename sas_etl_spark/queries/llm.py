@@ -12,7 +12,7 @@ from sas_etl_spark.catalog import load_table
 from sas_etl_spark.operators.ann import ivf_topk
 from sas_etl_spark.operators.dedup import exact_dup_counts
 from sas_etl_spark.operators.minhash import near_dup_pairs
-from sas_etl_spark.operators.similarity import cosine
+from sas_etl_spark.operators.similarity import cosine, cosine_topk_literal
 from sas_etl_spark.operators.simhash import (
     simhash_near_dup_pairs,
     with_simhash_portable,
@@ -78,9 +78,6 @@ def q_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBED_DIM = 64  # fixture embedding dimension (TESTDATA.md)
-
-
 @query(
     "q_knn_cosine",
     oracle="""
@@ -102,26 +99,26 @@ EMBED_DIM = 64  # fixture embedding dimension (TESTDATA.md)
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of vector 0 (SURVEY.md §2.9 #53).
 
-    ONE job: the 1-row query side is broadcast, so the "cross join" is
-    a map-side loop and the cosine lands in a post-join Project (codegen
-    unrolled form, dim known) -> TakeOrderedAndProject. No driver-side
-    .first() parameter fetch (round 1 paid the local job floor twice).
-    The LIMIT cut ranks on the 4dp-ROUNDED sim with a vec_id tiebreak on
-    BOTH sides: DuckDB scores in float32, Spark in double (~1e-7 drift),
-    so ranking on raw sim could flip boundary candidates between engines
-    — rounding first makes the cut engine-stable (registry LIMIT rule).
+    Literal-bind form, chosen by head-to-head measurement (round-3 A/B,
+    scratch/ab_knn.py): fetch the query vector driver-side (a tiny
+    pushed-filter point read), compile it into the scoring scan as ONE
+    array-literal node, fold its norm driver-side — then a single
+    scan -> Project(sim) -> TakeOrderedAndProject job. Measured at
+    sf0.1: ~60-65 ms median vs ~130-145 ms for the round-2
+    broadcast-BNLJ + 64-term-unrolled form (whose ~320-node tree cost
+    more to plan/serialize per run than the 2k-row scan it fed) and
+    ~1.6 s -> ~0.28 s one-shot. The per-row HOF interpretation is the
+    right trade at point-lookup cardinalities; the batch-scoring scale
+    path passes unroll=True instead (see cosine_topk_literal's
+    crossover note). The LIMIT cut ranks on the 4dp-ROUNDED sim with a
+    vec_id tiebreak on BOTH sides: DuckDB scores in float32, Spark in
+    double (~1e-7 drift), so ranking on raw sim could flip boundary
+    candidates between engines (registry LIMIT rule).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            "vec_id",
-            F.round(cosine("embedding", "qv", dim=EMBED_DIM), 4).alias("sim"),
-        )
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(10)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk_literal(
+        emb.filter(F.col("vec_id") != 0), list(qv), 10, round_dp=4
     )
 
 

@@ -57,19 +57,19 @@ def test_topn_uses_take_ordered_not_global_sort(spark):
     assert a["single_partition_exchanges"] == 0
 
 
-def test_knn_broadcasts_query_side(spark):
+def test_knn_is_joinless_single_scan_topk(spark):
+    """Literal-bind form (round-3 A/B winner): the query vector is a
+    plan literal, so the scoring job is scan -> Project -> TakeOrdered
+    with NO join operator of any kind and no full-table exchange."""
     df = QUERIES["q_knn_cosine"].fn(spark, SF_CORRECTNESS)
     assert_no_cartesian(df, "q_knn_cosine")
-    # AQE wraps this plan (broadcast exchange) — codegen annotations
-    # only appear on the executed final plan
-    a = audit(df, execute=True)
+    a = audit(df)
     assert a["take_ordered"]  # top-k via per-partition heap
-    # one job total: the query side is a broadcast, not a driver fetch
-    assert "BroadcastNestedLoopJoin" in a["plan"]
+    assert "Join" not in a["plan"], a["plan"]
     assert a["single_partition_exchanges"] == 0
-    # the unrolled cosine must keep the scoring Project inside
-    # whole-stage codegen (HOF lambdas would drop it to interpreted)
-    assert a["codegen_projects"] >= 1, a["plan"]
+    # exactly one scan node (formatted output names it twice: once in
+    # the tree, once in the per-node detail section)
+    assert a["plan"].count("Scan parquet") == 2, a["plan"]
 
 
 def test_unrolled_cosine_is_bit_identical_to_hof_form(spark):
