@@ -16,15 +16,89 @@ from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
 
-#: Tiny per-language stopword lists for the n-gram/stopword language
-#: heuristic. Deliberately small — language ID here demonstrates the
-#: operator shape; swap in real lists for production.
+#: Per-language stopword lists (~100 words each) for the stopword-
+#: overlap language heuristic — standard public function-word lists
+#: (articles, pronouns, prepositions, conjunctions, auxiliaries), the
+#: same inventory every classic IR stoplist (Snowball-style) carries.
+#: q_lang_id's DuckDB oracle is GENERATED from this dict, so the two
+#: sides cannot drift; tests pin accuracy on real sentences.
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
-    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
-    "fr": ["le", "la", "de", "et", "un", "les", "des", "est", "en", "que"],
-    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+    "en": [
+        "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
+        "on", "with", "as", "was", "at", "by", "that", "this", "these",
+        "those", "be", "are", "were", "been", "being", "have", "has",
+        "had", "do", "does", "did", "will", "would", "can", "could",
+        "shall", "should", "may", "might", "must", "not", "no", "nor",
+        "but", "or", "if", "then", "else", "when", "while", "where",
+        "why", "how", "what", "which", "who", "whom", "whose", "i",
+        "you", "he", "she", "we", "they", "me", "him", "her", "us",
+        "them", "my", "your", "his", "its", "our", "their", "mine",
+        "yours", "hers", "ours", "theirs", "from", "into", "onto",
+        "over", "under", "again", "further", "once", "here", "there",
+        "all", "any", "both", "each", "few", "more", "most", "other",
+        "some", "such", "only", "own", "same", "so", "than", "too",
+        "very", "just", "about", "between", "through", "during",
+    ],
+    "de": [
+        "der", "die", "das", "und", "ist", "ein", "zu", "den", "mit",
+        "von", "nicht", "sie", "sich", "auf", "für", "als", "auch",
+        "es", "an", "werden", "aus", "er", "hat", "dass", "war", "wie",
+        "im", "einer", "um", "am", "sind", "noch", "nach", "bei",
+        "einem", "über", "einen", "so", "zum", "haben", "nur", "oder",
+        "aber", "vor", "zur", "bis", "mehr", "durch", "man", "sein",
+        "wurde", "sei", "wir", "ich", "du", "ihr", "mich", "mir",
+        "dich", "dir", "uns", "euch", "ihm", "ihn", "ihnen", "dem",
+        "des", "eines", "eine", "keine", "kein", "wenn", "dann",
+        "denn", "weil", "ob", "doch", "schon", "sehr", "hier", "da",
+        "dort", "heute", "immer", "wieder", "alle", "alles", "etwas",
+        "nichts", "viel", "viele", "wenig", "andere", "anderen",
+        "jeder", "jede", "jedes", "diese", "dieser", "dieses", "was",
+        "wer", "wo", "kann", "muss", "soll",
+    ],
+    "es": [
+        "el", "la", "de", "que", "y", "en", "un", "es", "los", "por",
+        "se", "no", "con", "una", "su", "para", "al", "lo", "como",
+        "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+        "esta", "entre", "cuando", "muy", "sin", "sobre", "también",
+        "me", "hasta", "hay", "donde", "quien", "desde", "todo", "nos",
+        "durante", "todos", "uno", "les", "ni", "contra", "otros",
+        "ese", "eso", "ante", "ellos", "e", "esto", "mí", "antes",
+        "algunos", "qué", "unos", "yo", "otro", "otras", "otra", "él",
+        "tanto", "esa", "estos", "mucho", "quienes", "nada", "muchos",
+        "cual", "poco", "ella", "estar", "estas", "algunas", "algo",
+        "nosotros", "mi", "mis", "tú", "te", "ti", "tu", "tus",
+        "ellas", "ser", "son", "era", "eran", "fue", "han", "ha",
+        "está", "están", "estaba", "hace", "cada", "vez",
+    ],
+    "fr": [
+        "le", "la", "de", "et", "un", "les", "des", "est", "en",
+        "que", "une", "du", "dans", "il", "qui", "au", "pour", "pas",
+        "sur", "ne", "se", "ce", "plus", "par", "je", "avec", "tout",
+        "son", "sont", "ou", "mais", "nous", "comme", "aux", "ses",
+        "elle", "sa", "cette", "être", "ont", "était", "ils", "aussi",
+        "deux", "même", "fait", "leur", "bien", "où", "sans", "peut",
+        "tous", "après", "avait", "si", "lui", "entre", "dont",
+        "encore", "ces", "donc", "tu", "vous", "on", "mon", "ma",
+        "mes", "ton", "ta", "tes", "notre", "votre", "leurs", "moi",
+        "toi", "eux", "celui", "celle", "ceux", "celles", "quand",
+        "quel", "quelle", "quels", "quelles", "toute", "toutes",
+        "autre", "autres", "avant", "trop", "très", "peu", "ici",
+        "alors", "ainsi", "car", "sous", "été", "avoir",
+    ],
+    "zh": [
+        "的", "了", "是", "在", "我", "有", "和", "就", "不", "人",
+        "都", "一", "一个", "上", "也", "很", "到", "说", "要", "去",
+        "你", "会", "着", "没有", "看", "好", "自己", "这", "那",
+        "他", "她", "它", "我们", "你们", "他们", "这个", "那个",
+        "什么", "怎么", "为什么", "因为", "所以", "但是", "可是",
+        "如果", "虽然", "而且", "并且", "或者", "还是", "已经",
+        "正在", "将要", "可以", "能够", "应该", "必须", "不能",
+        "没", "被", "把", "从", "向", "对", "给", "跟", "让", "比",
+        "地", "得", "过", "吗", "呢", "吧", "啊", "哦", "嗯", "与",
+        "及", "等", "各", "每", "些", "这些", "那些", "多", "少",
+        "大", "小", "里", "外", "中", "下", "前", "后", "时候",
+        "现在", "今天", "明天",
+    ],
 }
 
 #: BPE-ish tokenizer regex: runs of word chars, runs of digits already

@@ -402,7 +402,7 @@ def _lang_id_oracle() -> str:
     from sas_etl_spark.operators.text import LANG_STOPWORDS
 
     def entry(lang: str, words: list[str]) -> str:
-        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        lst = "[" + ",".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
         return (
             "{'score': cast(len(list_filter(toks, t -> list_contains("
             f"{lst}, t))) as double)/n_tok, 'lang': '{lang}'}}"

@@ -4,8 +4,10 @@ Sink queries (CSV/JSON/partitioned-write/split/append) materialize to
 disk as part of building their result. Round 1 used a bare
 ``tempfile.mkdtemp`` per invocation and never cleaned up — every
 verify/test run leaked a directory tree. All scratch now lives under
-ONE per-application root that is removed at interpreter exit (and on
-``SparkSession.stop()`` for long-lived processes embedding us).
+ONE per-application root that is removed at interpreter exit; a
+long-lived process embedding us can reclaim it earlier by calling
+``cleanup(spark)`` explicitly (nothing hooks session stop — Spark has
+no portable Python-side stop callback).
 
 Each call still gets a FRESH subdirectory, so query reruns within a
 session stay hermetic (parquet sinks refuse to overwrite, by design).

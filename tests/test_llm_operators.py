@@ -93,22 +93,42 @@ def test_ivf_partial_probe_recall(spark):
 
 
 def test_lang_id_on_real_sentences(spark):
-    rows = spark.createDataFrame(
-        [
-            ("en", "the cat sat on a mat and looked to the door"),
-            ("de", "der hund und die katze sind mit dem ball"),
-            ("es", "el perro y la gata juegan en un parque por la tarde"),
-            ("fr", "le chien et le chat jouent dans les jardins de la ville"),
-            ("xx", "zzz qqq www eee rrr"),
-        ],
-        "truth string, text string",
-    ).select("truth", lang_id(F.col("text")).alias("pred"))
-    got = {r.truth: r.pred for r in rows.collect()}
-    assert got["en"] == "en"
-    assert got["de"] == "de"
-    assert got["es"] == "es"
-    assert got["fr"] == "fr"
-    assert got["xx"] == "und"
+    """Accuracy >= 0.95 over real per-language sentences (round-2
+    advice: the ~100-word lists must actually classify, not just
+    demonstrate the operator shape)."""
+    cases = [
+        ("en", "the cat sat on a mat and looked to the door"),
+        ("en", "she said that it was not what they had asked for"),
+        ("en", "we will be there when you are done with this work"),
+        ("en", "i do not know why he would have done such a thing"),
+        ("en", "most of the people were very happy about the news"),
+        ("de", "der hund und die katze sind mit dem ball"),
+        ("de", "ich habe nicht gewusst dass sie heute schon hier sind"),
+        ("de", "wenn man nur wenig zeit hat muss man sehr schnell sein"),
+        ("de", "das ist ein sehr gutes buch über die alte stadt"),
+        ("de", "wir werden immer wieder nach hause gehen wollen"),
+        ("es", "el perro y la gata juegan en un parque por la tarde"),
+        ("es", "no sé por qué ella no ha venido con nosotros hoy"),
+        ("es", "todos los niños estaban muy contentos con sus regalos"),
+        ("es", "cuando llegamos a la casa ya era muy tarde para cenar"),
+        ("es", "hay algo que te quiero decir antes de que te vayas"),
+        ("fr", "le chien et le chat jouent dans les jardins de la ville"),
+        ("fr", "je ne sais pas pourquoi ils sont partis sans nous"),
+        ("fr", "nous avons été très heureux de vous voir ici encore"),
+        ("fr", "il y a trop de monde dans cette petite salle"),
+        ("fr", "elle était déjà partie quand nous sommes arrivés chez eux"),
+        ("zh", "我 们 今天 要 去 看 他 们 的 新 房子"),
+        ("zh", "因为 下雨 了 所以 我 没有 去 公园"),
+        ("zh", "这个 问题 很 难 但是 我 可以 解决"),
+        ("und", "zzz qqq www eee rrr"),
+        ("und", "xylophone791 qwerty88 asdf"),
+    ]
+    rows = spark.createDataFrame(cases, "truth string, text string").select(
+        "truth", lang_id(F.col("text")).alias("pred")
+    )
+    got = [(r.truth, r.pred) for r in rows.collect()]
+    acc = sum(1 for t, p in got if t == p) / len(got)
+    assert acc >= 0.95, got
 
 
 def test_fingerprint_deterministic_and_edit_sensitive(spark):
