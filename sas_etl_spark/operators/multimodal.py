@@ -52,13 +52,143 @@ def attach_fake_payload(df: DataFrame, key_col: str, mime: str = "image/fake") -
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode path — requires a codec library the v1 image lacks."""
+    """Compressed-format decode path (JPEG/PNG/...) — requires a codec
+    library this image lacks. Uncompressed PPM decodes for real via
+    decode_ppm below, no codec needed."""
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; v1 container ships no codecs — "
-            "use extract_features (deterministic fake) for plumbing tests"
+            "JPEG/PNG decode requires PIL; this container ships no codecs — "
+            "decode_ppm handles uncompressed PPM, extract_features gives the "
+            "deterministic fake lane"
         )
     raise NotImplementedError("PIL present but decode intentionally deferred")
+
+
+# -- real byte decoding: binary PPM (P6), zero external codecs --------
+#
+# PPM P6 is raw RGB behind a 3-token ASCII header — decodable with
+# stdlib + numpy alone, so the decode lane is REAL bytes-to-pixels
+# work even in this codec-free container. Swapping decode_ppm for a
+# PIL/soundfile call changes nothing about the Spark plumbing.
+
+
+def ppm_bytes(width: int, height: int, img_idx: int) -> bytes:
+    """Deterministic P6 image: pixel (x, y) channel c has value
+    (img_idx*7 + c*13 + x + y) mod 256. Pure integer arithmetic —
+    an engine-portable spec a SQL oracle can recompute exactly."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    arr = ((img_idx * 7 + c * 13 + x + y) % 256).astype(np.uint8)
+    return header + arr.tobytes()
+
+
+def write_ppm_fixture(out_dir: str, n_images: int = 64) -> None:
+    """Write the deterministic PPM corpus: image i is
+    (8 + (i%5)*4) x (6 + (i%3)*4). Driver-side loop — this is fixture
+    GENERATION (the stand-in for an upstream object store), not the
+    data path; the data path reads the files back distributed via the
+    binaryFile source."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_images):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+        with open(os.path.join(out_dir, f"img_{i:05d}.ppm"), "wb") as f:
+            f.write(ppm_bytes(w, h, i))
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Parse P6 bytes -> (height, width, 3) uint8 array. Real decode:
+    header tokenization (comment-tolerant), then a zero-copy
+    frombuffer reshape of the pixel plane."""
+    tokens: list[bytes] = []
+    pos = 0
+    while len(tokens) < 4:  # magic, width, height, maxval
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a binary PPM: magic {tokens[0]!r}")
+    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return pixels.reshape(height, width, 3)
+
+
+def image_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"img_(\d+)\.ppm$",
+) -> DataFrame:
+    """Decode PPM payloads -> per-image (img_id, width, height,
+    per-channel means) via mapInPandas — the real-decode twin of
+    extract_features. Input is a binaryFile-source frame (path,
+    content); each Arrow batch is decoded in one numpy pass per row.
+    Self-contained closure (cloudpickle by value), same contract as
+    extract_features."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        import numpy as _np
+
+        def decode(payload: bytes):
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(payload[start:pos])
+            w, h = int(tokens[1]), int(tokens[2])
+            pos += 1
+            px = _np.frombuffer(payload, dtype=_np.uint8, count=w * h * 3, offset=pos)
+            return w, h, px.reshape(h, w, 3)
+
+        pat = _re.compile(id_pattern)
+        for pdf in batches:
+            out = {
+                "img_id": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                w, h, arr = decode(bytes(content))
+                means = arr.astype(_np.float64).mean(axis=(0, 1))
+                m = pat.search(path)
+                out["img_id"].append(int(m.group(1)) if m else -1)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "img_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+    return df.mapInPandas(per_batch, schema=schema)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
 from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE, SLIDING_ORACLE
-from sas_etl_spark.operators.multimodal import attach_fake_payload, extract_features
+from sas_etl_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_features,
+    image_stats,
+    write_ppm_fixture,
+)
 from sas_etl_spark.registry import query
 from sas_etl_spark.scratch import scratch_dir
 from sas_etl_spark.sources import (
@@ -309,6 +314,63 @@ with feat as (
 select lang, cast(count(*) as bigint) as n, round(avg(f0), 6) as avg_f0
 from feat group by lang
 """
+
+
+#: DuckDB twin of the PPM decode: regenerate every pixel from the
+#: fixture spec (image i is (8+(i%5)*4) x (6+(i%3)*4); pixel (x,y)
+#: channel c = (i*7 + c*13 + x + y) mod 256) and aggregate channel
+#: means. Integer sums are exact in both engines and counts are tiny,
+#: so the double means agree bit-for-bit before the 6dp round.
+_IMAGE_ORACLE = """
+with dims as (
+  select i, 8 + (i % 5) * 4 as w, 6 + (i % 3) * 4 as h
+  from range(64) t(i)
+),
+px as (
+  select i, w, h, c, unnest(range(w * h)) as p
+  from dims cross join range(3) cc(c)
+),
+v as (
+  select i, c, (i * 7 + c * 13 + (p % w) + (p // w)) % 256 as val
+  from px
+),
+m as (
+  select i,
+         round(avg(val) filter (c = 0), 6) as mean_r,
+         round(avg(val) filter (c = 1), 6) as mean_g,
+         round(avg(val) filter (c = 2), 6) as mean_b
+  from v group by i
+)
+select d.i as img_id, cast(d.w as integer) as width,
+       cast(d.h as integer) as height, m.mean_r, m.mean_g, m.mean_b
+from dims d join m on d.i = m.i
+"""
+
+
+@query("q_image_features", oracle=_IMAGE_ORACLE, tags=("multimodal", "io"))
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image byte decode end-to-end (round-2 advice #7): write a
+    deterministic 64-image binary PPM corpus to scratch, read it back
+    distributed via the binaryFile source, parse headers + pixel
+    planes into numpy arrays inside the Arrow mapInPandas lane, and
+    emit per-image dimensions + channel means. The oracle regenerates
+    every pixel from the generator spec in pure SQL — so the hash
+    match attests actual bytes-to-pixels decoding, not a fake. At
+    100 TB this is the image-ingest shape: an object-store listing
+    partitioned across executors, whole files decoded batch-wise in
+    Python workers, features landing as relational columns."""
+    path = scratch_dir(spark, "ppm")
+    write_ppm_fixture(path, n_images=64)
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.ppm").load(path)
+    stats = image_stats(raw.select("path", "content"))
+    return stats.select(
+        "img_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
 
 
 @query("q_multimodal_features", oracle=_MULTIMODAL_ORACLE, tags=("multimodal",))

@@ -99,3 +99,51 @@ def test_multimodal_feature_plumbing(spark):
     )
     assert rows == again  # deterministic fake decode
     assert feats.count() == docs.count()
+
+
+def test_ppm_decode_roundtrip():
+    """decode_ppm must invert ppm_bytes exactly — real header parsing
+    and pixel-plane reshape, no Spark involved."""
+    import numpy as np
+
+    from sas_etl_spark.operators.multimodal import decode_ppm, ppm_bytes
+
+    for w, h, i in [(8, 6, 0), (24, 14, 7), (12, 10, 63)]:
+        arr = decode_ppm(ppm_bytes(w, h, i))
+        assert arr.shape == (h, w, 3)
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        expect = ((i * 7 + c * 13 + x + y) % 256).astype(np.uint8)
+        assert (arr == expect).all()
+    # comment-tolerant header
+    with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert decode_ppm(with_comment).shape == (1, 2, 3)
+
+
+def test_image_stats_distributed_decode(spark, tmp_path):
+    """binaryFile -> mapInPandas decode: per-image dims + means match
+    a driver-side numpy recomputation."""
+    import numpy as np
+
+    from sas_etl_spark.operators.multimodal import (
+        decode_ppm,
+        image_stats,
+        ppm_bytes,
+        write_ppm_fixture,
+    )
+
+    out = str(tmp_path / "ppm")
+    write_ppm_fixture(out, n_images=12)
+    raw = spark.read.format("binaryFile").load(out)
+    got = {
+        r.img_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in image_stats(raw.select("path", "content")).collect()
+    }
+    assert len(got) == 12
+    for i in range(12):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+        arr = decode_ppm(ppm_bytes(w, h, i)).astype(np.float64)
+        means = arr.mean(axis=(0, 1))
+        assert got[i][0] == w and got[i][1] == h
+        assert got[i][2:] == (means[0], means[1], means[2])
