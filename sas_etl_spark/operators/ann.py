@@ -135,19 +135,51 @@ def srp_bucket_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_bits: int = 16,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
     dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Candidate pairs sharing an SRP bucket (identical num_bits-bit
-    signature) — the LSH-bucketed cosine blocking path: only
-    within-bucket pairs are ever compared, no all-pairs join."""
-    sig = emb.select(
+    """Candidate pairs sharing at least one SRP band bucket — banded
+    hyperplane LSH, the same OR-of-ANDs amplification as
+    minhash.lsh (round-2 advice #8: a single wide signature is one
+    giant AND whose recall collapses for moderately similar vectors).
+
+    Band j gets its own ``bits_per_band`` independent hyperplanes
+    (seeded per band — equivalent to slicing one
+    n_bands*bits_per_band-plane signature); vectors collide on band j
+    iff all its bits agree. Candidates = pairs agreeing on ANY band:
+    recall = 1 - (1 - p^b)^n for per-bit agreement
+    p = 1 - acos(cos_sim)/pi. At cos 0.9 (p = .857), 8 bands x 8 bits
+    give ~0.94 recall vs ~0.08 for the old single 16-bit signature.
+
+    Plan shape: signatures in one scan-side Project, explode to
+    (band, sig) rows — n_bands rows per vector, NOT per pair — then a
+    self-equi-join on (band, sig) + distinct. Never all-pairs; at
+    100 TB band signatures shuffle-partition evenly (they are
+    hashes), and exact cosine verification runs on candidates only,
+    mirroring the MinHash verify stage."""
+    bands = emb.select(
         F.col(id_col).alias("_id"),
-        srp_signature(vec_col, num_bits, dim).alias("_sig"),
-    )
-    a = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_s1"))
-    b = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_s2"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        srp_signature(
+                            vec_col, bits_per_band, dim, seed + 7919 * b
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.select("band", "sig", F.col("_id").alias("a_id"))
+    b = bands.select("band", "sig", F.col("_id").alias("b_id"))
     return (
-        a.join(b, (a._s1 == b._s2) & (a.a_id < b.b_id))
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
+        .distinct()
     )
