@@ -54,60 +54,69 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-1 unattested: row transforms / scalars (SURVEY §2.2, §2.8)
-    "q_project_rename",
-    "q_filter_pred",
-    "q_derive_cols",
-    "q_case_when",
-    "q_format_lookup",
-    "q_string_funcs",
-    "q_string_funcs2",
-    "q_regex_extract",
-    "q_date_funcs",
-    "q_date_format",
-    "q_math_rowwise",
-    "q_array_ops",
-    "q_json_extract",
-    "q_missing_semantics",
-    # -- round-1 unattested: windows (§2.5)
-    "q_window_rank",
-    "q_sessionize",
-    "q_running_total",
-    "q_moving_avg",
-    "q_rank_ntile",
-    "q_rank_ties_mean",
-    "q_dedup_firstlast",
-    # -- round-1 unattested: sorts / dedup / set ops (§2.6, §2.7)
-    "q_topn_sort",
-    "q_nodupkey",
-    "q_dupout",
-    "q_distinct_rows",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    # -- round-1 unattested: reshapes / stats / UDF lane (§2.4, §2.11)
-    "q_unpivot",
-    "q_pivot_api",
-    "q_corr_stats",
-    "q_univariate_moments",
-    "q_freq_chisq",
-    "q_udf_charge",
-    "q_udaf_weighted",
-    "q_grouped_zscore",
-    # -- changed this round (need re-attestation)
-    "q_approx_percentile",
-    "q_knn_cosine",
-    "q_multimodal_features",
-    "q_lang_id",
-    # -- new this round
+    # ROUND 3 window. Green rows are CUMULATIVE across rounds (the
+    # window holds 50 of 92): r1∪r2 covered all queries once; this
+    # round re-attests the 37 whose only green row is r1 — now running
+    # on round-2/3 code (the five sink queries were re-pathed onto the
+    # scratch-root lifecycle in r2; streaming twins share builders.py,
+    # which grew dedup support in r3) — plus everything new/changed in
+    # round 3, plus rotating sentinels.
+    # -- new in round 3
     "q_knn_ivf_exactprobe",
     "q_stream_dedup",
     "q_bucketed_join",
-    # -- always-green sentinels (round-1 pass) to catch regressions
+    "q_image_features",
+    # -- changed in round 3 (literal-bind rewrite / regenerated oracle)
+    "q_knn_cosine",
+    "q_lang_id",
+    # -- r1-only attestation: sinks re-pathed in r2 (io_stream.py)
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_partitioned_write",
+    "q_multi_split",
+    "q_append_sink",
+    # -- r1-only attestation: streaming + event windows (§2.10)
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_tumbling_counts",
+    "q_sliding_window",
+    "q_session_window",
+    # -- r1-only attestation: joins (§2.3)
+    "q_left_join_null",
+    "q_semi_join",
+    "q_anti_join",
+    "q_range_join",
+    # -- r1-only attestation: aggregations / cube / sampling (§2.4)
+    "q_remerge_share",
+    "q_proc_sql",
+    "q_cube",
+    "q_grouping_sets",
+    "q_approx_distinct",
+    "q_sample",
+    "q_split_hash",
+    # -- r1-only attestation: composite shapes
+    "q_ship_priority",
+    "q_min_per_group_join",
+    # -- r1-only attestation: LLM text/dedup/similarity (§2.9)
+    "q_text_tokens",
+    "q_exact_dup",
+    "q_text_stats",
+    "q_doc_quality",
+    "q_token_count",
+    "q_doc_embed_join",
+    "q_cosine_pairs",
+    "q_jaccard_pairs",
+    "q_near_dup_simhash",
+    "q_simhash_fingerprints",
+    "q_doc_fingerprint",
+    "q_knn_ivf",
+    "q_tfidf",
+    # -- rotating sentinels (r2-green) to catch regressions
     "q_pricing_summary",
     "q_join3_revenue",
-    "q_near_dup_minhash",
+    "q_window_rank",
+    "q_rollup",
     "q_merge_in_flags",
     "q_asof_event",
     "q_percentiles",
@@ -136,8 +145,17 @@ def _load_all() -> None:
 
 
 def _driver_order() -> list[str]:
-    """Registry names, DRIVER_PRIORITY block first, rest in registration order."""
-    prioritized = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    """Registry names, DRIVER_PRIORITY block first, rest in registration
+    order. An unregistered priority name raises: silently skipping it
+    would slide other queries into the attestation window and burn the
+    slot unnoticed (exactly what happened in round 2)."""
+    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    if unknown:
+        raise KeyError(
+            f"DRIVER_PRIORITY names unregistered queries: {unknown}; "
+            "implement them or remove the names"
+        )
+    prioritized = list(DRIVER_PRIORITY)
     seen = set(prioritized)
     return prioritized + [n for n in QUERIES if n not in seen]
 

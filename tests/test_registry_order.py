@@ -35,19 +35,43 @@ def test_queries_map_leads_with_priority() -> None:
     assert sorted(emitted) == sorted(registry.QUERIES)
 
 
-def test_round1_unattested_queries_inside_window() -> None:
-    """The 37 queries CORRECTNESS_r01 never reached must all be in slots 0-49."""
-    unattested = {
-        "q_project_rename", "q_filter_pred", "q_derive_cols", "q_case_when",
-        "q_format_lookup", "q_string_funcs", "q_regex_extract", "q_date_funcs",
-        "q_math_rowwise", "q_array_ops", "q_json_extract", "q_string_funcs2",
-        "q_date_format", "q_union_all", "q_union_distinct", "q_intersect",
-        "q_except", "q_topn_sort", "q_nodupkey", "q_dupout", "q_distinct_rows",
-        "q_missing_semantics", "q_unpivot", "q_pivot_api", "q_corr_stats",
-        "q_univariate_moments", "q_freq_chisq", "q_udf_charge",
-        "q_udaf_weighted", "q_grouped_zscore", "q_window_rank",
-        "q_dedup_firstlast", "q_sessionize", "q_running_total", "q_rank_ntile",
-        "q_moving_avg", "q_rank_ties_mean",
+def test_round3_rotation_targets_inside_window() -> None:
+    """Round-3 plan: every query whose only green row is round 1 (its
+    code has since been touched or its attestation is stale), plus
+    everything new or changed in round 3, must sit in slots 0-49."""
+    stale_r1_only = {
+        "q_remerge_share", "q_approx_distinct", "q_proc_sql",
+        "q_ship_priority", "q_min_per_group_join", "q_jaccard_pairs",
+        "q_cube", "q_grouping_sets", "q_sample", "q_split_hash",
+        "q_tumbling_counts", "q_sliding_window", "q_session_window",
+        "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
+        "q_csv_roundtrip", "q_json_roundtrip", "q_partitioned_write",
+        "q_multi_split", "q_append_sink", "q_left_join_null",
+        "q_semi_join", "q_anti_join", "q_range_join", "q_text_tokens",
+        "q_exact_dup", "q_text_stats", "q_doc_quality", "q_token_count",
+        "q_doc_embed_join", "q_cosine_pairs", "q_near_dup_simhash",
+        "q_simhash_fingerprints", "q_doc_fingerprint", "q_knn_ivf",
+        "q_tfidf",
+    }
+    new_or_changed_r3 = {
+        "q_knn_ivf_exactprobe", "q_stream_dedup", "q_bucketed_join",
+        "q_image_features", "q_knn_cosine", "q_lang_id",
     }
     window = set(list(registry.queries_map())[:WINDOW])
-    assert unattested <= window, f"outside window: {sorted(unattested - window)}"
+    must = stale_r1_only | new_or_changed_r3
+    assert must <= window, f"outside window: {sorted(must - window)}"
+
+
+def test_driver_order_raises_on_phantom_priority_name() -> None:
+    """Unregistered priority names must fail LOUDLY (round 2 silently
+    slid sentinels into the attestation window instead)."""
+    import pytest
+
+    registry._load_all()
+    original = registry.DRIVER_PRIORITY
+    registry.DRIVER_PRIORITY = original + ("q_does_not_exist",)
+    try:
+        with pytest.raises(KeyError, match="q_does_not_exist"):
+            registry.queries_map()
+    finally:
+        registry.DRIVER_PRIORITY = original
