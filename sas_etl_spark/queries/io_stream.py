@@ -139,6 +139,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    oracle="""
+    select p.user_id, cast(count(*) as bigint) as n_pairs
+    from events p
+    join events c
+      on c.user_id = p.user_id
+     and c.ts >= p.ts - interval 1 hour
+     and c.ts <= p.ts
+    where p.event_type = 'purchase' and c.event_type = 'click'
+    group by p.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the attribution join of an event
+    pipeline): purchases joined to clicks by the same user within the
+    preceding hour, both sides true readStream sources with
+    watermarks. The time-range predicate is what lets Spark bound the
+    join state — each side buffers only rows inside
+    watermark + interval, the only shape that survives unbounded
+    streams. Pairs land in an append-mode memory sink; a batch count
+    per user is hash-checked against the same interval join computed
+    by DuckDB over the batch table — the stream/batch equivalence
+    proof, extended from aggregations (q_stream_tumbling) to joins."""
+    purchases = (
+        stream_events(spark, sf_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    rows = run_bounded_to_memory(pairs, spark, mode="append")
+    return rows.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
     "q_csv_roundtrip",
     oracle="""
     select o_orderstatus, cast(count(*) as bigint) as n,

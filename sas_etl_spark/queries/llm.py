@@ -538,3 +538,119 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
         .limit(20)
     )
+
+
+PACK_BUDGET = 512  # context-window token budget per packed sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=r"""
+    with tok as (
+        select doc_id, doc_id % 8 as shard,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) as n_tok
+        from documents
+    ),
+    packed as (
+        select shard, doc_id, n_tok,
+               sum(n_tok) over (partition by shard order by doc_id
+                                rows between unbounded preceding
+                                and current row) as cum
+        from tok
+    )
+    select shard, cast((cum - n_tok) // 512 as bigint) as seq_id,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tok) as bigint) as total_tokens
+    from packed
+    group by shard, seq_id
+    """,
+    tags=("llm", "pack", "window"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: within a shard, documents are concatenated in stable
+    (doc_id) order and chunked at a fixed token budget; a document
+    belongs to the sequence where its first token lands
+    (seq_id = start_offset div budget). Emits per-sequence document
+    and token counts.
+
+    Scale shape: packing is windowed PER SHARD (hash of the doc key),
+    so the cumulative sum is a partitioned window — no global sort, no
+    single-partition funnel; shards pack independently on their own
+    executors, which is exactly how a 100 TB corpus becomes training
+    shards. Token counts use the BPE-ish tokenizer regex shared with
+    q_token_count (identical RE semantics in Spark and DuckDB)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count_bpe_ish(F.col("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "seq_id", F.expr(f"(cum - n_tok) div {PACK_BUDGET}")
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+#: The engine-portable split expression (first 15 sha256 hex digits of
+#: the key -> 60-bit int -> mod 100), as DuckDB SQL — same arithmetic
+#: as operators.sampling.hash_bucket, shared with q_split_hash.
+_SPLIT_BUCKET_SQL = """
+    list_reduce(
+      list_transform(range(1,16),
+        j -> strpos('0123456789abcdef',
+                    substr(sha256(cast(doc_id as varchar)), j, 1)) - 1),
+      (a,x) -> a*16+x) % 100
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    with labeled as (
+        select doc_id, sha256(text) as h,
+               case when {_SPLIT_BUCKET_SQL} < 80 then 'train'
+                    when {_SPLIT_BUCKET_SQL} < 90 then 'valid'
+                    else 'test' end as split
+        from documents
+    )
+    select a.doc_id as train_id, b.doc_id as holdout_id,
+           b.split as holdout_split
+    from labeled a join labeled b on a.h = b.h
+    where a.split = 'train' and b.split <> 'train'
+    """,
+    tags=("llm", "dedup", "sample"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout contamination check: documents whose EXACT text
+    appears in both the train split and a holdout split of the
+    deterministic sha256 split — the leakage audit every training
+    pipeline runs before shipping an eval set. The join key is
+    sha2(text) (64 hex chars), not the text itself, so at 100 TB the
+    shuffle carries fixed-width hashes; near-dup contamination is the
+    same query over simhash/minhash keys (operators exist — see
+    q_near_dup_*). Empty at fixture scales without duplicate texts —
+    empty-but-correct, like q_exact_dup at sf0.01."""
+    from sas_etl_spark.operators.sampling import deterministic_split
+
+    docs = deterministic_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).withColumn("h", F.sha2("text", 256))
+    train = docs.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    holdout = docs.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("holdout_id"), "h", F.col("split").alias("holdout_split")
+    )
+    return train.join(holdout, "h").select("train_id", "holdout_id", "holdout_split")

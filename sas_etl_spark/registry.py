@@ -66,6 +66,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_dedup",
     "q_bucketed_join",
     "q_image_features",
+    "q_stream_join",
+    "q_pack_sequences",
+    "q_contamination",
     # -- changed in round 3 (literal-bind rewrite / regenerated oracle)
     "q_knn_cosine",
     "q_lang_id",
@@ -115,10 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- rotating sentinels (r2-green) to catch regressions
     "q_pricing_summary",
     "q_join3_revenue",
-    "q_window_rank",
-    "q_rollup",
     "q_merge_in_flags",
-    "q_asof_event",
     "q_percentiles",
 )
 
