@@ -8,6 +8,7 @@ rules in registry.py's docstring.
 
 from sas_etl_spark.queries import (  # noqa: F401
     aggregations,
+    cdc,
     complex_shapes,
     cube_sample,
     events_stream,

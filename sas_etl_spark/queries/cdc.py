@@ -1,0 +1,165 @@
+"""Change-data-capture / master-maintenance queries: the SAS
+UPDATE statement and SCD2 (slowly-changing-dimension) merge —
+the transaction-apply vocabulary of a warehouse ETL (SURVEY.md §2.3
+family; SAS-PUBLIC constructs ``UPDATE master trans; BY key;`` and
+the PROC SQL upsert idiom).
+
+Both queries DERIVE their transaction feed deterministically from the
+orders fixture (a keyed subset with modified values), so the DuckDB
+oracle rebuilds the identical feed and the full merge result is
+hash-attested — no side files, no seeds.
+
+Scale shape: both are single keyed joins (master ⋈ transactions on the
+business key) + narrow projections. At 100 TB the master side is the
+big one; the join shuffles on the key (or stays shuffle-free if the
+master is bucketed by key — q_bucketed_join proves that layout), and
+the output unions are cheap map-side concatenations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+
+def _master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transaction feed: every 7th order re-prices
+    (+1000.00, status NULL = "leave alone"); every 11th order closes
+    (status 'X', price NULL = "leave alone"). Keys hitting both rules
+    (mod 77) carry both changes. The price delta is an exact IEEE
+    add — both engines produce the bit-identical double, so no
+    engine-divergent rounding enters the feed (x*1.1 + round(…,2)
+    flips cents between engines at tie boundaries)."""
+    orders = _master(spark, sf_dir)
+    base = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 11 == 0)
+    )
+    return base.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).alias("t_status"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1000.0
+        ).alias("t_price"),
+    )
+
+
+#: The same transaction feed in DuckDB SQL (shared by both oracles).
+_TRANS_CTE = """
+    trans as (
+        select o_orderkey,
+               case when o_orderkey % 11 = 0 then 'X' end as t_status,
+               case when o_orderkey % 7 = 0
+                    then o_totalprice + 1000.0 end as t_price
+        from orders
+        where o_orderkey % 7 = 0 or o_orderkey % 11 = 0
+    )
+"""
+
+
+@query(
+    "q_update_master",
+    oracle=f"""
+    with {_TRANS_CTE}
+    select m.o_orderkey,
+           coalesce(t.t_status, m.o_orderstatus) as o_orderstatus,
+           coalesce(t.t_price, m.o_totalprice) as o_totalprice
+    from orders m left join trans t using (o_orderkey)
+    """,
+    tags=("cdc", "join"),
+)
+def q_update_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS UPDATE statement semantics (``UPDATE master trans; BY
+    key;``): apply a transaction file to a master — a transaction's
+    MISSING values do NOT overwrite the master's (unlike MERGE, which
+    propagates them). Spark: left join on the key +
+    coalesce(transaction, master) per column — the null-preserving
+    rule IS the coalesce. One keyed join, no other shuffle; at 100 TB
+    the transaction side is typically small enough to broadcast."""
+    m = _master(spark, sf_dir)
+    t = _transactions(spark, sf_dir)
+    return m.join(t, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("t_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("t_price", "o_totalprice").alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_scd2_merge",
+    oracle=f"""
+    with {_TRANS_CTE},
+    changed as (
+        select m.o_orderkey, m.o_orderstatus, m.o_totalprice,
+               coalesce(t.t_status, m.o_orderstatus) as new_status,
+               coalesce(t.t_price, m.o_totalprice) as new_price
+        from orders m join trans t using (o_orderkey)
+        where coalesce(t.t_status, m.o_orderstatus) <> m.o_orderstatus
+           or coalesce(t.t_price, m.o_totalprice) <> m.o_totalprice
+    )
+    select o_orderkey, o_orderstatus, o_totalprice,
+           1 as version, false as is_current from changed
+    union all
+    select o_orderkey, new_status, new_price,
+           2 as version, true as is_current from changed
+    union all
+    select m.o_orderkey, m.o_orderstatus, m.o_totalprice,
+           1 as version, true as is_current
+    from orders m left join changed c using (o_orderkey)
+    where c.o_orderkey is null
+    """,
+    tags=("cdc", "join"),
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (the warehouse history-keeping upsert; SAS
+    analog: DATA-step UPDATE plus an OUTPUT of the superseded row):
+    rows actually changed by the transaction feed emit BOTH a
+    closed-out version-1 record (is_current = false) and a version-2
+    record (is_current = true); untouched rows stay version 1,
+    current. Change detection compares post-UPDATE values to the
+    master (a no-op transaction creates no version). One keyed join
+    computes the changed set; the three output branches are narrow
+    projections unioned map-side."""
+    m = _master(spark, sf_dir)
+    t = _transactions(spark, sf_dir)
+    joined = m.join(t, "o_orderkey").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce("t_status", "o_orderstatus").alias("new_status"),
+        F.coalesce("t_price", "o_totalprice").alias("new_price"),
+    )
+    changed = joined.filter(
+        (F.col("new_status") != F.col("o_orderstatus"))
+        | (F.col("new_price") != F.col("o_totalprice"))
+    )
+    closed = changed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).cast("int").alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = changed.select(
+        "o_orderkey",
+        F.col("new_status").alias("o_orderstatus"),
+        F.col("new_price").alias("o_totalprice"),
+        F.lit(2).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = m.join(changed.select("o_orderkey"), "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(fresh).unionByName(untouched)

@@ -69,6 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_join",
     "q_pack_sequences",
     "q_contamination",
+    "q_update_master",
+    "q_scd2_merge",
     # -- changed in round 3 (literal-bind rewrite / regenerated oracle)
     "q_knn_cosine",
     "q_lang_id",
@@ -118,8 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- rotating sentinels (r2-green) to catch regressions
     "q_pricing_summary",
     "q_join3_revenue",
-    "q_merge_in_flags",
-    "q_percentiles",
 )
 
 

@@ -56,7 +56,8 @@ def test_round3_rotation_targets_inside_window() -> None:
     new_or_changed_r3 = {
         "q_knn_ivf_exactprobe", "q_stream_dedup", "q_bucketed_join",
         "q_image_features", "q_stream_join", "q_pack_sequences",
-        "q_contamination", "q_knn_cosine", "q_lang_id",
+        "q_contamination", "q_update_master", "q_scd2_merge",
+        "q_knn_cosine", "q_lang_id",
     }
     window = set(list(registry.queries_map())[:WINDOW])
     must = stale_r1_only | new_or_changed_r3
