@@ -162,3 +162,68 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.v").alias("version"),
         (F.col("r.v") == F.col("n_v")).alias("is_current"),
     )
+
+
+@query(
+    "q_dataset_compare",
+    oracle=f"""
+    with {_TRANS_CTE},
+    updated as (
+        select m.o_orderkey,
+               coalesce(t.t_status, m.o_orderstatus) as o_orderstatus,
+               coalesce(t.t_price, m.o_totalprice) as o_totalprice
+        from orders m left join trans t using (o_orderkey)
+    )
+    select b.o_orderkey,
+           b.o_orderstatus as base_status, c.o_orderstatus as cmp_status,
+           b.o_orderstatus <> c.o_orderstatus as status_diff,
+           b.o_totalprice as base_price, c.o_totalprice as cmp_price,
+           b.o_totalprice <> c.o_totalprice as price_diff
+    from orders b join updated c using (o_orderkey)
+    where b.o_orderstatus <> c.o_orderstatus
+       or b.o_totalprice <> c.o_totalprice
+    """,
+    tags=("cdc", "join"),
+)
+def q_dataset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diff (SAS: PROC COMPARE BASE= COMPARE= ID key) — the
+    regression gate of a warehouse ETL: compare the master against its
+    transaction-applied successor key-by-key and report only rows
+    where any audited column changed, with base/compare values and a
+    per-column diff flag.
+
+    Spark shape: one keyed join + column comparisons + filter — the
+    comparison predicates are plain codegen expressions, so at 100 TB
+    this costs exactly one co-partitioned join (shuffle-free if both
+    generations are bucketed by the key — the q_bucketed_join layout);
+    the output is only the changed rows, which is what you ship to a
+    reviewer. Both datasets here share the orders keyset, so inner
+    join == full outer + presence flags (q_merge_in_flags covers the
+    added/deleted case)."""
+    base = _master(spark, sf_dir)
+    compare = q_update_master(spark, sf_dir)
+    b = base.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("base_status"),
+        F.col("o_totalprice").alias("base_price"),
+    )
+    c = compare.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("cmp_status"),
+        F.col("o_totalprice").alias("cmp_price"),
+    )
+    status_diff = F.col("base_status") != F.col("cmp_status")
+    price_diff = F.col("base_price") != F.col("cmp_price")
+    return (
+        b.join(c, "o_orderkey")
+        .filter(status_diff | price_diff)
+        .select(
+            "o_orderkey",
+            "base_status",
+            "cmp_status",
+            status_diff.alias("status_diff"),
+            "base_price",
+            "cmp_price",
+            price_diff.alias("price_diff"),
+        )
+    )

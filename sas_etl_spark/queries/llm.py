@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
-from sas_etl_spark.operators.ann import ivf_topk
+from sas_etl_spark.operators.ann import ivf_topk, srp_bucket_candidates
 from sas_etl_spark.operators.dedup import exact_dup_counts
 from sas_etl_spark.operators.minhash import near_dup_pairs
 from sas_etl_spark.operators.similarity import cosine, cosine_topk_literal
@@ -654,3 +654,65 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("holdout_id"), "h", F.col("split").alias("holdout_split")
     )
     return train.join(holdout, "h").select("train_id", "holdout_id", "holdout_split")
+
+
+@query(
+    "q_near_dup_embedding",
+    oracle="""
+    with aug as (
+        select vec_id, embedding from embeddings
+        union all
+        select vec_id + 1000000 as vec_id,
+               list_transform(embedding, x -> cast(x * 2 as float)) as embedding
+        from embeddings where vec_id % 25 = 0
+    )
+    select a.vec_id as a_id, b.vec_id as b_id,
+           round(cast(list_cosine_similarity(a.embedding, b.embedding)
+                      as double), 6) as sim
+    from aug a, aug b
+    where a.vec_id < b.vec_id
+      and round(cast(list_cosine_similarity(a.embedding, b.embedding)
+                     as double), 6) >= 0.99
+    """,
+    tags=("dedup", "similarity", "ann"),
+)
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection via banded SRP
+    (hyperplane) LSH + exact-cosine verification — the vector twin of
+    q_near_dup_minhash, completing the dedup family (exact / MinHash /
+    SimHash / embedding-cosine).
+
+    The fixture's random embeddings have no natural pairs above ~0.51
+    cosine, so the query plants duplicates deterministically: every
+    vec_id % 25 == 0 vector gets a copy at vec_id + 1_000_000 scaled
+    by exactly 2x. Scaling by a power of two is exact in IEEE floats
+    AND leaves every sign(<v, h>) hyperplane bit unchanged, so the
+    planted copy lands in identical SRP buckets — candidate recall for
+    the planted pairs is deterministically 1, which is what lets an
+    LSH pipeline be hash-attested against the brute-force O(n^2)
+    oracle (same argument as q_near_dup_minhash, but exact rather than
+    1 - 5e-8).
+
+    Plan shape (the 100 TB path): signatures in one scan-side Project,
+    explode to n_bands rows per VECTOR (never per pair), equi-join on
+    (band, sig) — SRP band signatures are hashes, so the shuffle
+    partitions evenly — then exact cosine only on candidates. The
+    all-pairs form exists only in the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.unionByName(planted)
+    cand = srp_bucket_candidates(aug, n_bands=8, bits_per_band=8, dim=64)
+    va = aug.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va"))
+    vb = aug.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", F.round(cosine("_va", "_vb"), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.99)
+    )

@@ -71,6 +71,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_contamination",
     "q_update_master",
     "q_scd2_merge",
+    "q_near_dup_embedding",
+    "q_gap_fill",
+    "q_stratified_sample",
+    "q_orc_roundtrip",
+    "q_dataset_compare",
     # -- changed in round 3 (literal-bind rewrite / regenerated oracle)
     "q_knn_cosine",
     "q_lang_id",
@@ -80,13 +85,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_partitioned_write",
     "q_multi_split",
     "q_append_sink",
-    # -- r1-only attestation: streaming + event windows (§2.10)
+    # -- r1-only attestation: streaming (§2.10). The batch twins
+    # (q_tumbling_counts / q_sliding_window / q_session_window) ceded
+    # their slots to round-3 queries: each SHARES ITS ORACLE SQL
+    # verbatim with the streaming twin kept here, so a green streaming
+    # row re-validates the oracle, and the batch builders are further
+    # covered by tests/test_io_streaming.py.
     "q_stream_tumbling",
     "q_stream_session",
     "q_stream_sliding",
-    "q_tumbling_counts",
-    "q_sliding_window",
-    "q_session_window",
     # -- r1-only attestation: joins (§2.3)
     "q_left_join_null",
     "q_semi_join",
@@ -117,9 +124,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_doc_fingerprint",
     "q_knn_ivf",
     "q_tfidf",
-    # -- rotating sentinels (r2-green) to catch regressions
-    "q_pricing_summary",
-    "q_join3_revenue",
+    # -- no explicit sentinels this round: q_join3_revenue is the
+    # flagship entry() query (driver smoke-runs it every round) and
+    # q_pricing_summary anchors bench.py, so both stay exercised on
+    # current code outside the attestation window.
 )
 
 

@@ -44,3 +44,11 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     return (
         spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest. Schema travels with the files (columnar,
+    self-describing) — no explicit schema argument needed, unlike the
+    text formats."""
+    configure(spark)
+    return spark.read.orc(path)

@@ -95,3 +95,11 @@ def multi_output_split(
         return counts
     finally:
         df.unpersist()
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export (SAS: PROC EXPORT to a columnar warehouse store).
+    Spark ships the ORC data source built-in; like parquet it carries
+    types natively (no informat needed on re-read) and supports
+    predicate pushdown + column pruning at scan."""
+    df.write.mode(mode).orc(path)

@@ -39,11 +39,14 @@ def test_round3_rotation_targets_inside_window() -> None:
     """Round-3 plan: every query whose only green row is round 1 (its
     code has since been touched or its attestation is stale), plus
     everything new or changed in round 3, must sit in slots 0-49."""
+    # The batch event-window twins (q_tumbling_counts, q_sliding_window,
+    # q_session_window) are deliberately OUT of the round-3 window: each
+    # shares its oracle SQL verbatim with a streaming twin kept below,
+    # so the oracle is still re-validated this round.
     stale_r1_only = {
         "q_remerge_share", "q_approx_distinct", "q_proc_sql",
         "q_ship_priority", "q_min_per_group_join", "q_jaccard_pairs",
         "q_cube", "q_grouping_sets", "q_sample", "q_split_hash",
-        "q_tumbling_counts", "q_sliding_window", "q_session_window",
         "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
         "q_csv_roundtrip", "q_json_roundtrip", "q_partitioned_write",
         "q_multi_split", "q_append_sink", "q_left_join_null",
@@ -58,6 +61,8 @@ def test_round3_rotation_targets_inside_window() -> None:
         "q_image_features", "q_stream_join", "q_pack_sequences",
         "q_contamination", "q_update_master", "q_scd2_merge",
         "q_knn_cosine", "q_lang_id",
+        "q_near_dup_embedding", "q_gap_fill", "q_stratified_sample",
+        "q_orc_roundtrip", "q_dataset_compare",
     }
     window = set(list(registry.queries_map())[:WINDOW])
     must = stale_r1_only | new_or_changed_r3
