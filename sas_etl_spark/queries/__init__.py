@@ -18,6 +18,7 @@ from sas_etl_spark.queries import (  # noqa: F401
     row_transforms,
     scalars,
     setops_sorts,
+    skew,
     transpose_stats,
     udfs,
     windows,

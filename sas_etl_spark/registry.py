@@ -76,6 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_orc_roundtrip",
     "q_dataset_compare",
+    "q_skew_salted_agg",
+    "q_skew_salted_join",
     # -- changed in round 3 (literal-bind rewrite / regenerated oracle)
     "q_knn_cosine",
     "q_lang_id",
@@ -104,8 +106,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_proc_sql",
     "q_cube",
     "q_grouping_sets",
-    "q_approx_distinct",
-    "q_sample",
+    # (q_approx_distinct and q_sample ceded their round-3 slots to the
+    # salted-skew pair: they are rows-only checks — the driver records
+    # only rowcount/schema for them, their semantics are pinned by unit
+    # tests, and their code is unchanged since their r1 rows.)
     "q_split_hash",
     # -- r1-only attestation: composite shapes
     "q_ship_priority",

@@ -43,10 +43,14 @@ def test_round3_rotation_targets_inside_window() -> None:
     # q_session_window) are deliberately OUT of the round-3 window: each
     # shares its oracle SQL verbatim with a streaming twin kept below,
     # so the oracle is still re-validated this round.
+    # q_approx_distinct and q_sample are also out: rows-only checks
+    # (no hash recorded by the driver), semantics unit-test-pinned,
+    # code unchanged since round 1 — their slots went to the
+    # salted-skew pair.
     stale_r1_only = {
-        "q_remerge_share", "q_approx_distinct", "q_proc_sql",
+        "q_remerge_share", "q_proc_sql",
         "q_ship_priority", "q_min_per_group_join", "q_jaccard_pairs",
-        "q_cube", "q_grouping_sets", "q_sample", "q_split_hash",
+        "q_cube", "q_grouping_sets", "q_split_hash",
         "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
         "q_csv_roundtrip", "q_json_roundtrip", "q_partitioned_write",
         "q_multi_split", "q_append_sink", "q_left_join_null",
@@ -63,6 +67,7 @@ def test_round3_rotation_targets_inside_window() -> None:
         "q_knn_cosine", "q_lang_id",
         "q_near_dup_embedding", "q_gap_fill", "q_stratified_sample",
         "q_orc_roundtrip", "q_dataset_compare",
+        "q_skew_salted_agg", "q_skew_salted_join",
     }
     window = set(list(registry.queries_map())[:WINDOW])
     must = stale_r1_only | new_or_changed_r3
