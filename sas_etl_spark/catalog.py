@@ -4,14 +4,12 @@ SAS analog: ``LIBNAME`` libraries mapping directories of datasets to a
 namespace (SURVEY.md §1.1). Here a scale-factor directory of parquet
 files maps to named DataFrames and optionally temp views.
 
-The ``events`` table is stored as parquet ``timestamp[ns]``, which
-Spark 4.x cannot read natively. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a
-long of epoch-nanoseconds; we convert to TimestampType (microseconds)
-with *exact integer* division — ``ts DIV 1000`` — because the ns epoch
-(~1.7e18) exceeds double's 2^53 integer range, so float division would
-corrupt low-order digits. Truncation (floor for positive epochs)
-matches DuckDB's own ns->us cast, keeping the oracle comparison exact.
+The ``events.ts`` column has appeared in several on-disk encodings
+across fixture generations; :func:`normalize_event_ts` maps ALL of
+them to one canonical type (``timestamp``, interpreted under the
+pinned UTC session timezone — see sas_etl_spark.session) and raises
+loudly on anything new, so a future fixture drift fails in exactly one
+place instead of N queries downstream.
 """
 
 from __future__ import annotations
@@ -43,16 +41,56 @@ TABLES: tuple[str, ...] = (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+#: Canonical dtype of events.ts after normalization.
+EVENTS_TS_DTYPE = "timestamp"
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType (micros, UTC).
+
+    Handles every encoding the fixtures have shipped with; the mapping
+    is *total* — an unrecognized dtype raises immediately rather than
+    letting a new encoding drift silently into downstream queries:
+
+    - ``bigint``: epoch **nanoseconds** (the ``nanosAsLong`` reading of
+      parquet ``timestamp[ns]``). Converted with exact integer
+      ``DIV 1000`` — the ns epoch (~1.7e18) exceeds double's 2^53
+      integer range, so float division would corrupt low-order digits;
+      integer floor matches DuckDB's ns->us cast, keeping the oracle
+      comparison exact.
+    - ``timestamp_ntz``: native parquet ``timestamp[us]`` (naive).
+      Cast to ``timestamp`` — wall-clock-preserving and exact because
+      the session timezone is pinned to UTC (session.RUNTIME_CONFS),
+      matching DuckDB's naive reading of the same file.
+    - ``timestamp``: already canonical.
+
+    Works on batch and streaming DataFrames alike (dtype inspection +
+    one projected cast, no action).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None or dtype == EVENTS_TS_DTYPE:
+        return df
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    raise TypeError(
+        f"events.{col} arrived as {dtype!r}; expected one of "
+        "timestamp/timestamp_ntz/bigint. The fixture encoding changed — "
+        "extend normalize_event_ts with an exact conversion."
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing types (events ns->us)."""
+    """Load one fixture table, normalizing types (events ts encodings)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

@@ -493,8 +493,12 @@ def q_knn_ivf_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 neighbors of vector 0 — the 100 TB scale
     path for q_knn_cosine (scan ~nprobe/n_centroids of the corpus).
-    Rows-only: recall-vs-exact pinned by unit tests; with
-    nprobe = n_centroids it must equal the exact result."""
+    Rows-only for the driver; recall-vs-exact is pinned by unit tests
+    (tests/test_llm_operators.py): >=0.9 recall@10 at nprobe=2/16 on
+    clustered data (the real-embedding regime), >=0.4 floor on this
+    uniform-random fixture (IVF's worst case — recall tracks the
+    probed fraction; measured 0.5 at sf0.01), and exact equality when
+    nprobe = n_centroids (q_knn_ivf_exactprobe's hash-green oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     topk = ivf_topk(

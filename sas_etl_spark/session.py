@@ -11,10 +11,12 @@ Two use-cases:
 Conf rationale (SURVEY.md §4.2):
 - ``session.timeZone=UTC``: fixture timestamps are naive/UTC; DuckDB
   oracle is UTC-naive — pinning avoids value shifts in comparisons.
-- ``legacy.parquet.nanosAsLong=true``: the events table stores
-  ``timestamp[ns]`` which Spark 4.x cannot read natively
-  (PARQUET_TYPE_ILLEGAL); we read nanos as long and convert with exact
-  integer arithmetic in catalog.load_table.
+- ``legacy.parquet.nanosAsLong=true``: tolerated-encoding support —
+  if a fixture ships events as parquet ``timestamp[ns]`` (which Spark
+  4.x cannot read natively, PARQUET_TYPE_ILLEGAL), this reads nanos as
+  long; catalog.normalize_event_ts converts exactly. Current fixtures
+  ship ``timestamp[us]`` (arrives as TIMESTAMP_NTZ), normalized by the
+  same helper.
 - AQE on: runtime partition coalescing + skew-join splitting — the
   100 TB story relies on it, and locally it stops tiny stages from
   drowning in fixed shuffle-partition overhead.

@@ -16,26 +16,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sas_etl_spark.catalog import normalize_event_ts
 from sas_etl_spark.session import configure
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """The events fixture as a file stream (bounded stand-in for a
     real source; swap .format for kafka in production). pathGlobFilter
-    restricts the directory listing to the events file; ts arrives as
-    raw nanos (nanosAsLong) and converts exactly like the batch path.
+    restricts the directory listing to the events file; ``ts`` is
+    normalized to canonical TimestampType by the SAME total helper the
+    batch path uses (catalog.normalize_event_ts), so both lanes track
+    fixture-encoding changes in one place.
     """
     configure(spark)
-    schema = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    )  # nanosAsLong → ts is long
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_agg(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:

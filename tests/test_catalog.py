@@ -32,3 +32,119 @@ def test_register_views_covers_all_tables(spark):
 def test_missing_table_raises_analysis_error(spark):
     with pytest.raises(AnalysisException):
         load_table(spark, SF_SMOKE, "nonexistent_table").collect()
+
+
+def test_normalize_event_ts_is_total(spark):
+    """Every tolerated encoding maps to canonical TIMESTAMP; anything
+    else fails loudly at the catalog, not N queries downstream."""
+    import datetime
+
+    import pytest as _pytest
+
+    from sas_etl_spark.catalog import EVENTS_TS_DTYPE, normalize_event_ts
+
+    naive = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    epoch_ns = 1_709_294_400_123_456_789  # 2024-03-01T12:00:00.123456789Z
+
+    ntz = spark.createDataFrame([(naive,)], "ts timestamp_ntz")
+    assert dict(normalize_event_ts(ntz).dtypes)["ts"] == EVENTS_TS_DTYPE
+    assert normalize_event_ts(ntz).first().ts == naive  # UTC session tz
+
+    ns = spark.createDataFrame([(epoch_ns,)], "ts bigint")
+    got = normalize_event_ts(ns).first().ts
+    assert got == naive.replace(microsecond=123456)  # exact ns->us floor
+
+    already = spark.createDataFrame([(naive,)], "ts timestamp")
+    assert normalize_event_ts(already) is already  # no-op, same handle
+
+    with _pytest.raises(TypeError, match="fixture encoding changed"):
+        normalize_event_ts(spark.createDataFrame([("x",)], "ts string"))
+
+
+#: Spark-visible dtypes per fixture table AFTER load_table normalization
+#: — the contract every query builds on. A driver-side fixture
+#: regeneration that changes any name or type fails HERE, in one
+#: obvious place, instead of as N query/oracle mismatches downstream.
+#: (events.ts is normalized bigint/ntz -> timestamp by the catalog; the
+#: orders/lineitem date columns ship as parquet timestamp[us] and are
+#: intentionally left as timestamp_ntz — DuckDB reads them naive, so
+#: NTZ is the parity-exact type for them.)
+EXPECTED_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),  # canonical post-normalization
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def test_fixture_schemas_have_not_drifted(spark):
+    drift = {}
+    for table, expected in EXPECTED_SCHEMAS.items():
+        got = load_table(spark, SF_SMOKE, table).dtypes
+        if got != expected:
+            drift[table] = {"expected": expected, "got": got}
+    assert not drift, f"fixture schema drift (regen under the code?): {drift}"
+
+
+def test_expected_schemas_cover_all_tables():
+    assert set(EXPECTED_SCHEMAS) == set(TABLES)

@@ -203,3 +203,71 @@ def test_srp_banding_recall_on_planted_neighbors(spark):
     planted = {(i, 1000 + i) for i in range(n)}
     recall = len(got & planted) / n
     assert recall >= 0.9, recall
+
+
+def test_ivf_recall_high_on_clustered_data(spark):
+    """recall@10 >= 0.9 with nprobe/n_centroids = 2/16 on data with
+    cluster structure — the regime real embedding corpora live in.
+
+    Fixture embeddings are uniform-random (clusterless), where ANY
+    inverted-file method degrades to recall ~ fraction-of-lists-probed
+    (measured: 0.5-0.6 at nprobe=4/16; see the floor test below). So
+    the >=0.9 claim is pinned here on planted clusters: 16 clusters of
+    unit vectors, ids assigned round-robin so the deterministic
+    lowest-id seeds land one per cluster, query next to cluster 0's
+    center. IVF must route essentially all of exact top-10 (which
+    lives in cluster 0) through the probed lists.
+    """
+    import math
+    import random
+
+    rng = random.Random(42)
+    dim, n_clusters, per_cluster = 16, 16, 30
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(n_clusters)]
+
+    def member(c):
+        return unit([x + rng.gauss(0, 0.05) for x in centers[c]])
+
+    rows = []
+    for j in range(per_cluster):  # round-robin: ids 0..15 hit every cluster
+        for c in range(n_clusters):
+            rows.append((j * n_clusters + c, member(c)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = spark.createDataFrame(
+        [(member(0),)], "qv array<float>"
+    )
+
+    exact = {
+        r.vec_id
+        for r in cosine_topk(emb, qv, k=10, dim=dim).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in ivf_topk(
+            emb, qv, k=10, n_centroids=n_clusters, nprobe=2, dim=dim
+        ).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, recall
+
+
+def test_q_knn_ivf_registered_recall_floor(spark):
+    """The registered q_knn_ivf (nprobe=4/16) vs the exact q_knn_cosine
+    top-10 on the real fixture: pins a recall floor so a routing/probe
+    regression (e.g. probing the WRONG lists -> recall ~0) fails
+    loudly. The fixture corpus is uniform-random — the information-
+    theoretic worst case for IVF, where recall tracks the probed
+    fraction (measured 0.5 at sf0.01, 0.6 at sf0.001) — so the floor
+    is 0.4, not the 0.9 that clustered data achieves (test above)."""
+    from sas_etl_spark.registry import queries_map
+
+    qs = queries_map()
+    exact = {r.vec_id for r in qs["q_knn_cosine"](spark, SF_CORRECTNESS).collect()}
+    approx = {r.vec_id for r in qs["q_knn_ivf"](spark, SF_CORRECTNESS).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) / 10 >= 0.4

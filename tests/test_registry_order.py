@@ -35,42 +35,22 @@ def test_queries_map_leads_with_priority() -> None:
     assert sorted(emitted) == sorted(registry.QUERIES)
 
 
-def test_round3_rotation_targets_inside_window() -> None:
-    """Round-3 plan: every query whose only green row is round 1 (its
-    code has since been touched or its attestation is stale), plus
-    everything new or changed in round 3, must sit in slots 0-49."""
-    # The batch event-window twins (q_tumbling_counts, q_sliding_window,
-    # q_session_window) are deliberately OUT of the round-3 window: each
-    # shares its oracle SQL verbatim with a streaming twin kept below,
-    # so the oracle is still re-validated this round.
-    # q_approx_distinct and q_sample are also out: rows-only checks
-    # (no hash recorded by the driver), semantics unit-test-pinned,
-    # code unchanged since round 1 — their slots went to the
-    # salted-skew pair.
-    stale_r1_only = {
-        "q_remerge_share", "q_proc_sql",
-        "q_ship_priority", "q_min_per_group_join", "q_jaccard_pairs",
-        "q_cube", "q_grouping_sets", "q_split_hash",
-        "q_stream_tumbling", "q_stream_session", "q_stream_sliding",
-        "q_csv_roundtrip", "q_json_roundtrip", "q_partitioned_write",
-        "q_multi_split", "q_append_sink", "q_left_join_null",
-        "q_semi_join", "q_anti_join", "q_range_join", "q_text_tokens",
-        "q_exact_dup", "q_text_stats", "q_doc_quality", "q_token_count",
-        "q_doc_embed_join", "q_cosine_pairs", "q_near_dup_simhash",
-        "q_simhash_fingerprints", "q_doc_fingerprint", "q_knn_ivf",
-        "q_tfidf",
+def test_round5_rotation_targets_inside_window() -> None:
+    """Round-5 plan: every query the events-fixture drift broke (fixed
+    this round via catalog.normalize_event_ts) or retyped
+    (TIMESTAMP_NTZ -> canonical TIMESTAMP changes their input plan)
+    must sit in slots 0-49, per VERDICT r4 items 1-2."""
+    broken_r4_fixed_r5 = {
+        "q_sessionize", "q_stream_tumbling", "q_stream_session",
+        "q_stream_sliding", "q_stream_dedup", "q_stream_join",
     }
-    new_or_changed_r3 = {
-        "q_knn_ivf_exactprobe", "q_stream_dedup", "q_bucketed_join",
-        "q_image_features", "q_stream_join", "q_pack_sequences",
-        "q_contamination", "q_update_master", "q_scd2_merge",
-        "q_knn_cosine", "q_lang_id",
-        "q_near_dup_embedding", "q_gap_fill", "q_stratified_sample",
-        "q_orc_roundtrip", "q_dataset_compare",
-        "q_skew_salted_agg", "q_skew_salted_join",
+    events_retyped = {
+        "q_tumbling_counts", "q_sliding_window", "q_session_window",
+        "q_gap_fill", "q_asof_event", "q_dedup_firstlast",
+        "q_moving_avg", "q_json_extract",
     }
     window = set(list(registry.queries_map())[:WINDOW])
-    must = stale_r1_only | new_or_changed_r3
+    must = broken_r4_fixed_r5 | events_retyped
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
