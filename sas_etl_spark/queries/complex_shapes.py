@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.graph import connected_components
 from sas_etl_spark.operators.minhash import jaccard, shingle_array
 from sas_etl_spark.registry import query
 
@@ -137,4 +138,75 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@query(
+    "q_dup_clusters",
+    oracle="""
+    with recursive sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) as s
+        from documents
+    ),
+    pairs as (
+        select a.doc_id as a_id, b.doc_id as b_id
+        from sh a, sh b
+        where a.doc_id < b.doc_id
+          and round(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
+    ),
+    edges as (
+        select a_id as u, b_id as v from pairs
+        union all
+        select b_id as u, a_id as v from pairs
+    ),
+    reach(u, v) as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u
+    )
+    select u as doc_id,
+           least(u, min(v)) as cluster_id,
+           cast(case when least(u, min(v)) = u then 1 else 0 end as int)
+               as is_rep
+    from reach
+    group by u
+    """,
+    tags=("dedup", "graph", "composite"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pair edges — the keep/drop stage of the
+    dedup pipeline. Pair finders (q_jaccard_pairs exact form here; the
+    MinHash/SimHash/SRP LSH twins at scale) emit edges; near-duplication
+    is transitive in practice, so the keep-set needs connected
+    components: cluster_id = min doc_id of the component, is_rep marks
+    the one kept document per cluster. Spark side is iterative
+    min-label propagation (operators/graph.py — one join + min-agg per
+    round, converges in diameter rounds, 2 on this corpus); the oracle
+    is the recursive-CTE transitive closure, exercising the driver's
+    hash compare on an iterative algorithm's output."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), shingle_array(F.col("text")).alias("_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sb"))
+    pairs = (
+        a.join(b, a.a_id < b.b_id)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("_j"),
+        )
+        .filter(F.col("_j") >= 0.2)
+        .select("a_id", "b_id")
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_rep"),
     )

@@ -79,6 +79,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_firstlast",
     "q_moving_avg",
     "q_json_extract",
+    # -- new in round 5
+    "q_dup_clusters",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -87,8 +89,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_pricing_summary anchors bench.py; the rows-only q_sample /
     # q_approx_* are unit-test-pinned and unchanged; the UDF trio
     # q_udf_charge/q_udaf_weighted/q_grouped_zscore + q_rank_ties_mean
-    # + q_string_funcs2 are unchanged with dedicated pytest coverage
-    # and rotate back in next round.)
+    # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
+    # pytest coverage and rotate back in next round.)
     "q_pivot_status",
     "q_rollup",
     "q_distinct_count",
@@ -123,7 +125,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_freq_chisq",
     "q_window_rank",
     "q_running_total",
-    "q_rank_ntile",
 )
 
 
