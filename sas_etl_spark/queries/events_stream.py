@@ -201,3 +201,106 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "q_interp_linear",
+    oracle="""
+    with daily as (
+        select user_id, date_trunc('day', ts) as day,
+               round(sum(value), 2) as v
+        from events group by 1, 2
+    ), span as (
+        select user_id, min(day) as d0, max(day) as d1 from daily group by 1
+    ), cal as (
+        select user_id, unnest(generate_series(d0, d1, interval 1 day)) as day
+        from span
+    ), framed as (
+        select c.user_id, c.day, d.v,
+               last_value(d.v ignore nulls) over (
+                   partition by c.user_id order by c.day
+                   rows between unbounded preceding and current row) as p_v,
+               last_value(case when d.v is not null then c.day end ignore nulls)
+                   over (
+                   partition by c.user_id order by c.day
+                   rows between unbounded preceding and current row) as p_day,
+               first_value(d.v ignore nulls) over (
+                   partition by c.user_id order by c.day
+                   rows between current row and unbounded following) as n_v,
+               first_value(case when d.v is not null then c.day end ignore nulls)
+                   over (
+                   partition by c.user_id order by c.day
+                   rows between current row and unbounded following) as n_day
+        from cal c left join daily d using (user_id, day)
+    )
+    select user_id, day,
+           round(case when v is not null then v
+                else p_v + (n_v - p_v)
+                     * (date_diff('day', p_day, day) * 1.0
+                        / date_diff('day', p_day, n_day))
+                end, 6) as value,
+           v is null as is_interp
+    from framed
+    """,
+    tags=("events", "window"),
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + LINEAR interpolation (SAS: PROC EXPAND
+    METHOD=JOIN — straight-line between observed points), the
+    companion of q_gap_fill's METHOD=STEP carry-forward.
+
+    Each gap day takes p + (n - p) * elapsed/gap_width between its
+    bracketing observed days, found with last(ignorenulls) over the
+    preceding frame and first(ignorenulls) over the following frame —
+    two frames on ONE user-partitioned sort, no self-join, no
+    per-gap subquery. Both engines evaluate the identical arithmetic
+    expression on identically-rounded 2dp inputs, so the 6dp-rounded
+    interpolants hash-match exactly. Span edges are always observed
+    (calendar spans min..max observed day), so neither frame can come
+    up empty.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    framed = cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("p_v"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("p_day"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("n_v"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("n_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("p_day")) * F.lit(1.0) / F.datediff(
+        F.col("n_day"), F.col("p_day")
+    )
+    return framed.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("p_v") + (F.col("n_v") - F.col("p_v")) * frac
+            ),
+            6,
+        ).alias("value"),
+        F.col("v").isNull().alias("is_interp"),
+    )

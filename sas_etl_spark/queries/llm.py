@@ -747,3 +747,63 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round(cosine("_va", "_vb"), 6).alias("sim"))
         .filter(F.col("sim") >= 0.99)
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle="""
+    with scored as (
+        select doc_id, lang, text,
+               cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+               round(len(list_filter(string_split(text, ' '),
+                         x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+                     * 1.0 / len(string_split(text, ' ')), 6) as stopword_ratio,
+               round(len(list_distinct(string_split(text, ' ')))
+                     * 1.0 / len(string_split(text, ' ')), 6) as type_token_ratio
+        from documents
+    ),
+    filtered as (
+        select * from scored
+        where lang in ('en', 'de', 'fr')
+          and n_tokens between 20 and 80
+          and type_token_ratio >= 0.5
+    ),
+    keepers as (
+        select min(doc_id) as doc_id from filtered group by text
+    )
+    select f.doc_id, f.lang, f.n_tokens, f.stopword_ratio, f.type_token_ratio
+    from filtered f
+    join keepers using (doc_id)
+    """,
+    tags=("text", "dedup", "composite", "curation"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality-score -> language
+    gate -> length gate -> lexical-diversity gate -> exact-dedup
+    keep-first. The composite a corpus pipeline actually runs as one
+    job, demonstrating the stages fuse into a single declarative plan:
+    all scalar gates evaluate scan-side in one Project (pushdown-
+    eligible), and the only shuffle is the dedup's hash-agg on text
+    (sha2(text) at the 100 TB variant, like exact_dup_counts). The
+    keep-first rule is a min-aggregation + semi-join — no ordered
+    window, so no sort anywhere in the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        cols["n_tokens"].alias("n_tokens"),
+        F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(cols["type_token_ratio"], 6).alias("type_token_ratio"),
+    )
+    filtered = scored.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_tokens").between(20, 80)
+        & (F.col("type_token_ratio") >= 0.5)
+    )
+    keepers = filtered.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return filtered.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_tokens", "stopword_ratio", "type_token_ratio"
+    )

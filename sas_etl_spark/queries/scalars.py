@@ -281,3 +281,78 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy/MM/dd").alias("ymd_label"),
         F.date_format("o_orderdate", "yyyy").cast("long").alias("year_str_int"),
     )
+
+
+@query(
+    "q_intnx_intck",
+    oracle="""
+    select o_orderkey,
+           cast(date_trunc('month', o_orderdate) + interval 2 month
+                as timestamp)                                as intnx_month_b,
+           cast(cast(o_orderdate + interval 2 month as date) as timestamp)
+               as intnx_month_s,
+           cast(last_day(cast(o_orderdate + interval 2 month as date))
+                as timestamp)                                as intnx_month_e,
+           cast(cast(o_orderdate as date)
+                - cast(dayofweek(o_orderdate) as int) + 14
+                as timestamp)                                as intnx_week_b,
+           cast(date_diff('day', o_orderdate,
+                          timestamp '1996-06-15 00:00:00') as bigint)
+               as intck_day,
+           cast(floor(date_diff('day', date '1800-01-05',
+                                cast(timestamp '1996-06-15 00:00:00' as date))
+                      / 7)
+                - floor(date_diff('day', date '1800-01-05',
+                                  cast(o_orderdate as date)) / 7) as bigint)
+               as intck_week,
+           cast((1996 * 12 + 6)
+                - (year(o_orderdate) * 12 + month(o_orderdate)) as bigint)
+               as intck_month,
+           cast((1996 * 4 + 2)
+                - (year(o_orderdate) * 4 + quarter(o_orderdate)) as bigint)
+               as intck_qtr
+    from orders
+    """,
+    tags=("scalar", "date"),
+)
+def q_intnx_intck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS INTNX (interval advance) and INTCK (boundary count)
+    semantics, pinned precisely — SURVEY.md §2.8 date family depth.
+
+    INTNX alignments: 'B' = advance then snap to interval begin
+    (month start / week-start Sunday), 'S' = same relative day
+    (month-end clamped identically by Spark add_months and DuckDB
+    interval arithmetic), 'E' = interval end (last_day). INTCK counts
+    BOUNDARY CROSSINGS, not elapsed time — 31 Jan to 1 Feb is one
+    month — so months/quarters diff discrete indices (year*12+month)
+    and weeks diff Sunday-week ordinals anchored at 1800-01-05 (a
+    Sunday); the identical explicit formula runs on both engines,
+    sidestepping DuckDB/Spark disagreeing on week-start and
+    dayofweek numbering (DuckDB Sunday=0, Spark Sunday=1). All INTNX
+    outputs are cast to midnight TIMESTAMP on both sides: Spark DATE
+    reaches pandas as python-date objects while DuckDB DATE arrives
+    as datetime64, which would break the value compare on type, not
+    value.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    ref = F.lit("1996-06-15").cast("date")
+    sunday_epoch = F.lit("1800-01-05").cast("date")
+    week_ord = lambda c: F.floor(F.datediff(c, sunday_epoch) / 7)  # noqa: E731
+    month_idx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    qtr_idx = lambda c: F.year(c) * 4 + F.quarter(c)  # noqa: E731
+    return orders.select(
+        "o_orderkey",
+        F.add_months(F.date_trunc("month", d), 2)
+        .cast("timestamp")
+        .alias("intnx_month_b"),
+        F.add_months(d, 2).cast("timestamp").alias("intnx_month_s"),
+        F.last_day(F.add_months(d, 2)).cast("timestamp").alias("intnx_month_e"),
+        F.date_add(F.date_sub(d.cast("date"), F.dayofweek(d) - 1), 14)
+        .cast("timestamp")
+        .alias("intnx_week_b"),
+        F.datediff(ref, d.cast("date")).cast("long").alias("intck_day"),
+        (week_ord(ref) - week_ord(d.cast("date"))).cast("long").alias("intck_week"),
+        (F.lit(1996 * 12 + 6) - month_idx(d)).cast("long").alias("intck_month"),
+        (F.lit(1996 * 4 + 2) - qtr_idx(d)).cast("long").alias("intck_qtr"),
+    )

@@ -81,6 +81,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_json_extract",
     # -- new in round 5
     "q_dup_clusters",
+    "q_intnx_intck",
+    "q_curation_pipeline",
+    "q_interp_linear",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -90,7 +93,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_approx_* are unit-test-pinned and unchanged; the UDF trio
     # q_udf_charge/q_udaf_weighted/q_grouped_zscore + q_rank_ties_mean
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
-    # pytest coverage and rotate back in next round.)
+    # pytest coverage; q_window_rank/q_running_total/q_univariate_moments
+    # ceded slots to the three new round-5 queries (window_rank runs in
+    # bench every round regardless) — all rotate back next round.)
     "q_pivot_status",
     "q_rollup",
     "q_distinct_count",
@@ -121,10 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_pivot_api",
     "q_corr_stats",
-    "q_univariate_moments",
     "q_freq_chisq",
-    "q_window_rank",
-    "q_running_total",
 )
 
 
