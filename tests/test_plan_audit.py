@@ -167,3 +167,31 @@ def test_no_query_plans_cartesian_or_single_partition_exchange(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_curation_pipeline_is_single_shuffle_no_sort(spark):
+    """The fused curation plan: all quality gates evaluate scan-side,
+    the exact-dedup keep-first is a min-agg whose ONE hash exchange is
+    the plan's only shuffle, and the keep-set comes back via broadcast
+    LeftSemi — no window, no Sort node anywhere. (Formatted output
+    names each node twice: tree + detail section.)"""
+    plan = audit(QUERIES["q_curation_pipeline"].fn(spark, SF_CORRECTNESS))["plan"]
+    assert "LeftSemi" in plan, plan
+    assert len(re.findall(r"\bExchange\b", plan)) == 2, plan  # 1 node x2 mentions
+    assert "Sort" not in plan, plan
+
+
+def test_interp_linear_frames_share_one_sort_and_window(spark):
+    """Both bracketing frames (last-preceding / first-following) share
+    (partitionBy user_id, orderBy day): Spark must fuse them into ONE
+    Window node over ONE Sort, and the window must inherit the join's
+    user_id hash partitioning rather than add an Exchange after the
+    join — the properties that make densify+interpolate one-pass at
+    100 TB."""
+    plan = audit(QUERIES["q_interp_linear"].fn(spark, SF_CORRECTNESS))["plan"]
+    assert len(re.findall(r"\bWindow\b", plan)) == 2, plan  # 1 node x2 mentions
+    assert len(re.findall(r"\bSort\b", plan)) == 2, plan
+    tree = plan.split("\n\n")[0]
+    join_pos = tree.find("Join")
+    assert join_pos != -1, tree
+    assert "Exchange" not in tree[:join_pos], tree  # nothing between Window and join
