@@ -38,6 +38,7 @@ from sas_etl_spark.sources import (
 from sas_etl_spark.streaming import (
     dedup_within_watermark,
     run_bounded_to_memory,
+    run_bounded_to_parquet_sink,
     session_window_agg,
     sliding_agg,
     stream_events,
@@ -475,4 +476,39 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "q_stream_exactly_once_sink",
+    oracle="""
+    select time_bucket(interval 6 hour, ts) as bucket,
+           event_type,
+           count(*) as n,
+           round(sum(value), 2) as total_value
+    from events
+    group by 1, 2
+    """,
+    tags=("streaming", "io", "sink"),
+)
+def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> DURABLE parquet sink with exactly-once semantics
+    (SURVEY.md §2.10): the tumbling agg streams through foreachBatch
+    into an epoch-partitioned directory with dynamic partition
+    overwrite (run_bounded_to_parquet_sink — a retried epoch replaces
+    its own partition, never appends a duplicate), then the sink is
+    read BACK and the final epoch's full rewrite is hash-checked
+    against the same batch oracle as q_stream_tumbling. Proves the
+    whole loop: stream -> idempotent file sink -> pruned readback ==
+    batch answer. The readback filter prunes on the _epoch partition
+    column (one directory listed, audited shape as in
+    q_partitioned_write)."""
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    agg = tumbling_agg(events, width="6 hours", watermark="1 hour")
+    path = scratch_dir(spark, "stream_sink")
+    last_epoch = run_bounded_to_parquet_sink(agg, path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_epoch") == last_epoch)
+        .select("bucket", "event_type", "n", "total_value")
     )

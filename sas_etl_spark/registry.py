@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_intnx_intck",
     "q_curation_pipeline",
     "q_interp_linear",
+    "q_stream_exactly_once_sink",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -93,8 +94,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_approx_* are unit-test-pinned and unchanged; the UDF trio
     # q_udf_charge/q_udaf_weighted/q_grouped_zscore + q_rank_ties_mean
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
-    # pytest coverage; q_window_rank/q_running_total/q_univariate_moments
-    # ceded slots to the three new round-5 queries (window_rank runs in
+    # pytest coverage; q_window_rank/q_running_total/
+    # q_univariate_moments/q_corr_stats ceded slots to the four new
+    # round-5 queries (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
     "q_pivot_status",
     "q_rollup",
@@ -125,7 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_missing_semantics",
     "q_unpivot",
     "q_pivot_api",
-    "q_corr_stats",
     "q_freq_chisq",
 )
 

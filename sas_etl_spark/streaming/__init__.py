@@ -12,6 +12,7 @@ batch oracle.
 from sas_etl_spark.streaming.builders import (
     dedup_within_watermark,
     run_bounded_to_memory,
+    run_bounded_to_parquet_sink,
     session_window_agg,
     sliding_agg,
     stream_events,
@@ -25,4 +26,5 @@ __all__ = [
     "session_window_agg",
     "dedup_within_watermark",
     "run_bounded_to_memory",
+    "run_bounded_to_parquet_sink",
 ]

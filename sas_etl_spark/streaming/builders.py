@@ -125,3 +125,48 @@ def run_bounded_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_bounded_to_parquet_sink(
+    agg: DataFrame, path: str, mode: str = "complete"
+) -> int:
+    """Drive a streaming query into an EXACTLY-ONCE parquet sink via
+    ``foreachBatch`` + epoch-partitioned dynamic overwrite; returns the
+    final epoch id.
+
+    The exactly-once contract without a transactional table format:
+    every micro-batch writes ONLY its own ``_epoch=<id>`` partition
+    with ``partitionOverwriteMode=dynamic``, so a batch that is
+    retried after a failure (Structured Streaming re-runs the same
+    epoch id) overwrites its own partial output instead of appending a
+    duplicate — write idempotence per epoch, which together with the
+    checkpoint's exactly-once epoch tracking gives an exactly-once
+    sink. This is the standard file-sink pattern when Delta/Iceberg
+    jars are unavailable (sources/lakehouse.py stays the ACID path).
+    Readers take the max ``_epoch`` partition for complete-mode aggs
+    (each epoch is a full rewrite) — partition pruning makes that a
+    one-directory scan.
+    """
+    checkpoint = f"{path}__chk"
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    q = (
+        agg.writeStream.outputMode(mode)
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = max(int(p.batchId) for p in q.recentProgress) if q.recentProgress else 0
+    return last

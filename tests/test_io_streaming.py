@@ -147,3 +147,33 @@ def test_image_stats_distributed_decode(spark, tmp_path):
         means = arr.mean(axis=(0, 1))
         assert got[i][0] == w and got[i][1] == h
         assert got[i][2:] == (means[0], means[1], means[2])
+
+
+def test_exactly_once_sink_retry_is_idempotent(spark, tmp_path):
+    """A retried epoch must REPLACE its own partition, not append: we
+    re-run the final epoch's write (same rows, same epoch id — exactly
+    what Structured Streaming does after a sink failure) and the sink
+    must be byte-for-byte the same size."""
+    from pyspark.sql import functions as F
+
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.streaming import (
+        run_bounded_to_parquet_sink,
+        stream_events,
+        tumbling_agg,
+    )
+
+    path = str(tmp_path / "sink")
+    agg = tumbling_agg(stream_events(spark, SF_SMOKE))
+    last = run_bounded_to_parquet_sink(agg, path)
+    first_rows = sorted(spark.read.parquet(path).collect())
+
+    retry = tumbling_agg(load_table(spark, SF_SMOKE, "events"))  # same rows
+    (
+        retry.withColumn("_epoch", F.lit(last))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(path)
+    )
+    assert sorted(spark.read.parquet(path).collect()) == first_rows
