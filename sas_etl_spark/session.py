@@ -84,7 +84,22 @@ def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> Spa
             spark.conf.set(key, value)
         except Exception:  # static conf on this build — leave as-is
             pass
-    if shuffle_partitions is not None:
+    if shuffle_partitions is None:
+        # Right-size a session still on Spark's factory default (200):
+        # at fixture scale that is ~200 near-empty post-shuffle tasks
+        # per stage in the driver's vanilla session. Only the untouched
+        # default is replaced — any deliberate setting (ours or the
+        # caller's) is preserved. At cluster scale the operator sizes
+        # this to bytes/128MiB (SCALE.md), never the factory default.
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(max(8, 2 * (os.cpu_count() or 4))),
+                )
+        except Exception:
+            pass
+    else:
         try:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         except Exception:
