@@ -56,3 +56,25 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str, out_schema: 
         return out
 
     return df.groupBy(group_col).applyInPandas(per_group, schema=out_schema)
+
+
+def register_tokenize_udtf(spark) -> None:
+    """Python UDTF (SAS analog: a DATA step emitting multiple OUTPUT
+    rows per input row) — completes the §2.11 surface triplet
+    (UDF/UDAF/UDTF). Splits text into (position, token) rows via a
+    lateral join. Arrow-batched (useArrow) like every other Python
+    lane; still row-generating Python, so — like the UDF/UDAF twins —
+    the built-in explode/posexplode form is the hot-path choice and
+    this exists to prove the surface is result-identical to SQL.
+    Registration is idempotent per session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: bigint, token: string", useArrow=True)
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)

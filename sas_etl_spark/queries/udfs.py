@@ -79,3 +79,37 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z_clean = F.when(F.isnan("z"), F.lit(None).cast("double")).otherwise(F.col("z"))
     return z.select("o_orderkey", F.round(z_clean, 6).alias("z"))
+
+
+@query(
+    "q_udtf_tokens",
+    oracle="""
+    select doc_id, u.idx, u.token
+    from (
+        select doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) + 1),
+                   i -> struct_pack(
+                       idx := cast(i - 1 as bigint),
+                       token := string_split(text, ' ')[i]))) as u
+        from documents
+    )
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: one (position, token) row per
+    token per document (SAS: DATA step with multiple OUTPUT
+    statements). The oracle rebuilds the same ordinality with a
+    struct-unnest. posexplode is the JVM hot-path twin; this pins the
+    UDTF lane's results to it exactly."""
+    from sas_etl_spark.functions.udfs import register_tokenize_udtf
+
+    register_tokenize_udtf(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        select d.doc_id, t.idx, t.token
+        from _udtf_docs d, lateral tokenize_udtf(d.text) t
+        """
+    )
