@@ -229,3 +229,130 @@ def extract_features(
             yield pdf
 
     return df.mapInPandas(per_batch, schema=out_schema)
+
+
+# -- real byte decoding: WAV / 16-bit PCM, zero external codecs -------
+#
+# RIFF/WAVE with uncompressed PCM is a pure struct layout — header
+# chunks plus a raw int16 plane — so, like PPM above, the audio decode
+# lane does REAL bytes-to-samples work with stdlib + numpy only.
+# Swapping decode_wav for a soundfile/librosa call (compressed
+# formats) changes nothing about the Spark plumbing.
+
+
+def wav_bytes(n_samples: int, rate: int, clip_idx: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: sample k has value
+    ((clip_idx*31 + k*17) mod 20011) - 10005 — integer arithmetic an
+    SQL oracle recomputes exactly, amplitude within int16 range."""
+    import struct
+
+    k = np.arange(n_samples, dtype=np.int64)
+    samples = (((clip_idx * 31 + k * 17) % 20011) - 10005).astype("<i2")
+    payload = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM mono 16-bit
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def write_wav_fixture(out_dir: str, n_clips: int = 48, rate: int = 8000) -> None:
+    """Write the deterministic WAV corpus: clip i has 800 + (i%7)*160
+    samples at 8 kHz. Driver-side generation, distributed readback —
+    same lifecycle as write_ppm_fixture."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_clips):
+        n = 800 + (i % 7) * 160
+        with open(os.path.join(out_dir, f"clip_{i:05d}.wav"), "wb") as f:
+            f.write(wav_bytes(n, rate, i))
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse RIFF/WAVE bytes -> (rate, n_channels, int16 samples).
+    Real decode: chunk walk (fmt then data, skipping unknown chunks),
+    then a zero-copy frombuffer of the PCM plane."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", payload, body)
+            (bits,) = struct.unpack_from("<H", payload, body + 14)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (fmt={fmt_code}, bits={bits})")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+            return rate, channels, samples
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk found")
+
+
+def audio_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"clip_(\d+)\.wav$",
+) -> DataFrame:
+    """Decode WAV payloads -> per-clip (clip_id, sample_rate,
+    n_samples, mean amplitude, RMS) via mapInPandas — the audio twin
+    of image_stats. Integer sample sums stay far under 2^53, so the
+    double means/RMS are bit-reproducible by the SQL oracle."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+        import struct as _struct
+
+        import numpy as _np
+
+        def decode(payload: bytes):
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, rate = 12, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (size,) = _struct.unpack_from("<I", payload, pos + 4)
+                body = pos + 8
+                if cid == b"fmt ":
+                    _, _, rate = _struct.unpack_from("<HHI", payload, body)
+                elif cid == b"data":
+                    s = _np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+                    return rate, s
+                pos = body + size + (size & 1)
+            raise ValueError("no data chunk")
+
+        pat = _re.compile(id_pattern)
+        for pdf in batches:
+            out = {
+                "clip_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "mean_amp": [],
+                "rms": [],
+            }
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                rate, s = decode(bytes(content))
+                x = s.astype(_np.float64)
+                m = pat.search(path)
+                out["clip_id"].append(int(m.group(1)) if m else -1)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["mean_amp"].append(float(x.mean()))
+                out["rms"].append(float(_np.sqrt((x * x).mean())))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "clip_id long, sample_rate int, n_samples long, "
+        "mean_amp double, rms double"
+    )
+    return df.mapInPandas(per_batch, schema=schema)

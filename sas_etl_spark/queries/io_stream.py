@@ -18,9 +18,11 @@ from sas_etl_spark.catalog import load_table
 from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE, SLIDING_ORACLE
 from sas_etl_spark.operators.multimodal import (
     attach_fake_payload,
+    audio_stats,
     extract_features,
     image_stats,
     write_ppm_fixture,
+    write_wav_fixture,
 )
 from sas_etl_spark.registry import query
 from sas_etl_spark.scratch import scratch_dir
@@ -511,4 +513,56 @@ def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(path)
         .filter(F.col("_epoch") == last_epoch)
         .select("bucket", "event_type", "n", "total_value")
+    )
+
+
+#: Regenerates every PCM sample of the WAV fixture from the generator
+#: spec (clip i: 800+(i%7)*160 samples, v = ((i*31+k*17) % 20011) -
+#: 10005) and aggregates — a hash match attests real bytes->samples
+#: decoding. Sums of |v|<=10005 over <=1760 samples are exact in
+#: double, so mean/RMS agree bit-for-bit before the 6dp round.
+_AUDIO_ORACLE = """
+with clips as (
+  select i, 800 + (i % 7) * 160 as n from range(48) t(i)
+),
+samples as (
+  select i, n, ((i * 31 + unnest(range(n)) * 17) % 20011) - 10005 as v
+  from clips
+),
+agg as (
+  select i,
+         round(avg(cast(v as double)), 6) as mean_amp,
+         round(sqrt(avg(cast(v as double) * cast(v as double))), 6) as rms
+  from samples group by i
+)
+select c.i as clip_id, cast(8000 as integer) as sample_rate,
+       cast(c.n as bigint) as n_samples, a.mean_amp, a.rms
+from clips c join agg a on c.i = a.i
+"""
+
+
+@query("q_audio_features", oracle=_AUDIO_ORACLE, tags=("multimodal", "io"))
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio byte decode end-to-end — the audio twin of
+    q_image_features: write a deterministic 48-clip 16-bit PCM WAV
+    corpus to scratch, read it back distributed via the binaryFile
+    source, walk the RIFF chunks and frombuffer the PCM plane inside
+    the Arrow mapInPandas lane, and emit per-clip rate / length /
+    mean amplitude / RMS. The oracle regenerates every sample from
+    the generator spec in pure SQL, so the hash match attests actual
+    bytes-to-samples decoding. At 100 TB this is the audio-ingest
+    shape: object-store listing partitioned across executors, whole
+    files decoded batch-wise in Python workers, features landing as
+    relational columns; compressed codecs swap in at decode_wav
+    without touching the plumbing."""
+    path = scratch_dir(spark, "wav")
+    write_wav_fixture(path, n_clips=48)
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(path)
+    stats = audio_stats(raw.select("path", "content"))
+    return stats.select(
+        "clip_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
     )

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_interp_linear",
     "q_stream_exactly_once_sink",
     "q_udtf_tokens",
+    "q_audio_features",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -96,8 +97,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_udf_charge/q_udaf_weighted/q_grouped_zscore + q_rank_ties_mean
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
     # pytest coverage; q_window_rank/q_running_total/
-    # q_univariate_moments/q_corr_stats/q_freq_chisq ceded slots to the
-    # six new round-5 queries (window_rank runs in
+    # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows
+    # ceded slots to the seven new round-5 queries (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
     "q_pivot_status",
     "q_rollup",
@@ -124,7 +125,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_topn_sort",
     "q_nodupkey",
     "q_dupout",
-    "q_distinct_rows",
     "q_missing_semantics",
     "q_unpivot",
     "q_pivot_api",

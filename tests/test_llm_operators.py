@@ -271,3 +271,29 @@ def test_q_knn_ivf_registered_recall_floor(spark):
     approx = {r.vec_id for r in qs["q_knn_ivf"](spark, SF_CORRECTNESS).collect()}
     assert len(approx) == 10
     assert len(exact & approx) / 10 >= 0.4
+
+
+def test_wav_decode_rejects_garbage_and_skips_unknown_chunks():
+    """decode_wav must be a real RIFF parser: reject non-WAV bytes,
+    tolerate unknown chunks before data (real encoders emit LIST/fact
+    chunks), and honor word alignment."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sas_etl_spark.operators.multimodal import decode_wav, wav_bytes
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+    rate, ch, s = decode_wav(wav_bytes(800, 8000, 0))
+    assert (rate, ch, len(s)) == (8000, 1, 800)
+
+    # splice an odd-sized unknown chunk between fmt and data
+    raw = wav_bytes(800, 8000, 0)
+    fmt_end = raw.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to even
+    spliced = raw[:fmt_end] + junk + raw[fmt_end:]
+    rate2, ch2, s2 = decode_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(s, s2)
