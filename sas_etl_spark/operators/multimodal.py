@@ -356,3 +356,177 @@ def audio_stats(
         "mean_amp double, rms double"
     )
     return df.mapInPandas(per_batch, schema=schema)
+
+
+def resize_nearest(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor image resize — pure integer index sampling
+    (src_x = floor(x*w/out_w)), the codec-free resize every real
+    pipeline's thumbnail stage starts from, and exactly reproducible
+    by an SQL oracle. arr is (h, w, 3) uint8."""
+    h, w = arr.shape[0], arr.shape[1]
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return arr[ys[:, None], xs[None, :], :]
+
+
+def image_resized_stats(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"img_(\d+)\.ppm$",
+) -> DataFrame:
+    """Decode PPM -> nearest-neighbor resize to (out_w, out_h) ->
+    per-channel means of the RESIZED pixels, via mapInPandas. The
+    resize happens inside the Arrow batch loop — the thumbnail-stage
+    shape of an image-ingest pipeline."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        import numpy as _np
+
+        def decode(payload: bytes):
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(payload[start:pos])
+            w, h = int(tokens[1]), int(tokens[2])
+            pos += 1
+            px = _np.frombuffer(payload, dtype=_np.uint8, count=w * h * 3, offset=pos)
+            return w, h, px.reshape(h, w, 3)
+
+        pat = _re.compile(id_pattern)
+        for pdf in batches:
+            out = {"img_id": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                w, h, arr = decode(bytes(content))
+                xs = (_np.arange(out_w, dtype=_np.int64) * w) // out_w
+                ys = (_np.arange(out_h, dtype=_np.int64) * h) // out_h
+                small = arr[ys[:, None], xs[None, :], :]
+                means = small.astype(_np.float64).mean(axis=(0, 1))
+                m = pat.search(path)
+                out["img_id"].append(int(m.group(1)) if m else -1)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        per_batch, schema="img_id long, mean_r double, mean_g double, mean_b double"
+    )
+
+
+# -- real video container: Y4M (YUV4MPEG2), zero external codecs -----
+#
+# Y4M is the uncompressed video format ffmpeg pipes speak: one ASCII
+# stream header, then per frame an ASCII "FRAME" marker + raw planes.
+# With C444 every plane is w*h bytes — parseable with stdlib + numpy,
+# so frame-sampling does REAL container work; a compressed codec
+# swaps in at decode time without touching the Spark plumbing.
+
+
+def y4m_bytes(width: int, height: int, n_frames: int, clip_idx: int) -> bytes:
+    """Deterministic Y4M C444 clip: plane p of frame f has pixel
+    (x, y) value (clip_idx*7 + f*3 + p*13 + x + y) mod 256 — integer
+    arithmetic an SQL oracle recomputes exactly."""
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    p = np.arange(3, dtype=np.int64)[None, None, :]
+    frames = []
+    for f in range(n_frames):
+        arr = ((clip_idx * 7 + f * 3 + p * 13 + x + y) % 256).astype(np.uint8)
+        # planar layout: full Y plane, then Cb, then Cr
+        frames.append(b"FRAME\n" + arr.transpose(2, 0, 1).tobytes())
+    return header + b"".join(frames)
+
+
+def write_y4m_fixture(out_dir: str, n_clips: int = 24) -> None:
+    """Write the deterministic Y4M corpus: clip i is 8x6, with
+    6 + (i % 5) * 3 frames."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_clips):
+        n = 6 + (i % 5) * 3
+        with open(os.path.join(out_dir, f"vid_{i:05d}.y4m"), "wb") as f:
+            f.write(y4m_bytes(8, 6, n, i))
+
+
+def video_frame_sample_stats(
+    df: DataFrame,
+    every_k: int = 3,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"vid_(\d+)\.y4m$",
+) -> DataFrame:
+    """Parse Y4M container -> sample every k-th frame (0, k, 2k, ...)
+    -> per-clip frame counts + mean luma of SAMPLED frames, via
+    mapInPandas. Frame-sampling is the standard decimation step of a
+    video-training pipeline; sampling before feature extraction is
+    what keeps 100 TB of video tractable."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        import numpy as _np
+
+        def decode(payload: bytes):
+            nl = payload.index(b"\n")
+            header = payload[:nl].decode()
+            if not header.startswith("YUV4MPEG2"):
+                raise ValueError("not a YUV4MPEG2 stream")
+            w = h = None
+            for tok in header.split()[1:]:
+                if tok[0] == "W":
+                    w = int(tok[1:])
+                elif tok[0] == "H":
+                    h = int(tok[1:])
+                elif tok[0] == "C" and tok[1:] != "444":
+                    raise ValueError(f"only C444 supported, got {tok}")
+            plane, pos, frames = w * h, nl + 1, []
+            while pos < len(payload):
+                fnl = payload.index(b"\n", pos)
+                if payload[pos:fnl].split()[0] != b"FRAME":
+                    raise ValueError("expected FRAME marker")
+                body = fnl + 1
+                frames.append(
+                    _np.frombuffer(payload, dtype=_np.uint8, count=3 * plane, offset=body)
+                    .reshape(3, h, w)
+                )
+                pos = body + 3 * plane
+            return w, h, frames
+
+        pat = _re.compile(id_pattern)
+        for pdf in batches:
+            out = {
+                "clip_id": [],
+                "n_frames": [],
+                "n_sampled": [],
+                "mean_luma_sampled": [],
+            }
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                w, h, frames = decode(bytes(content))
+                sampled = frames[::every_k]
+                luma = _np.stack([f[0] for f in sampled]).astype(_np.float64)
+                m = pat.search(path)
+                out["clip_id"].append(int(m.group(1)) if m else -1)
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(len(sampled))
+                out["mean_luma_sampled"].append(float(luma.mean()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        per_batch,
+        schema="clip_id long, n_frames long, n_sampled long, mean_luma_sampled double",
+    )

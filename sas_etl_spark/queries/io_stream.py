@@ -20,9 +20,12 @@ from sas_etl_spark.operators.multimodal import (
     attach_fake_payload,
     audio_stats,
     extract_features,
+    image_resized_stats,
     image_stats,
+    video_frame_sample_stats,
     write_ppm_fixture,
     write_wav_fixture,
+    write_y4m_fixture,
 )
 from sas_etl_spark.registry import query
 from sas_etl_spark.scratch import scratch_dir
@@ -565,4 +568,104 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"),
+    )
+
+
+#: Regenerates the nearest-neighbor-resized pixels in SQL: resized
+#: (x', y') samples source (x'*w//4, y'*h//3) — the identical integer
+#: index arithmetic the numpy lane uses, so means match bit-for-bit.
+_RESIZE_ORACLE = """
+with dims as (
+  select i, 8 + (i % 5) * 4 as w, 6 + (i % 3) * 4 as h from range(64) t(i)
+),
+px as (
+  select d.i,
+         cc.c,
+         (xp.x * d.w) // 4 as sx,
+         (yp.y * d.h) // 3 as sy
+  from dims d
+  cross join range(4) xp(x)
+  cross join range(3) yp(y)
+  cross join range(3) cc(c)
+),
+v as (
+  select i, c, (i * 7 + c * 13 + sx + sy) % 256 as val from px
+)
+select i as img_id,
+       round(avg(cast(val as double)) filter (c = 0), 6) as mean_r,
+       round(avg(cast(val as double)) filter (c = 1), 6) as mean_g,
+       round(avg(cast(val as double)) filter (c = 2), 6) as mean_b
+from v group by i
+"""
+
+
+@query("q_image_resize", oracle=_RESIZE_ORACLE, tags=("multimodal", "io"))
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE stage (thumbnailing) on the real-decode lane:
+    decode the PPM corpus, nearest-neighbor-resample each image to
+    4x3 inside the Arrow batch loop, and emit per-channel means of
+    the RESIZED pixels. Nearest-neighbor is pure integer index
+    sampling, so the oracle regenerates the exact resized pixels in
+    SQL — the hash match proves decode AND geometric resampling.
+    An interpolating resize (PIL/cv2) swaps in per-batch without
+    touching the plumbing."""
+    path = scratch_dir(spark, "ppm_rs")
+    write_ppm_fixture(path, n_images=64)
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.ppm").load(path)
+    stats = image_resized_stats(raw.select("path", "content"), out_w=4, out_h=3)
+    return stats.select(
+        "img_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+#: Regenerates the sampled frames' luma plane in SQL: clip i has
+#: 6+(i%5)*3 frames of 8x6; sampling keeps frames f with f % 3 = 0;
+#: luma pixel = (i*7 + f*3 + x + y) mod 256.
+_VIDEO_ORACLE = """
+with clips as (
+  select i, 6 + (i % 5) * 3 as n from range(24) t(i)
+),
+fr as (
+  select i, n, unnest(range(n)) as f from clips
+),
+sampled as (
+  select i, f from fr where f % 3 = 0
+),
+px as (
+  select s.i, (s.i * 7 + s.f * 3 + xx.x + yy.y) % 256 as val
+  from sampled s cross join range(8) xx(x) cross join range(6) yy(y)
+),
+agg as (
+  select i, round(avg(cast(val as double)), 6) as mean_luma_sampled
+  from px group by i
+)
+select c.i as clip_id, cast(c.n as bigint) as n_frames,
+       cast((c.n + 2) // 3 as bigint) as n_sampled, a.mean_luma_sampled
+from clips c join agg a on c.i = a.i
+"""
+
+
+@query("q_video_frame_sample", oracle=_VIDEO_ORACLE, tags=("multimodal", "io"))
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video FRAME-SAMPLING on a real container: write a deterministic
+    24-clip Y4M (YUV4MPEG2 C444 — the uncompressed format ffmpeg pipes
+    speak) corpus, read it back via binaryFile, walk the stream header
+    + FRAME markers, keep every 3rd frame, and emit per-clip frame
+    counts + mean luma of the sampled frames. The oracle regenerates
+    every sampled luma pixel in SQL, attesting container parse AND
+    decimation. Sampling-before-features is what keeps 100 TB of
+    video tractable; a compressed codec swaps in at decode without
+    touching the plumbing."""
+    path = scratch_dir(spark, "y4m")
+    write_y4m_fixture(path, n_clips=24)
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.y4m").load(path)
+    stats = video_frame_sample_stats(raw.select("path", "content"), every_k=3)
+    return stats.select(
+        "clip_id",
+        "n_frames",
+        "n_sampled",
+        F.round("mean_luma_sampled", 6).alias("mean_luma_sampled"),
     )

@@ -87,6 +87,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_exactly_once_sink",
     "q_udtf_tokens",
     "q_audio_features",
+    "q_image_resize",
+    "q_video_frame_sample",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -97,8 +99,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_udf_charge/q_udaf_weighted/q_grouped_zscore + q_rank_ties_mean
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
     # pytest coverage; q_window_rank/q_running_total/
-    # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows
-    # ceded slots to the seven new round-5 queries (window_rank runs in
+    # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
+    # q_dupout/q_union_distinct ceded slots to the nine new round-5
+    # queries (each has same-family siblings still in the window) (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
     "q_pivot_status",
     "q_rollup",
@@ -119,12 +122,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_array_ops",
     "q_date_format",
     "q_union_all",
-    "q_union_distinct",
     "q_intersect",
     "q_except",
     "q_topn_sort",
     "q_nodupkey",
-    "q_dupout",
     "q_missing_semantics",
     "q_unpivot",
     "q_pivot_api",
