@@ -227,3 +227,43 @@ def q_dataset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             price_diff.alias("price_diff"),
         )
     )
+
+
+@query(
+    "q_snapshot_upsert",
+    oracle=f"""
+    with {_TRANS_CTE}
+    select m.o_orderkey,
+           coalesce(t.t_status, m.o_orderstatus) as o_orderstatus,
+           coalesce(t.t_price, m.o_totalprice) as o_totalprice
+    from orders m left join trans t using (o_orderkey)
+    """,
+    tags=("cdc", "io", "snapshot"),
+)
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE applied to a DURABLE versioned table (the ACID-upsert
+    target the SCD2/CDC operators need): publish the master as
+    snapshot v1 of a sources/snapshots.py table, apply the
+    transaction feed copy-on-write, publish v2 with an atomic pointer
+    swing, and return the re-READ current snapshot — so the hash
+    attests the full write -> publish -> read-back loop, not just the
+    in-memory merge. v1 stays readable (time travel; pinned by
+    tests/test_snapshots.py). Same oracle as q_update_master: a
+    durable round-trip must not change a single value. On a cluster
+    with lakehouse jars, write_snapshot/read_snapshot swap for
+    lakehouse.write_table and the query is unchanged."""
+    from sas_etl_spark.scratch import scratch_dir
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    table = scratch_dir(spark, "snap") + "/orders_master"
+    m = _master(spark, sf_dir)
+    write_snapshot(m, table)  # v1: initial master
+    v1 = read_snapshot(spark, table)
+    t = _transactions(spark, sf_dir)
+    updated = v1.join(t, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("t_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("t_price", "o_totalprice").alias("o_totalprice"),
+    )
+    write_snapshot(updated, table)  # v2: copy-on-write upsert
+    return read_snapshot(spark, table)

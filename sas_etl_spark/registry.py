@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_audio_features",
     "q_image_resize",
     "q_video_frame_sample",
+    "q_snapshot_upsert",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -100,8 +101,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
     # pytest coverage; q_window_rank/q_running_total/
     # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
-    # q_dupout/q_union_distinct ceded slots to the nine new round-5
-    # queries (each has same-family siblings still in the window) (window_rank runs in
+    # q_dupout/q_union_distinct/q_nodupkey ceded slots to the ten new
+    # round-5 queries (each has same-family siblings still in the
+    # window and full local parity coverage every pytest run) (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
     "q_pivot_status",
     "q_rollup",
@@ -125,7 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_intersect",
     "q_except",
     "q_topn_sort",
-    "q_nodupkey",
     "q_missing_semantics",
     "q_unpivot",
     "q_pivot_api",

@@ -4,6 +4,11 @@ The v1 image ships none of their jars; the engine's read/write
 surface is parquet-first. These adapters exist so downstream code has
 one import point: they raise a clear error locally and light up
 unmodified on a cluster whose session carries the format jars.
+
+The jar-free stand-in is sources/snapshots.py: versioned parquet
+snapshots with an atomic pointer swing (time travel included), used
+by q_snapshot_upsert as the durable upsert target until these
+adapters activate.
 """
 
 from __future__ import annotations

@@ -1,0 +1,74 @@
+"""Versioned snapshot tables over plain parquet — the jar-free
+fallback for the gated lakehouse adapters (lakehouse.py).
+
+What Delta/Iceberg provide that a bare parquet directory lacks is
+(a) an ATOMIC pointer from "the table" to one consistent file set and
+(b) retained history (time travel). Both are reproducible with two
+POSIX primitives and no jars:
+
+- every write lands a complete new snapshot under ``v=<N>/`` (written
+  to a temp dir first, then ``os.rename``d into place — readers never
+  see a half-written snapshot);
+- ``_CURRENT`` is a one-line pointer file replaced with
+  ``os.replace`` — atomic on POSIX, so concurrent readers resolve
+  either the old or the new version, never a torn state.
+
+This is snapshot isolation for single-writer tables: each version is
+immutable once published, updates are copy-on-write (the SCD2/CDC
+operators in queries/cdc.py produce exactly such full next-versions),
+and old versions stay readable until vacuumed. The same layout works
+on object stores that offer atomic rename (HDFS, ABFS) — on S3 the
+pointer write needs a conditional PUT, which is precisely the part
+Delta's transaction log abstracts; swap these helpers for
+lakehouse.write_table on a cluster with jars and nothing upstream
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_CURRENT"
+
+
+def _versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(d[2:]) for d in os.listdir(table_dir) if d.startswith("v=") and d[2:].isdigit()
+    )
+
+
+def current_version(table_dir: str) -> int:
+    """The published version the pointer names; raises if unpublished."""
+    with open(os.path.join(table_dir, _POINTER)) as f:
+        return int(f.read().strip())
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Publish ``df`` as the table's next immutable version and swing
+    the pointer to it; returns the new version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    version = (_versions(table_dir)[-1] + 1) if _versions(table_dir) else 1
+    staging = tempfile.mkdtemp(prefix=f"_staging_v{version}_", dir=table_dir)
+    df.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+    final = os.path.join(table_dir, f"v={version}")
+    os.rename(os.path.join(staging, "data"), final)  # atomic publish
+    os.rmdir(staging)
+    fd, tmp = tempfile.mkstemp(prefix="_ptr_", dir=table_dir)
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic swing
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    if version is None:
+        version = current_version(table_dir)
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))

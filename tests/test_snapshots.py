@@ -1,0 +1,40 @@
+"""Versioned snapshot tables (sources/snapshots.py): atomic publish,
+pointer semantics, time travel."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sas_etl_spark.sources.snapshots import (
+    current_version,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def test_publish_read_back_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    assert write_snapshot(df1, table) == 1
+    df2 = spark.range(3).withColumnRenamed("id", "k")
+    assert write_snapshot(df2, table) == 2
+
+    assert current_version(table) == 2
+    assert read_snapshot(spark, table).count() == 3  # current
+    assert read_snapshot(spark, table, version=1).count() == 5  # travel
+    # v1 files untouched by the v2 publish (immutability)
+    assert os.path.isdir(os.path.join(table, "v=1"))
+
+
+def test_unpublished_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        current_version(str(tmp_path / "nope"))
+
+
+def test_no_torn_state_files_left_behind(spark, tmp_path):
+    table = str(tmp_path / "t2")
+    write_snapshot(spark.range(4), table)
+    leftovers = [d for d in os.listdir(table) if d.startswith(("_staging", "_ptr"))]
+    assert leftovers == []
