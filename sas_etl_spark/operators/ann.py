@@ -183,3 +183,51 @@ def srp_bucket_candidates(
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd-iteration refinement of IVF seed centroids, pure
+    DataFrame ops: assign every vector to its nearest centroid
+    (broadcast + max_by, the existing ivf_assign) then recompute each
+    centroid as the elementwise mean of its assigned vectors via
+    posexplode -> (centroid, position) avg -> sort_array(collect_list)
+    regroup. Per iteration: one broadcast assign (map-side) + two
+    hash-shuffles keyed by (centroid, position) / centroid — at 100 TB
+    the shuffle rows are (int, int, float) triples, dim x corpus rows,
+    all combiner-friendly partial aggs. Empty cells keep their seed
+    (standard Lloyd fallback). Output schema matches seed_centroids
+    (centroid_id, centroid_vec), so it drops into ivf_topk unchanged;
+    cluster-structured corpora get tighter cells -> higher recall at
+    the same nprobe (pinned by tests/test_llm_operators.py).
+    """
+    refined = centroids
+    for _ in range(n_iters):
+        assigned = ivf_assign(emb, refined, id_col, vec_col, dim)
+        means = (
+            emb.join(assigned, id_col)
+            .select("centroid_id", F.posexplode(vec_col).alias("_pos", "_val"))
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_val").alias("_avg"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_avg"))),
+                    lambda s: s["_avg"].cast("float"),
+                ).alias("_mean_vec")
+            )
+        )
+        refined = (
+            refined.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("_mean_vec", "centroid_vec").alias("centroid_vec"),
+            )
+        )
+    return refined

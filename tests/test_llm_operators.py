@@ -297,3 +297,62 @@ def test_wav_decode_rejects_garbage_and_skips_unknown_chunks():
     spliced = raw[:fmt_end] + junk + raw[fmt_end:]
     rate2, ch2, s2 = decode_wav(spliced)
     assert rate2 == 8000 and np.array_equal(s, s2)
+
+
+def test_kmeans_refine_recovers_planted_centers_and_lifts_recall(spark):
+    """On planted clusters, 2 Lloyd iterations must (a) move each
+    refined centroid onto its cluster's true center (cosine > 0.99)
+    and (b) lift IVF recall at nprobe=1 to 1.0 — with arbitrary seed
+    vectors, probing one cell of 16 rarely covers the whole top-10."""
+    import math
+    import random
+
+    from sas_etl_spark.operators.ann import ivf_assign, kmeans_refine, seed_centroids
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 16, 8, 40
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(n_clusters)]
+
+    def member(c):
+        return unit([x + rng.gauss(0, 0.08) for x in centers[c]])
+
+    rows = []
+    for j in range(per_cluster):
+        for c in range(n_clusters):
+            rows.append((j * n_clusters + c, member(c)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    seeds = seed_centroids(emb, n_clusters)
+    refined = kmeans_refine(emb, seeds, n_iters=2, dim=dim)
+
+    # (a) every refined centroid sits on SOME true center
+    got = {r.centroid_id: list(r.centroid_vec) for r in refined.collect()}
+    for vec in got.values():
+        best = max(
+            sum(a * b for a, b in zip(vec, ctr))
+            / (math.sqrt(sum(a * a for a in vec)) or 1.0)
+            for ctr in centers
+        )
+        assert best > 0.99, best
+
+    # (b) nprobe=1 exact recall with refined cells
+    qv = spark.createDataFrame([(member(0),)], "qv array<float>")
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10, dim=dim).collect()}
+    from sas_etl_spark.operators.ann import cosine as _cos
+
+    assigned = ivf_assign(emb, refined, dim=dim)
+    best_cell = (
+        refined.crossJoin(F.broadcast(qv))
+        .select("centroid_id", _cos("centroid_vec", "qv", dim).alias("_s"))
+        .orderBy(F.desc("_s"))
+        .limit(1)
+        .select("centroid_id")
+    )
+    candidates = emb.join(assigned, "vec_id").join(F.broadcast(best_cell), "centroid_id")
+    got10 = {r.vec_id for r in cosine_topk(candidates, qv, k=10, dim=dim).collect()}
+    assert len(exact & got10) == 10
