@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.quality_checks import check_suite
 from sas_etl_spark.registry import query
 
 
@@ -238,3 +239,73 @@ def q_proc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_PROC_SQL_TEXT)
+
+
+@query(
+    "q_quality_checks",
+    oracle="""
+    select 'null_custkey' as check,
+           cast(sum(case when o_custkey is null then 1 else 0 end) as bigint)
+               as n_violations,
+           sum(case when o_custkey is null then 1 else 0 end) = 0 as passed
+    from orders
+    union all
+    select 'nonpositive_price',
+           cast(sum(case when o_totalprice is null or o_totalprice <= 0
+                         then 1 else 0 end) as bigint),
+           sum(case when o_totalprice is null or o_totalprice <= 0
+                    then 1 else 0 end) = 0
+    from orders
+    union all
+    select 'bad_status',
+           cast(sum(case when o_orderstatus is null
+                          or o_orderstatus not in ('O', 'F', 'P')
+                         then 1 else 0 end) as bigint),
+           sum(case when o_orderstatus is null
+                     or o_orderstatus not in ('O', 'F', 'P')
+                    then 1 else 0 end) = 0
+    from orders
+    union all
+    select 'date_out_of_range',
+           cast(sum(case when o_orderdate is null
+                          or o_orderdate < timestamp '1992-01-01 00:00:00'
+                          or o_orderdate > timestamp '1999-01-01 00:00:00'
+                         then 1 else 0 end) as bigint),
+           sum(case when o_orderdate is null
+                     or o_orderdate < timestamp '1992-01-01 00:00:00'
+                     or o_orderdate > timestamp '1999-01-01 00:00:00'
+                    then 1 else 0 end) = 0
+    from orders
+    union all
+    select 'unique(o_orderkey)',
+           cast(sum(n - 1) as bigint),
+           sum(n - 1) = 0
+    from (select o_orderkey, count(*) as n from orders group by o_orderkey)
+    """,
+    tags=("quality", "agg"),
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders (SAS: PROC FREQ /
+    PROC SQL count asserts; dbt-test/Deequ analog) — null keys,
+    domain membership, range bounds, positivity, and key uniqueness,
+    ALL in one scan plus one keyed agg for uniqueness
+    (operators/quality_checks.py). The n-checks-one-scan shape is the
+    100 TB requirement: a constraint suite must not multiply reads.
+    NULL-handling rule pinned by the oracle: an unknown predicate
+    counts as a violation."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.lit("1992-01-01").cast("timestamp_ntz")
+    hi = F.lit("1999-01-01").cast("timestamp_ntz")
+    return check_suite(
+        orders,
+        checks=[
+            ("null_custkey", F.col("o_custkey").isNull()),
+            ("nonpositive_price", F.col("o_totalprice") <= 0),
+            ("bad_status", ~F.col("o_orderstatus").isin("O", "F", "P")),
+            (
+                "date_out_of_range",
+                (F.col("o_orderdate") < lo) | (F.col("o_orderdate") > hi),
+            ),
+        ],
+        unique_keys=[["o_orderkey"]],
+    )

@@ -267,3 +267,38 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_snapshot(updated, table)  # v2: copy-on-write upsert
     return read_snapshot(spark, table)
+
+
+@query(
+    "q_surrogate_key",
+    oracle="""
+    select l_orderkey, l_linenumber,
+           substr(sha256(concat_ws('|', cast(l_orderkey as varchar),
+                                        cast(l_linenumber as varchar))),
+                  1, 16) as sk
+    from lineitem
+    """,
+    tags=("cdc", "transform"),
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key generation for composite business
+    keys (the dimension-key step every SCD pipeline needs; SAS analog:
+    a DATA-step MD5()/retained counter). Monotonic ids and global
+    row_number are both WRONG at scale — the first is
+    partition-layout-dependent, the second funnels through one task —
+    so the scalable form is a content hash of the business key:
+    sha256 over a delimiter-joined cast, identical rows -> identical
+    keys on any cluster layout, any engine (oracle reproduces the very
+    bytes). 16 hex chars = 64 bits: collision odds ~n^2/2^65 stay
+    negligible below ~10^8 keys per dimension; widen the substr at
+    bigger cardinalities."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = F.sha2(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        256,
+    ).substr(1, 16)
+    return li.select("l_orderkey", "l_linenumber", sk.alias("sk"))

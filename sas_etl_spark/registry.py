@@ -90,6 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_image_resize",
     "q_video_frame_sample",
     "q_snapshot_upsert",
+    "q_quality_checks",
+    "q_surrogate_key",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -101,9 +103,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
     # pytest coverage; q_window_rank/q_running_total/
     # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
-    # q_dupout/q_union_distinct/q_nodupkey ceded slots to the ten new
-    # round-5 queries (each has same-family siblings still in the
-    # window and full local parity coverage every pytest run) (window_rank runs in
+    # q_dupout/q_union_distinct/q_nodupkey/q_unpivot/q_math_rowwise
+    # ceded slots to the twelve new round-5 queries (each has
+    # same-family siblings still in the window and full local parity
+    # coverage every pytest run) (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
     "q_pivot_status",
     "q_rollup",
@@ -120,7 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_string_funcs",
     "q_regex_extract",
     "q_date_funcs",
-    "q_math_rowwise",
     "q_array_ops",
     "q_date_format",
     "q_union_all",
@@ -128,7 +130,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_except",
     "q_topn_sort",
     "q_missing_semantics",
-    "q_unpivot",
     "q_pivot_api",
 )
 

@@ -38,3 +38,26 @@ def test_no_torn_state_files_left_behind(spark, tmp_path):
     write_snapshot(spark.range(4), table)
     leftovers = [d for d in os.listdir(table) if d.startswith(("_staging", "_ptr"))]
     assert leftovers == []
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Snapshot versions may add columns (dimension evolution);
+    mergeSchema readback presents the union schema with nulls for
+    pre-evolution rows — the plain-parquet analog of lakehouse schema
+    evolution."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "evo")
+    v1 = spark.range(3).select(F.col("id").alias("k"))
+    write_snapshot(v1, table)
+    v2 = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("new").alias("extra")
+    )
+    write_snapshot(v2, table)
+
+    both = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(table + "/v=1", table + "/v=2")
+    )
+    assert set(both.columns) == {"k", "extra"}
+    assert both.filter(F.col("extra").isNull()).count() == 3  # v1 rows
