@@ -68,7 +68,14 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     one projected cast, no action).
     """
     dtype = dict(df.dtypes).get(col)
-    if dtype is None or dtype == EVENTS_TS_DTYPE:
+    if dtype is None:
+        raise TypeError(
+            f"event-time column {col!r} is missing (have: "
+            f"{[c for c, _ in df.dtypes]}). The fixture encoding changed — "
+            "a rename/drop must fail HERE, not as unresolved-column errors "
+            "across downstream queries."
+        )
+    if dtype == EVENTS_TS_DTYPE:
         return df
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))

@@ -35,9 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Truncate lineage every N rounds: keeps the per-round plan constant
-#: size instead of growing by one join per iteration.
-_CHECKPOINT_EVERY = 3
+#: Materialize labels every round. Besides truncating lineage, the
+#: eager localCheckpoint makes each round's joins execute exactly
+#: ONCE: the convergence count() and the next round both read the
+#: materialized result instead of re-running every un-checkpointed
+#: round's shuffles (with a sparser cadence the same join work
+#: re-executed up to cadence times between checkpoints).
+_CHECKPOINT_EVERY = 1
 
 
 def connected_components(

@@ -99,31 +99,52 @@ def write_ppm_fixture(out_dir: str, n_images: int = 64) -> None:
             f.write(ppm_bytes(w, h, i))
 
 
+def _make_ppm_decoder():
+    """Build the validated P6 decoder as a NESTED function, defined
+    once and shared by every consumer (decode_ppm, image_stats,
+    image_resized_stats). Nested because cloudpickle serializes
+    nested functions BY VALUE: a mapInPandas closure capturing it
+    runs on executors without the package being importable there —
+    previously each closure carried its own inline copy, and the
+    copies drifted (the stats lanes silently skipped the magic/maxval
+    validation)."""
+
+    def decode(payload: bytes):
+        import numpy as _np
+
+        tokens: list[bytes] = []
+        pos = 0
+        while len(tokens) < 4:  # magic, width, height, maxval
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+        if tokens[0] != b"P6":
+            raise ValueError(f"not a binary PPM: magic {tokens[0]!r}")
+        width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        if maxval != 255:
+            raise ValueError(f"only maxval 255 supported, got {maxval}")
+        pos += 1  # single whitespace byte after maxval, then raw pixels
+        pixels = _np.frombuffer(
+            payload, dtype=_np.uint8, count=width * height * 3, offset=pos
+        )
+        return width, height, pixels.reshape(height, width, 3)
+
+    return decode
+
+
 def decode_ppm(payload: bytes) -> "np.ndarray":
     """Parse P6 bytes -> (height, width, 3) uint8 array. Real decode:
     header tokenization (comment-tolerant), then a zero-copy
     frombuffer reshape of the pixel plane."""
-    tokens: list[bytes] = []
-    pos = 0
-    while len(tokens) < 4:  # magic, width, height, maxval
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
-            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        tokens.append(payload[start:pos])
-    if tokens[0] != b"P6":
-        raise ValueError(f"not a binary PPM: magic {tokens[0]!r}")
-    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-    if maxval != 255:
-        raise ValueError(f"only maxval 255 supported, got {maxval}")
-    pos += 1  # single whitespace byte after maxval, then raw pixels
-    pixels = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
-    return pixels.reshape(height, width, 3)
+    _, _, arr = _make_ppm_decoder()(payload)
+    return arr
 
 
 def image_stats(
@@ -138,29 +159,12 @@ def image_stats(
     content); each Arrow batch is decoded in one numpy pass per row.
     Self-contained closure (cloudpickle by value), same contract as
     extract_features."""
+    decode = _make_ppm_decoder()
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re
 
         import numpy as _np
-
-        def decode(payload: bytes):
-            tokens, pos = [], 0
-            while len(tokens) < 4:
-                while pos < len(payload) and payload[pos : pos + 1].isspace():
-                    pos += 1
-                if payload[pos : pos + 1] == b"#":
-                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                    pos += 1
-                tokens.append(payload[start:pos])
-            w, h = int(tokens[1]), int(tokens[2])
-            pos += 1
-            px = _np.frombuffer(payload, dtype=_np.uint8, count=w * h * 3, offset=pos)
-            return w, h, px.reshape(h, w, 3)
 
         pat = _re.compile(id_pattern)
         for pdf in batches:
@@ -271,31 +275,52 @@ def write_wav_fixture(out_dir: str, n_clips: int = 48, rate: int = 8000) -> None
             f.write(wav_bytes(n, rate, i))
 
 
+def _make_wav_decoder():
+    """Build the validated RIFF/WAVE decoder as a NESTED function —
+    same rationale as _make_ppm_decoder: cloudpickle ships it by
+    value into executor closures, and every consumer (decode_wav,
+    audio_stats) runs the SAME validation. The previous inline copy
+    in audio_stats skipped the fmt-code/bit-depth checks, so a
+    24-bit/float/compressed WAV would have been frombuffer'd as int16
+    garbage instead of raising."""
+
+    def decode(payload: bytes):
+        import struct as _struct
+
+        import numpy as _np
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, rate, channels, bits = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if cid == b"fmt ":
+                fmt_code, channels, rate = _struct.unpack_from("<HHI", payload, body)
+                (bits,) = _struct.unpack_from("<H", payload, body + 14)
+                if fmt_code != 1 or bits != 16:
+                    raise ValueError(
+                        f"only 16-bit PCM supported (fmt={fmt_code}, bits={bits})"
+                    )
+            elif cid == b"data":
+                if rate is None:
+                    raise ValueError("data chunk before fmt chunk")
+                samples = _np.frombuffer(
+                    payload, dtype="<i2", count=size // 2, offset=body
+                )
+                return rate, channels, samples
+            pos = body + size + (size & 1)  # chunks are word-aligned
+        raise ValueError("no data chunk found")
+
+    return decode
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """Parse RIFF/WAVE bytes -> (rate, n_channels, int16 samples).
     Real decode: chunk walk (fmt then data, skipping unknown chunks),
     then a zero-copy frombuffer of the PCM plane."""
-    import struct
-
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, channels, bits = 12, None, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = pos + 8
-        if cid == b"fmt ":
-            fmt_code, channels, rate = struct.unpack_from("<HHI", payload, body)
-            (bits,) = struct.unpack_from("<H", payload, body + 14)
-            if fmt_code != 1 or bits != 16:
-                raise ValueError(f"only 16-bit PCM supported (fmt={fmt_code}, bits={bits})")
-        elif cid == b"data":
-            if rate is None:
-                raise ValueError("data chunk before fmt chunk")
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
-            return rate, channels, samples
-        pos = body + size + (size & 1)  # chunks are word-aligned
-    raise ValueError("no data chunk found")
+    return _make_wav_decoder()(payload)
 
 
 def audio_stats(
@@ -309,27 +334,12 @@ def audio_stats(
     of image_stats. Integer sample sums stay far under 2^53, so the
     double means/RMS are bit-reproducible by the SQL oracle."""
 
+    decode = _make_wav_decoder()
+
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re
-        import struct as _struct
 
         import numpy as _np
-
-        def decode(payload: bytes):
-            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE payload")
-            pos, rate = 12, None
-            while pos + 8 <= len(payload):
-                cid = payload[pos : pos + 4]
-                (size,) = _struct.unpack_from("<I", payload, pos + 4)
-                body = pos + 8
-                if cid == b"fmt ":
-                    _, _, rate = _struct.unpack_from("<HHI", payload, body)
-                elif cid == b"data":
-                    s = _np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
-                    return rate, s
-                pos = body + size + (size & 1)
-            raise ValueError("no data chunk")
 
         pat = _re.compile(id_pattern)
         for pdf in batches:
@@ -341,7 +351,7 @@ def audio_stats(
                 "rms": [],
             }
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                rate, s = decode(bytes(content))
+                rate, _channels, s = decode(bytes(content))
                 x = s.astype(_np.float64)
                 m = pat.search(path)
                 out["clip_id"].append(int(m.group(1)) if m else -1)
@@ -380,30 +390,15 @@ def image_resized_stats(
     """Decode PPM -> nearest-neighbor resize to (out_w, out_h) ->
     per-channel means of the RESIZED pixels, via mapInPandas. The
     resize happens inside the Arrow batch loop — the thumbnail-stage
-    shape of an image-ingest pipeline."""
+    shape of an image-ingest pipeline. The resize index math mirrors
+    resize_nearest (kept inline: two lines vs a by-reference pickle
+    dependency on the package being importable on executors)."""
+    decode = _make_ppm_decoder()
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re
 
         import numpy as _np
-
-        def decode(payload: bytes):
-            tokens, pos = [], 0
-            while len(tokens) < 4:
-                while pos < len(payload) and payload[pos : pos + 1].isspace():
-                    pos += 1
-                if payload[pos : pos + 1] == b"#":
-                    while pos < len(payload) and payload[pos : pos + 1] != b"\n":
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                    pos += 1
-                tokens.append(payload[start:pos])
-            w, h = int(tokens[1]), int(tokens[2])
-            pos += 1
-            px = _np.frombuffer(payload, dtype=_np.uint8, count=w * h * 3, offset=pos)
-            return w, h, px.reshape(h, w, 3)
 
         pat = _re.compile(id_pattern)
         for pdf in batches:

@@ -41,6 +41,10 @@ def check_suite(
     contributes a check named ``unique(<cols>)`` counting the rows in
     excess of one per key value.
     """
+    if not checks and not unique_keys:
+        raise ValueError(
+            "check_suite needs at least one check or unique-key spec"
+        )
     aggs = [
         F.sum(
             F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)

@@ -87,12 +87,23 @@ def configure(spark: SparkSession, shuffle_partitions: int | None = None) -> Spa
     if shuffle_partitions is None:
         # Right-size a session still on Spark's factory default (200):
         # at fixture scale that is ~200 near-empty post-shuffle tasks
-        # per stage in the driver's vanilla session. Only the untouched
-        # default is replaced — any deliberate setting (ours or the
-        # caller's) is preserved. At cluster scale the operator sizes
-        # this to bytes/128MiB (SCALE.md), never the factory default.
+        # per stage in the driver's vanilla session. A value set at
+        # submit time (--conf / SparkConf) is visible in the
+        # SparkContext conf and is ALWAYS preserved, even if it is
+        # exactly 200. Only a session whose SQLConf still reads the
+        # factory default with no submit-time setting is resized. (A
+        # runtime .conf.set of exactly "200" before this call is
+        # indistinguishable from the default and will be resized —
+        # pass shuffle_partitions explicitly to pin it.) At cluster
+        # scale the operator sizes this to bytes/128MiB (SCALE.md).
         try:
-            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            submit_time = spark.sparkContext.getConf().get(
+                "spark.sql.shuffle.partitions", None
+            )
+            if (
+                submit_time is None
+                and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+            ):
                 spark.conf.set(
                     "spark.sql.shuffle.partitions",
                     str(max(8, 2 * (os.cpu_count() or 4))),

@@ -168,5 +168,17 @@ def run_bounded_to_parquet_sink(
         q.processAllAvailable()
     finally:
         q.stop()
-    last = max(int(p.batchId) for p in q.recentProgress) if q.recentProgress else 0
-    return last
+    # The authoritative final epoch is what the SINK holds, not
+    # recentProgress: that buffer is size-capped and empty when a
+    # restart against an existing checkpoint finds no new data
+    # (returning 0 there would point readers at a stale partial).
+    import os
+
+    epochs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("_epoch=")
+    ]
+    if not epochs:
+        raise RuntimeError(f"exactly-once sink at {path} holds no epochs")
+    return max(epochs)

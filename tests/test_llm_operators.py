@@ -356,3 +356,26 @@ def test_kmeans_refine_recovers_planted_centers_and_lifts_recall(spark):
     candidates = emb.join(assigned, "vec_id").join(F.broadcast(best_cell), "centroid_id")
     got10 = {r.vec_id for r in cosine_topk(candidates, qv, k=10, dim=dim).collect()}
     assert len(exact & got10) == 10
+
+
+def test_audio_stats_lane_rejects_non_pcm16(spark):
+    """The DISTRIBUTED decode lane (not just the driver-side helper)
+    must refuse non-16-bit-PCM payloads instead of frombuffer-ing
+    garbage — regression for the inline-copy drift where audio_stats
+    skipped fmt/bit-depth validation."""
+    import struct
+
+    import pytest as _pytest
+
+    from sas_etl_spark.operators.multimodal import audio_stats, wav_bytes
+
+    good = wav_bytes(100, 8000, 0)
+    # rewrite the fmt chunk to claim 24-bit samples
+    fmt_at = good.index(b"fmt ") + 8
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, fmt_at + 14, 24)
+    df = spark.createDataFrame(
+        [("clip_00000.wav", bytes(bad))], "path string, content binary"
+    )
+    with _pytest.raises(Exception, match="16-bit PCM"):
+        audio_stats(df).collect()
