@@ -44,3 +44,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """The same running-totals operator on the Spark 4
+    transformWithState API — the successor to applyInPandasWithState:
+    named state variables behind a handle (value/list/map state,
+    timers, TTL) instead of one opaque tuple, so multi-variable
+    operators stop packing state by position. Requires the RocksDB
+    state store provider (the only store implementing the new API's
+    column families); caller/session must set
+    spark.sql.streaming.stateStore.providerClass accordingly.
+    Batch-equivalence is pinned by tests/test_stateful_streaming.py
+    alongside the v1 twin; the test SKIPS where the runtime cannot
+    host the new API's Python state server (it needs a working
+    google.protobuf — absent in this container, so the v1
+    applyInPandasWithState twin remains the verified-here path).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prior = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, total = int(prior[0]), float(prior[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -61,3 +61,18 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     )
     assert set(both.columns) == {"k", "extra"}
     assert both.filter(F.col("extra").isNull()).count() == 3  # v1 rows
+
+
+def test_crash_between_publish_and_pointer_is_invisible(spark, tmp_path):
+    """Crash atomicity: if the writer dies AFTER renaming v=2 into
+    place but BEFORE swinging _CURRENT, readers still resolve v1 and
+    the next writer does not reuse version 2."""
+    table = str(tmp_path / "t3")
+    write_snapshot(spark.range(5), table)
+    # simulate the torn write: v=2 exists, pointer still says 1
+    spark.range(2).write.parquet(os.path.join(table, "v=2"))
+    assert current_version(table) == 1
+    assert read_snapshot(spark, table).count() == 5
+    v = write_snapshot(spark.range(7), table)
+    assert v == 3  # never clobbers the orphaned v=2
+    assert read_snapshot(spark, table).count() == 7
