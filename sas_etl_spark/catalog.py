@@ -115,3 +115,14 @@ def register_views(
     """Register fixture tables as temp views for the SQL API."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """PROC SQL-style textual entry point: register every fixture
+    table as a temp view, then run ``sql`` against them — the
+    switch-over surface for a user whose reference workloads are SQL
+    text rather than DataFrame code. Views are (re)registered
+    idempotently from the cached table handles, so repeated calls
+    cost no re-analysis."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

@@ -6,7 +6,7 @@ favor of expressions that are *semantically identical*, noted inline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -355,4 +355,37 @@ def q_intnx_intck(spark: SparkSession, sf_dir: str) -> DataFrame:
         (week_ord(ref) - week_ord(d.cast("date"))).cast("long").alias("intck_week"),
         (F.lit(1996 * 12 + 6) - month_idx(d)).cast("long").alias("intck_month"),
         (F.lit(1996 * 4 + 2) - qtr_idx(d)).cast("long").alias("intck_qtr"),
+    )
+
+
+@query(
+    "q_string_distance",
+    oracle="""
+    select c_custkey,
+           levenshtein(c_name,
+                       lag(c_name) over (partition by c_nationkey
+                                         order by c_custkey)) as dist_prev,
+           levenshtein(c_name, 'Customer#000000000') as dist_anchor
+    from customer
+    """,
+    tags=("scalar", "string", "fuzzy"),
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance family (SAS: COMPGED / COMPLEV / SPEDIS fuzzy
+    matching): Levenshtein distance to the previous name in key order
+    and to a fixed anchor. Both engines implement classic unweighted
+    Levenshtein, so values match exactly. The lag is partitioned by
+    nation (global windows are banned — Exchange SinglePartition, see
+    SCALE.md); the distance expressions themselves are per-row and
+    embarrassingly parallel, and a real fuzzy-linkage run pairs them
+    with a blocking join (the LSH/blocked-join machinery in
+    minhash/simhash) rather than any window at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lag("c_name").over(w)).alias("dist_prev"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).alias(
+            "dist_anchor"
+        ),
     )

@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_snapshot_upsert",
     "q_quality_checks",
     "q_surrogate_key",
+    "q_string_distance",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -103,8 +104,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
     # pytest coverage; q_window_rank/q_running_total/
     # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
-    # q_dupout/q_union_distinct/q_nodupkey/q_unpivot/q_math_rowwise
-    # ceded slots to the twelve new round-5 queries (each has
+    # q_dupout/q_union_distinct/q_nodupkey/q_unpivot/q_math_rowwise/
+    # q_pivot_api ceded slots to the thirteen new round-5 queries (each has
     # same-family siblings still in the window and full local parity
     # coverage every pytest run) (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
@@ -130,7 +131,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_except",
     "q_topn_sort",
     "q_missing_semantics",
-    "q_pivot_api",
 )
 
 

@@ -148,3 +148,13 @@ def test_fixture_schemas_have_not_drifted(spark):
 
 def test_expected_schemas_cover_all_tables():
     assert set(EXPECTED_SCHEMAS) == set(TABLES)
+
+
+def test_run_sql_textual_surface(spark):
+    from sas_etl_spark.catalog import run_sql
+
+    n = run_sql(
+        spark, SF_SMOKE, "select count(*) as n from orders join customer "
+        "on o_custkey = c_custkey"
+    ).first().n
+    assert n > 0
