@@ -65,6 +65,12 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Materialize the edge list ONCE: every round joins against sym,
+    # and without this the whole upstream edge-producing pipeline
+    # (e.g. an all-pairs similarity scorer or an LSH candidate join)
+    # re-executes per round per join — measured: q_dup_clusters at
+    # sf0.1 went from >500 s (timeout) to the cost of one pair pass.
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias(out_node))
         .distinct()

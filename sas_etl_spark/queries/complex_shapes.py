@@ -186,10 +186,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is transitive in practice, so the keep-set needs connected
     components: cluster_id = min doc_id of the component, is_rep marks
     the one kept document per cluster. Spark side is iterative
-    min-label propagation (operators/graph.py — one join + min-agg per
-    round, converges in diameter rounds, 2 on this corpus); the oracle
-    is the recursive-CTE transitive closure, exercising the driver's
-    hash compare on an iterative algorithm's output."""
+    min-label propagation with pointer jumping (operators/graph.py);
+    the oracle is the recursive-CTE transitive closure, exercising the
+    driver's hash compare on an iterative algorithm's output.
+
+    The EDGE stage here is the exact all-pairs scorer and inherits
+    q_jaccard_pairs' status: ground-truth form, test-SF only (the
+    driver verifies at sf0.01 = 125k pairs; at sf0.1 the 12.5M-pair
+    HOF scoring already takes minutes on both engines). At scale the
+    edges come from the LSH candidate generators (near_dup_pairs /
+    simhash / SRP) — connected_components is edge-source-agnostic and
+    materializes whatever edge list it is given exactly once."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(F.col("doc_id"), shingle_array(F.col("text")).alias("_sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sa"))
