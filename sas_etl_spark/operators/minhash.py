@@ -112,3 +112,77 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filtered_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs
+    family, Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW'07) — the lossless counterpart to the probabilistic MinHash
+    path: recall is exactly 1 at any threshold, no banding math.
+
+    Principle: order every shingle set canonically (here by xxhash64 —
+    any global total order is sound) and keep each set's PREFIX of
+    length |A| - ceil(t*|A|) + 1. If J(A,B) >= t then
+    |A n B| >= t*max(|A|,|B|), so the intersection cannot hide
+    entirely in either suffix — the two prefixes must share an
+    element. Candidates are therefore an equi-join on exploded prefix
+    tokens (never all-pairs), and the exact Jaccard verify on
+    candidates removes false positives, so the result equals the
+    brute-force join. Cost scales with prefix-token collision counts:
+    strong pruning at high thresholds (prefix ~ (1-t)|A|), degrading
+    toward all-pairs as t -> 0 — use MinHash-LSH below ~0.5 and this
+    form above it when recall must be provably 1.
+
+    The verify stage recomputes Jaccard on the STRING shingle arrays
+    (identical expression to q_jaccard_pairs' oracle), so rounding and
+    value semantics match DuckDB exactly.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_array(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    ordered = sh.select(
+        "_id",
+        "_sh",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("_sh"), lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s"))
+                )
+            ),
+            lambda st: st["h"],
+        ).alias("_hs"),
+    )
+    prefix_len = (
+        F.size(F.col("_hs")) - F.ceil(F.size(F.col("_hs")) * F.lit(threshold)) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "_id", F.explode(F.slice(F.col("_hs"), 1, prefix_len)).alias("_tok")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
+    va = ordered.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sa"))
+    vb = ordered.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sb"))
+    return (
+        cands.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

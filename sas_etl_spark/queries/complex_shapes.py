@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
 from sas_etl_spark.operators.graph import connected_components
-from sas_etl_spark.operators.minhash import jaccard, shingle_array
+from sas_etl_spark.operators.minhash import (
+    jaccard,
+    prefix_filtered_pairs,
+    shingle_array,
+)
 from sas_etl_spark.registry import query
 
 
@@ -217,3 +221,39 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int").alias("is_rep"),
     )
+
+
+@query(
+    "q_prefix_join",
+    oracle="""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) as s
+        from documents
+    )
+    select a.doc_id as a_id, b.doc_id as b_id,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) as jaccard
+    from sh a, sh b
+    where a.doc_id < b.doc_id
+      and round(len(list_intersect(a.s, b.s)) * 1.0
+                / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    tags=("dedup", "text", "scale"),
+)
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join at threshold 0.5 via prefix filtering
+    (AllPairs) — provably recall-1 pruning, verified against the
+    brute-force oracle: candidates come from an equi-join on exploded
+    canonical-prefix tokens instead of the O(n^2) cross join
+    (q_jaccard_pairs' shape), and the exact verify keeps precision at
+    1. This is the third pillar of the dedup family: exact all-pairs
+    (ground truth, test-SF only), MinHash-LSH (probabilistic, any
+    threshold), prefix filtering (exact AND pruned, high thresholds).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_pairs(docs, threshold=0.5)

@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quality_checks",
     "q_surrogate_key",
     "q_string_distance",
+    "q_prefix_join",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -105,7 +106,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # pytest coverage; q_window_rank/q_running_total/
     # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
     # q_dupout/q_union_distinct/q_nodupkey/q_unpivot/q_math_rowwise/
-    # q_pivot_api ceded slots to the thirteen new round-5 queries (each has
+    # q_pivot_api/q_intersect ceded slots to the fourteen new round-5
+    # queries (each has
     # same-family siblings still in the window and full local parity
     # coverage every pytest run) (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
@@ -127,7 +129,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_array_ops",
     "q_date_format",
     "q_union_all",
-    "q_intersect",
     "q_except",
     "q_topn_sort",
     "q_missing_semantics",
