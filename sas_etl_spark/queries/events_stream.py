@@ -304,3 +304,111 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("v").isNull().alias("is_interp"),
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    with s1 as (
+        select user_id, min(ts) as t1 from events
+        where event_type = 'view' group by user_id
+    ),
+    s2 as (
+        select e.user_id, min(e.ts) as t2
+        from events e join s1 using (user_id)
+        where e.event_type = 'click' and e.ts > s1.t1
+        group by e.user_id
+    ),
+    s3 as (
+        select e.user_id, min(e.ts) as t3
+        from events e join s2 using (user_id)
+        where e.event_type = 'purchase' and e.ts > s2.t2
+        group by e.user_id
+    )
+    select 'view' as stage, (select count(*) from s1) as users
+    union all
+    select 'view>click', (select count(*) from s2)
+    union all
+    select 'view>click>purchase', (select count(*) from s3)
+    """,
+    tags=("events", "analytics"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (view -> click -> purchase):
+    stage k counts users whose first stage-k event happens AFTER
+    their first stage-(k-1) completion — the product-analytics
+    workhorse (SAS analog: chained BY-user DATA steps with RETAIN
+    first-seen flags). Each stage is one filtered min-aggregation
+    joined to the previous stage's per-user frontier: k stages = k
+    keyed aggs on progressively SHRINKING user sets, no windows, no
+    per-user event arrays — at 100 TB the first filter prunes to the
+    stage-relevant events before any shuffle."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_ts: str, out_ts: str):
+        src = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            src = src.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return src.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s1 = first_after("view", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    return (
+        s1.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("users"))
+        .unionByName(
+            s2.agg(F.lit("view>click").alias("stage"), F.count(F.lit(1)).alias("users"))
+        )
+        .unionByName(
+            s3.agg(
+                F.lit("view>click>purchase").alias("stage"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    with cohorts as (
+        select user_id, min(date_trunc('week', ts)) as cohort_week
+        from events group by user_id
+    ),
+    activity as (
+        select distinct user_id, date_trunc('week', ts) as week from events
+    )
+    select c.cohort_week,
+           cast(floor(date_diff('day', c.cohort_week, a.week) / 7) as bigint)
+               as week_offset,
+           cast(count(*) as bigint) as n_users
+    from cohorts c join activity a using (user_id)
+    group by 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-
+    activity week, counted once per (cohort, week-offset) they return
+    in — the second product-analytics staple. Monday-start weeks via
+    date_trunc('week') on BOTH engines; offsets as exact day-diff
+    integer division. Shape: two keyed aggs (cohort assignment,
+    distinct activity) + one join + one agg — every stage keyed by
+    user or (cohort, offset), no windows."""
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
