@@ -412,3 +412,107 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    with ordered as (
+        select user_id, event_type,
+               lag(event_type) over (partition by user_id
+                                     order by ts, event_id) as prev_type
+        from events
+    )
+    select prev_type, event_type, cast(count(*) as bigint) as n
+    from ordered
+    where prev_type is not null
+    group by prev_type, event_type
+    """,
+    tags=("events", "analytics", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive events per
+    user (the Markov-chain prep of sequence modeling; SAS: BY-user
+    LAG). One user-partitioned lag + one (prev, curr) agg; event_id
+    tiebreak pins simultaneous events on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    with assigned as (
+        select value,
+               case when list_reduce(
+                      list_transform(range(1,16),
+                        j -> strpos('0123456789abcdef',
+                                    substr(sha256(cast(user_id as varchar)), j, 1)) - 1),
+                      (a,x) -> a*16+x) % 2 = 0
+                    then 'A' else 'B' end as arm
+        from events where event_type = 'purchase'
+    ),
+    stats as (
+        select arm, count(*) as n, avg(value) as mean,
+               var_samp(value) as var
+        from assigned group by arm
+    )
+    select a.n as n_a, b.n as n_b,
+           round(a.mean, 6) as mean_a, round(b.mean, 6) as mean_b,
+           round(b.mean - a.mean, 6) as lift,
+           round((b.mean - a.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) as t_stat
+    from stats a, stats b
+    where a.arm = 'A' and b.arm = 'B'
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: engine-portable hash assignment of
+    users to arms (operators/sampling.hash_bucket — the q_split_hash
+    mechanism, sha256-based so the oracle recomputes the identical
+    membership), then lift and Welch t-statistic over purchase
+    values. One filtered scan -> one 2-group agg -> a 1x1 broadcast
+    self-pair; the t-stat rounds at 4dp (its inputs are variance
+    RATIOS, where engine summation-order drift is amplified ~1e-5
+    past the 6dp rule for plain aggregates)."""
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.filter(F.col("event_type") == "purchase").select(
+        "value",
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A").otherwise("B").alias("arm"),
+    )
+    stats = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("lift"),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )
