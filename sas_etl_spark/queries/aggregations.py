@@ -309,3 +309,67 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_keys=[["o_orderkey"]],
     )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    with rfm as (
+        select o_custkey,
+               date_diff('day', max(o_orderdate),
+                         timestamp '1998-08-02 00:00:00') as recency,
+               cast(count(*) as bigint) as frequency,
+               round(sum(o_totalprice), 2) as monetary
+        from orders group by o_custkey
+    ),
+    cuts as (
+        select quantile_cont(recency, 0.5) as r_med,
+               quantile_cont(frequency, 0.5) as f_med,
+               quantile_cont(monetary, 0.5) as m_med
+        from rfm
+    )
+    select o_custkey,
+           cast(recency as bigint) as recency, frequency, monetary,
+           concat(case when recency <= r_med then 'R' else 'r' end,
+                  case when frequency > f_med then 'F' else 'f' end,
+                  case when monetary > m_med then 'M' else 'm' end)
+               as segment
+    from rfm, cuts
+    """,
+    tags=("agg", "analytics"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary; SAS:
+    PROC RANK GROUPS= over PROC MEANS output) WITHOUT the global
+    ntile window — a global ntile is an Exchange SinglePartition,
+    banned at scale. Instead: one keyed agg builds the per-customer
+    RFM triple, exact medians come from a 1-row aggregate that
+    BROADCASTS back over the triples, and segment letters compare
+    against the cuts — every stage keyed or broadcast, nothing
+    single-partition. Median cuts use exact interpolated percentile
+    on both engines (integer-day recency / integer frequency / 2dp
+    monetary keep the interpolation arithmetic drift-free); the
+    anchor date is the fixture's max order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("1998-08-02").cast("timestamp_ntz")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).cast("long").alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(recency, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency",
+        "frequency",
+        "monetary",
+        F.concat(
+            F.when(F.col("recency") <= F.col("r_med"), "R").otherwise("r"),
+            F.when(F.col("frequency") > F.col("f_med"), "F").otherwise("f"),
+            F.when(F.col("monetary") > F.col("m_med"), "M").otherwise("m"),
+        ).alias("segment"),
+    )
