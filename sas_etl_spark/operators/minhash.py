@@ -163,13 +163,23 @@ def prefix_filtered_pairs(
         F.size(F.col("_hs")) - F.ceil(F.size(F.col("_hs")) * F.lit(threshold)) + 1
     ).cast("int")
     prefixes = ordered.select(
-        "_id", F.explode(F.slice(F.col("_hs"), 1, prefix_len)).alias("_tok")
+        "_id",
+        F.size(F.col("_hs")).alias("_n"),
+        F.explode(F.slice(F.col("_hs"), 1, prefix_len)).alias("_tok"),
     )
+    # AllPairs size filter: J(A,B) >= t forces t*|B| <= |A| <= |B|/t
+    # (|AnB| <= min sizes, |AuB| >= max sizes), so prefix-token
+    # collisions between wildly different-sized sets are pruned BEFORE
+    # the exact verify — free with the sizes carried through the
+    # explode.
     cands = (
         prefixes.alias("a")
         .join(
             prefixes.alias("b"),
-            (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("a._n") >= F.col("b._n") * F.lit(threshold))
+            & (F.col("b._n") >= F.col("a._n") * F.lit(threshold)),
         )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()

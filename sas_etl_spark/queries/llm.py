@@ -289,9 +289,8 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         select doc_id,
                list_distinct(list_transform(
                    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-                   i -> string_split(text, ' ')[i] || ' ' ||
-                        string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2])) as s
+                   i -> array_to_string(
+                            (string_split(text, ' '))[i:i+2], ' '))) as s
         from documents
     )
     select a.doc_id as a_id, b.doc_id as b_id,
