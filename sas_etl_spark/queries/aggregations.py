@@ -373,3 +373,33 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("monetary") > F.col("m_med"), "M").otherwise("m"),
         ).alias("segment"),
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    select cast(least(floor((o_totalprice - 0) / 50000), 9) as bigint)
+               as bucket,
+           cast(count(*) as bigint) as n,
+           round(min(o_totalprice), 2) as lo,
+           round(max(o_totalprice), 2) as hi
+    from orders
+    group by 1
+    """,
+    tags=("agg", "stats"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram with a clamped overflow bucket (SAS:
+    PROC UNIVARIATE HISTOGRAM / PROC FORMAT range bins). Explicit
+    floor((x-lo)/w) arithmetic rather than any engine-specific
+    width_bucket builtin, so the bucketing function is identical on
+    both engines; one map-side-combinable agg, bucket count fixed at
+    plan time — the shape that histograms a 100 TB column in one
+    pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

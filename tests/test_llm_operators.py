@@ -379,3 +379,24 @@ def test_audio_stats_lane_rejects_non_pcm16(spark):
     )
     with _pytest.raises(Exception, match="16-bit PCM"):
         audio_stats(df).collect()
+
+
+def test_shingle_array_short_doc_contract(spark):
+    """Documents under n tokens shingle to ONE whole-sequence entry —
+    the contract every shingle oracle now mirrors with clamped list
+    slicing (a sub-3-token doc must never produce an empty/NULL
+    shingle set on either engine)."""
+    from sas_etl_spark.operators.minhash import shingle_array
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "solo"), (3, "a b c d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", shingle_array(F.col("text")).alias("sh")).collect()
+    }
+    assert got == {
+        1: ["alpha beta"],
+        2: ["solo"],
+        3: sorted(["a b c", "b c d"]),
+    }
