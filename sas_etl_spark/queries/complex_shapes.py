@@ -254,3 +254,54 @@ def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filtered_pairs(docs, threshold=0.5)
+
+
+#: The canned spec q_pipeline_spec runs — a control-table-style job
+#: definition (see sas_etl_spark.pipeline): revenue by return flag for
+#: 1996-Q1-shipped lines of open orders.
+PIPELINE_SPEC = [
+    {"op": "load", "table": "lineitem"},
+    {
+        "op": "filter",
+        "where": "l_shipdate >= timestamp '1996-01-01 00:00:00' "
+                 "and l_shipdate < timestamp '1996-04-01 00:00:00'",
+    },
+    {"op": "derive", "cols": {"revenue": "l_extendedprice * (1 - l_discount)"}},
+    {"op": "join", "table": "orders", "on": ["l_orderkey=o_orderkey"]},
+    {"op": "filter", "where": "o_orderstatus = 'O'"},
+    {
+        "op": "agg",
+        "by": ["l_returnflag"],
+        "aggs": {
+            "n": "cast(count(*) as bigint)",
+            "rev": "round(sum(revenue), 2)",
+        },
+    },
+    {"op": "select", "cols": ["l_returnflag", "n", "rev"]},
+]
+
+
+@query(
+    "q_pipeline_spec",
+    oracle="""
+    select l_returnflag,
+           cast(count(*) as bigint) as n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as rev
+    from lineitem join orders on l_orderkey = o_orderkey
+    where l_shipdate >= timestamp '1996-01-01 00:00:00'
+      and l_shipdate < timestamp '1996-04-01 00:00:00'
+      and o_orderstatus = 'O'
+    group by l_returnflag
+    """,
+    tags=("composite", "pipeline"),
+)
+def q_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven job: the ENTIRE query is the PIPELINE_SPEC data
+    structure interpreted by sas_etl_spark.pipeline.run_pipeline (SAS:
+    %macro-driven ETL reading control tables). The spec compiles to
+    one Catalyst plan, so the hash match proves declaring jobs as data
+    loses nothing: filters still push to both scans, the join still
+    broadcasts, the agg still gets map-side partials."""
+    from sas_etl_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, sf_dir, PIPELINE_SPEC)

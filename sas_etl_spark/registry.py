@@ -100,6 +100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ab_test",
     "q_rfm_segments",
     "q_histogram",
+    "q_pipeline_spec",
     # -- perf-tuned this round (VERDICT r4 item 6)
     "q_knn_cosine",
     # -- newest green row is r2: re-attest on current code, oldest
@@ -113,8 +114,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
     # q_dupout/q_union_distinct/q_nodupkey/q_unpivot/q_math_rowwise/
     # q_pivot_api/q_intersect/q_case_when/q_format_lookup/q_derive_cols/
-    # q_project_rename/q_filter_pred/q_string_funcs ceded slots to the
-    # twenty new round-5 queries (each has
+    # q_project_rename/q_filter_pred/q_string_funcs/q_regex_extract ceded
+    # slots to the twenty-one new round-5 queries (each has
     # same-family siblings still in the window and full local parity
     # coverage every pytest run) (window_rank runs in
     # bench every round regardless) — all rotate back next round.)
@@ -125,7 +126,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_merge_in_flags",
     "q_near_dup_minhash",
-    "q_regex_extract",
     "q_date_funcs",
     "q_array_ops",
     "q_date_format",
