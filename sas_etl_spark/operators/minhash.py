@@ -171,15 +171,18 @@ def prefix_filtered_pairs(
     # (|AnB| <= min sizes, |AuB| >= max sizes), so prefix-token
     # collisions between wildly different-sized sets are pruned BEFORE
     # the exact verify — free with the sizes carried through the
-    # explode.
+    # explode. The 1e-6 slack keeps the filter lossless under the
+    # verify stage's 6dp ROUNDED threshold test (a pair whose true
+    # Jaccard is within 5e-7 below t rounds up to t and must survive
+    # to the verify, not be size-pruned).
     cands = (
         prefixes.alias("a")
         .join(
             prefixes.alias("b"),
             (F.col("a._tok") == F.col("b._tok"))
             & (F.col("a._id") < F.col("b._id"))
-            & (F.col("a._n") >= F.col("b._n") * F.lit(threshold))
-            & (F.col("b._n") >= F.col("a._n") * F.lit(threshold)),
+            & (F.col("a._n") >= F.col("b._n") * F.lit(threshold - 1e-6))
+            & (F.col("b._n") >= F.col("a._n") * F.lit(threshold - 1e-6)),
         )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()

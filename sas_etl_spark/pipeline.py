@@ -43,42 +43,61 @@ def run_pipeline(
     """Compile a step list into one DataFrame plan (no actions run)."""
     df: DataFrame | None = None
     for i, step in enumerate(steps):
-        op = step.get("op")
-        if op == "load":
-            if df is not None:
-                _fail(i, step, "load must be the first step")
-            df = load_table(spark, sf_dir, step["table"])
-            continue
-        if df is None:
-            _fail(i, step, "pipeline must start with a load step")
-        if op == "filter":
-            df = df.filter(F.expr(step["where"]))
-        elif op == "derive":
-            for name, expr in step["cols"].items():
-                df = df.withColumn(name, F.expr(expr))
-        elif op == "join":
-            other = load_table(spark, sf_dir, step["table"])
-            conds = []
-            for pair in step["on"]:
-                left, _, right = pair.partition("=")
-                if not right:
-                    _fail(i, step, f"join key {pair!r} must be 'left=right'")
-                conds.append(df[left.strip()] == other[right.strip()])
-            joined = df.join(other, conds[0] if len(conds) == 1 else conds,
-                             step.get("how", "inner"))
-            df = joined
-        elif op == "agg":
-            aggs = [F.expr(e).alias(n) for n, e in step["aggs"].items()]
-            df = df.groupBy(*[F.col(c) for c in step.get("by", [])]).agg(*aggs)
-        elif op == "select":
-            df = df.select(*step["cols"])
-        elif op == "sort":
-            df = df.orderBy(*[F.expr(e) for e in step["by"]])
-        elif op == "limit":
-            df = df.limit(int(step["n"]))
-        else:
-            _fail(i, step, f"unknown op {op!r} (known: load/filter/derive/"
-                           "join/agg/select/sort/limit)")
+        try:
+            df = _apply_step(spark, sf_dir, df, i, step)
+        except KeyError as e:  # missing required key -> compile error
+            _fail(i, step, f"missing required key {e.args[0]!r}")
     if df is None:
         raise ValueError("empty pipeline")
     return df
+
+
+def _apply_step(
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame | None,
+    i: int,
+    step: Mapping,
+) -> DataFrame:
+    op = step.get("op")
+    if op == "load":
+        if df is not None:
+            _fail(i, step, "load must be the first step")
+        return load_table(spark, sf_dir, step["table"])
+    if df is None:
+        _fail(i, step, "pipeline must start with a load step")
+    if op == "filter":
+        return df.filter(F.expr(step["where"]))
+    if op == "derive":
+        # one projection for all derived columns — a per-column
+        # withColumn loop stacks an analyzer pass per column
+        return df.withColumns({n: F.expr(e) for n, e in step["cols"].items()})
+    if op == "join":
+        if not step["on"]:
+            _fail(i, step, "join needs at least one 'left=right' key")
+        # Alias both sides so a table-to-itself join (load_table
+        # returns the SAME cached plan handle for the same table)
+        # resolves by qualifier instead of failing as ambiguous.
+        ltag, rtag = f"_l{i}", f"_r{i}"
+        left_df = df.alias(ltag)
+        right_df = load_table(spark, sf_dir, step["table"]).alias(rtag)
+        cond = None
+        for pair in step["on"]:
+            lcol, _, rcol = pair.partition("=")
+            if not rcol:
+                _fail(i, step, f"join key {pair!r} must be 'left=right'")
+            c = F.col(f"{ltag}.{lcol.strip()}") == F.col(f"{rtag}.{rcol.strip()}")
+            cond = c if cond is None else cond & c
+        return left_df.join(right_df, cond, step.get("how", "inner"))
+    if op == "agg":
+        aggs = [F.expr(e).alias(n) for n, e in step["aggs"].items()]
+        return df.groupBy(*[F.col(c) for c in step.get("by", [])]).agg(*aggs)
+    if op == "select":
+        return df.select(*step["cols"])
+    if op == "sort":
+        return df.orderBy(*[F.expr(e) for e in step["by"]])
+    if op == "limit":
+        return df.limit(int(step["n"]))
+    _fail(i, step, f"unknown op {op!r} (known: load/filter/derive/"
+                   "join/agg/select/sort/limit)")
+    raise AssertionError("unreachable")

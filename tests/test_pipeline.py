@@ -57,3 +57,28 @@ def test_spec_plan_keeps_pushdown_and_broadcast(spark):
     assert a["pushed_filters"], a
     assert a["broadcast_joins"] >= 1, a["plan"]
     assert not a["cartesian"]
+
+
+def test_self_join_spec_resolves_via_aliases(spark):
+    out = run_pipeline(
+        spark,
+        SF_SMOKE,
+        [
+            {"op": "load", "table": "nation"},
+            {"op": "join", "table": "nation", "on": ["n_regionkey=n_nationkey"]},
+        ],
+    )
+    assert out.count() > 0
+
+
+def test_missing_keys_and_empty_on_fail_with_step_index(spark):
+    with pytest.raises(ValueError, match="step 1 .*missing required key 'where'"):
+        run_pipeline(
+            spark, SF_SMOKE, [{"op": "load", "table": "orders"}, {"op": "filter"}]
+        )
+    with pytest.raises(ValueError, match="step 1 .*at least one 'left=right'"):
+        run_pipeline(
+            spark, SF_SMOKE,
+            [{"op": "load", "table": "lineitem"},
+             {"op": "join", "table": "orders", "on": []}],
+        )
