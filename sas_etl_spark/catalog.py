@@ -58,11 +58,15 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
       integer range, so float division would corrupt low-order digits;
       integer floor matches DuckDB's ns->us cast, keeping the oracle
       comparison exact.
-    - ``timestamp_ntz``: native parquet ``timestamp[us]`` (naive).
-      Cast to ``timestamp`` — wall-clock-preserving and exact because
-      the session timezone is pinned to UTC (session.RUNTIME_CONFS),
-      matching DuckDB's naive reading of the same file.
-    - ``timestamp``: already canonical.
+    - ``timestamp_ntz``: parquet ``timestamp[us]`` read on a session
+      without our ``inferTimestampNTZ=false`` conf (e.g. a reader that
+      bypassed configure()). Cast to ``timestamp`` — wall-clock-
+      preserving and exact because the session timezone is pinned to
+      UTC (session.RUNTIME_CONFS), matching DuckDB's naive reading.
+    - ``timestamp``: already canonical — the normal case: with
+      ``parquet.inferTimestampNTZ.enabled=false`` (session.RUNTIME_CONFS)
+      parquet ``timestamp[us]`` scans arrive here directly, so the
+      hot path carries NO projected cast.
 
     Works on batch and streaming DataFrames alike (dtype inspection +
     one projected cast, no action).

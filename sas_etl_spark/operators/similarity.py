@@ -17,6 +17,56 @@ from pyspark.sql import functions as F
 ColumnOrName = Column | str
 
 
+def _parse_byte_size(s: str) -> int:
+    """Parse a Spark size conf string ('128MB', '134217728b', '1g')."""
+    s = s.strip().lower().removesuffix("b")
+    for suffix, factor in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            return int(float(s[:-1]) * factor)
+    return int(s)
+
+
+def _estimated_scan_tasks(df: DataFrame) -> int | None:
+    """Estimate the file-scan partition count for a DataFrame.
+
+    Public API only: ``df.inputFiles()`` (a FileIndex listing, no job,
+    no plan->RDD conversion — ``.rdd.getNumPartitions()`` forces a full
+    plan->RDD translation per call) + driver-side stat of the files,
+    divided by ``spark.sql.files.maxPartitionBytes`` the way Spark's
+    FilePartition packing does (one partition minimum per file is not
+    modeled — for a tiny-scan gate the order of magnitude is all that
+    matters). Returns None when no estimate is possible — non-file
+    source, or URIs the driver cannot stat (hdfs://, s3://) — which
+    callers must treat as "assume big": at cluster scale the scan is
+    already parallel and tiny-scan mitigation must not trigger.
+    """
+    import os
+    import urllib.parse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(urllib.parse.unquote(parsed.path))
+        except OSError:
+            return None
+    try:
+        max_pb = _parse_byte_size(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    except Exception:
+        max_pb = 128 << 20
+    return max(1, -(-total // max(1, max_pb)))
+
+
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two array columns, computed in double."""
     return F.aggregate(
@@ -158,20 +208,25 @@ def cosine_topk_literal(
     one parquet row group — the sf0.1 fixture is ONE 0.8 MB file, so
     the whole interpreted-HOF scoring ran on a single core), a
     round-robin repartition spreads rows across min_tasks tasks first.
-    Gated on the ACTUAL scan partition count, so at 100 TB — where the
-    scan is already thousands of tasks — the gate is false and no
-    corpus-wide shuffle is ever introduced; the shuffle only happens
-    exactly when it is tiny. Measured at sf0.1 (2k rows, 64-dim,
-    bench protocol): 115 ms single-task -> ~55-60 ms with
-    min_tasks=32.
+    Gated on the ESTIMATED scan partition count (file bytes /
+    maxPartitionBytes via the public inputFiles() listing — see
+    _estimated_scan_tasks; no plan->RDD conversion), so at 100 TB —
+    where the scan is already thousands of tasks, or the files are on
+    an object store and the estimate abstains — the gate is false and
+    no corpus-wide shuffle is ever introduced; the shuffle only
+    happens exactly when it is provably tiny. Measured at sf0.1 (2k
+    rows, 64-dim, bench protocol): 115 ms single-task -> ~55-60 ms
+    with min_tasks=32.
     """
     import math
 
     dim = len(query_vec)
     qv = [float(x) for x in query_vec]
     qnorm = math.sqrt(sum(x * x for x in qv))
-    if min_tasks is not None and candidates.rdd.getNumPartitions() < min_tasks:
-        candidates = candidates.repartition(min_tasks)
+    if min_tasks is not None:
+        est = _estimated_scan_tasks(candidates)
+        if est is not None and est < min_tasks:
+            candidates = candidates.repartition(min_tasks)
     if unroll:
         acc: Column = F.lit(0.0)
         for i, x in enumerate(qv, start=1):

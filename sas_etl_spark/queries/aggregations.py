@@ -201,17 +201,46 @@ def q_remerge_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct", oracle=None, tags=("agg", "approx", "scale"))
+@query(
+    "q_approx_distinct",
+    oracle="""
+    select l_returnflag,
+           cast(count(distinct l_partkey) as bigint) as exact_parts,
+           cast(count(*) as bigint) as n_rows,
+           cast(1 as int) as within_bounds
+    from lineitem
+    group by l_returnflag
+    """,
+    tags=("agg", "approx", "scale"),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counts — the 100 TB path for #29 (HLL++
-    sketch: one pass, constant memory, mergeable across partitions).
-    Rows-only check: approximation is engine-specific by design;
-    tests assert the estimate is within rsd bounds of exact.
-    """
+    sketch: one pass, constant memory, mergeable across partitions;
+    exact count-distinct expands then re-shuffles every key).
+
+    Graduated from rows-only in round 6: the HLL estimate itself is
+    engine-specific, so the driver-visible result carries the EXACT
+    twin (oracle-recomputable) plus ``within_bounds`` = "the sketch
+    landed within 5x its configured rsd of exact", which the oracle
+    asserts as constant 1 — a hash-verified error-bound attestation,
+    not just a row count. Production callers use the approx aggregate
+    alone; this registered form is its accuracy harness."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        )
+        .cast("int")
+        .alias("within_bounds"),
     )
 
 
@@ -294,8 +323,8 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-handling rule pinned by the oracle: an unknown predicate
     counts as a violation."""
     orders = load_table(spark, sf_dir, "orders")
-    lo = F.lit("1992-01-01").cast("timestamp_ntz")
-    hi = F.lit("1999-01-01").cast("timestamp_ntz")
+    lo = F.lit("1992-01-01").cast("timestamp")
+    hi = F.lit("1999-01-01").cast("timestamp")
     return check_suite(
         orders,
         checks=[
@@ -351,7 +380,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary keep the interpolation arithmetic drift-free); the
     anchor date is the fixture's max order date."""
     orders = load_table(spark, sf_dir, "orders")
-    anchor = F.lit("1998-08-02").cast("timestamp_ntz")
+    anchor = F.lit("1998-08-02").cast("timestamp")
     rfm = orders.groupBy("o_custkey").agg(
         F.datediff(anchor, F.max("o_orderdate")).cast("long").alias("recency"),
         F.count(F.lit(1)).cast("long").alias("frequency"),

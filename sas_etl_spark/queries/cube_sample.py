@@ -82,35 +82,87 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile", oracle=None, tags=("agg", "approx", "scale"))
+@query(
+    "q_approx_percentile",
+    oracle="""
+    select l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) as p25,
+           round(quantile_cont(l_quantity, 0.50), 6) as p50,
+           round(quantile_cont(l_quantity, 0.75), 6) as p75,
+           cast(1 as int) as within_1
+    from lineitem
+    group by l_returnflag
+    """,
+    tags=("agg", "approx", "scale"),
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the 100 TB twin of q_percentiles
     (mergeable, bounded memory; exact percentile buffers each group).
-    Rows-only: accuracy-vs-exact pinned by a unit test instead.
 
-    The sketch returns array<double>; project it to scalar p25/p50/p75
-    columns — registry rule: no array/struct/map in a registered query's
-    output (the driver's pandas canonicalizer can't hash them)."""
+    Graduated from rows-only in round 6: the sketch's picks are
+    engine-specific, so the driver-visible result carries the EXACT
+    interpolated percentiles (oracle = quantile_cont, the established
+    q_percentiles parity) plus ``within_1`` = "every sketch value is
+    within 1.0 of its exact percentile", asserted constant-1 by the
+    oracle. 1.0 is one unit of the integer l_quantity domain (1..50):
+    the sketch guarantees rank error <= 1/accuracy = 1e-4, and a 1e-4
+    rank slip moves the value by at most one domain step — so the
+    hash comparison attests the sketch's rank-error contract at value
+    resolution. Production callers use percentile_approx alone; this
+    registered form is its accuracy harness."""
     li = load_table(spark, sf_dir, "lineitem")
-    sketch = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10_000).alias("approx_q")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10_000).alias("approx_q"),
+        F.expr("percentile(l_quantity, 0.25)").alias("e25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("e50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("e75"),
     )
-    return sketch.select(
+    within = (
+        (F.abs(F.element_at("approx_q", 1) - F.col("e25")) <= 1.0)
+        & (F.abs(F.element_at("approx_q", 2) - F.col("e50")) <= 1.0)
+        & (F.abs(F.element_at("approx_q", 3) - F.col("e75")) <= 1.0)
+    )
+    return agg.select(
         "l_returnflag",
-        F.element_at("approx_q", 1).alias("p25"),
-        F.element_at("approx_q", 2).alias("p50"),
-        F.element_at("approx_q", 3).alias("p75"),
+        F.round("e25", 6).alias("p25"),
+        F.round("e50", 6).alias("p50"),
+        F.round("e75", 6).alias("p75"),
+        within.cast("int").alias("within_1"),
     )
 
 
-@query("q_sample", oracle=None, tags=("scan", "sample"))
+@query(
+    "q_sample",
+    oracle="""
+    with h as (
+        select o_orderkey, o_custkey, o_totalprice,
+               list_reduce(
+                 list_transform(range(1,16),
+                   j -> strpos('0123456789abcdef',
+                               substr(sha256('42:' || cast(o_orderkey as varchar)),
+                                      j, 1)) - 1),
+                 (a,x) -> a*16+x) % 1000 as bucket
+        from orders
+    )
+    select o_orderkey, o_custkey, o_totalprice from h where bucket < 100
+    """,
+    tags=("scan", "sample"),
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed (SAS: PROC SURVEYSELECT
-    METHOD=SRS). Row membership is engine-specific -> rows-only;
-    statistical bounds pinned by a unit test. Sampling happens at the
-    scan (no shuffle, no materialization of the unsampled rest)."""
+    """Seeded 10% simple random sample (SAS: PROC SURVEYSELECT
+    METHOD=SRS SEED=42). Membership is a pure function of
+    (seed, o_orderkey) — sha256('42:'||key) bucketed per-mille, see
+    operators/sampling.srs_sample — so the oracle reproduces the EXACT
+    member rows (graduated from rows-only in round 6: Spark's native
+    ``df.sample(fraction, seed)`` draws from a partition-dependent RNG
+    stream no other engine can replay, which is also why it is the
+    wrong primitive for a reproducible training pipeline). Sampling is
+    a codegen filter at the scan: no shuffle, and the unsampled rest
+    is never materialized."""
+    from sas_etl_spark.operators.sampling import srs_sample
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.sample(fraction=0.1, seed=42).select(
+    return srs_sample(orders, "o_orderkey", 100, seed=42).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 

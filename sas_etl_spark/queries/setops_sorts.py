@@ -38,6 +38,57 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interleave",
+    oracle="""
+    select nk, id, name, src,
+           cast(row_number() over (
+               partition by nk order by src_ord, id
+           ) as bigint) as seq_in_group
+    from (
+        select c_nationkey as nk, c_custkey as id, c_name as name,
+               'customer' as src, 0 as src_ord from customer
+        union all
+        select s_nationkey, s_suppkey, s_name, 'supplier', 1 from supplier
+    ) t
+    """,
+    tags=("setop", "window"),
+)
+def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave (SAS: ``SET a b; BY k;``). SURVEY.md §2.7 #50 — the
+    BY-group merge of several sorted datasets: output is ordered by the
+    BY key, and WITHIN each BY group dataset ``a``'s observations
+    precede ``b``'s, each in original order. ``seq_in_group`` pins that
+    within-group interleave order verifiably (row_number over
+    (src_ord, unique key) per BY group); the across-group order is
+    just the BY key, carried by ``nk``. The window is PARTITIONED by
+    the BY key — at 100 TB this is a keyed sort per group (plus
+    Spark's range-partitioned orderBy if physical output order is
+    demanded), never a single-partition global window."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+        F.lit(0).alias("src_ord"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("src"),
+        F.lit(1).alias("src_ord"),
+    )
+    w = Window.partitionBy("nk").orderBy("src_ord", "id")
+    return (
+        customer.unionByName(supplier)
+        .withColumn("seq_in_group", F.row_number().over(w).cast("long"))
+        .drop("src_ord")
+    )
+
+
+@query(
     "q_union_distinct",
     oracle="""
     select c_nationkey as nk from customer

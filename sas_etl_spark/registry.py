@@ -54,85 +54,74 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 5 window. Green rows are CUMULATIVE across rounds (window
-    # holds 50 of 103; r1∪…∪r4 covered every query at least once).
-    # This round leads with the queries the events fixture change
-    # (int64 ns -> parquet timestamp[us]) invalidated or retyped, then
-    # re-attests the 35 whose newest green row is r2 (oldest first —
-    # rotating staleness down).
-    # -- broken in r4 by the fixture drift, fixed this round via
-    # catalog.normalize_event_ts (VERDICT r4 items 1-2)
-    "q_sessionize",
-    "q_stream_tumbling",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_dedup",
-    "q_stream_join",
-    # -- events readers whose input type changes with the fix
-    # (TIMESTAMP_NTZ -> canonical TIMESTAMP): r4 green rows were
-    # recorded on the NTZ plan, so re-attest on the normalized one.
-    "q_tumbling_counts",
-    "q_sliding_window",
-    "q_session_window",
-    "q_gap_fill",
-    "q_asof_event",
-    "q_dedup_firstlast",
-    "q_moving_avg",
-    "q_json_extract",
-    # -- new in round 5
-    "q_dup_clusters",
-    "q_intnx_intck",
-    "q_curation_pipeline",
-    "q_interp_linear",
-    "q_stream_exactly_once_sink",
-    "q_udtf_tokens",
-    "q_audio_features",
-    "q_image_resize",
-    "q_video_frame_sample",
-    "q_snapshot_upsert",
+    # ROUND 6 window (VERDICT r5 items 1, 4, 6). Green rows are
+    # CUMULATIVE across rounds; after r5 the union covers all queries,
+    # but 28 of them haven't had a driver-green row since r2. This
+    # window: (a) new/regraduated/changed-code queries first, (b) ALL
+    # 28 r2-stale queries, (c) the queries most affected by this
+    # round's timestamp-contract flip (parquet timestamp[us] now reads
+    # as canonical TIMESTAMP via inferTimestampNTZ=false instead of an
+    # NTZ projected cast — every events/o_orderdate/l_shipdate reader's
+    # scan plan changed). After r6 every query's newest green row is
+    # r4+.
+    # -- new in round 6
+    "q_interleave",
+    # -- graduated rows-only -> oracle-paired this round (new oracles)
+    "q_sample",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    # -- code changed this round (literal casts NTZ->TIMESTAMP; knn
+    # partition-gate rework dropped the .rdd touch)
     "q_quality_checks",
-    "q_surrogate_key",
-    "q_string_distance",
-    "q_prefix_join",
+    "q_rfm_segments",
+    "q_knn_cosine",
+    # -- newest green row is r2: full re-attestation (oldest first)
+    "q_join3_revenue",
+    "q_pricing_summary",
+    "q_window_rank",
+    "q_case_when",
+    "q_derive_cols",
+    "q_filter_pred",
+    "q_format_lookup",
+    "q_project_rename",
+    "q_string_funcs",
+    "q_string_funcs2",
+    "q_regex_extract",
+    "q_math_rowwise",
+    "q_rank_ntile",
+    "q_rank_ties_mean",
+    "q_running_total",
+    "q_union_distinct",
+    "q_intersect",
+    "q_nodupkey",
+    "q_distinct_rows",
+    "q_dupout",
+    "q_udf_charge",
+    "q_udaf_weighted",
+    "q_grouped_zscore",
+    "q_pivot_api",
+    "q_unpivot",
+    "q_corr_stats",
+    "q_univariate_moments",
+    "q_freq_chisq",
+    # -- timestamp-contract flip: events.ts / o_orderdate / l_shipdate
+    # readers whose scan type path changed this round (r4/r5 green
+    # rows were recorded on the projected-cast plan)
+    "q_sessionize",
+    "q_asof_event",
+    "q_gap_fill",
+    "q_interp_linear",
+    "q_moving_avg",
+    "q_dedup_firstlast",
+    "q_tumbling_counts",
     "q_funnel",
     "q_cohort_retention",
-    "q_event_transitions",
-    "q_ab_test",
-    "q_rfm_segments",
-    "q_histogram",
-    "q_pipeline_spec",
-    # -- perf-tuned this round (VERDICT r4 item 6)
-    "q_knn_cosine",
-    # -- newest green row is r2: re-attest on current code, oldest
-    # first. (Out of the window, deliberately: q_join3_revenue is the
-    # flagship entry() query the driver smoke-runs every round and
-    # q_pricing_summary anchors bench.py; the rows-only q_sample /
-    # q_approx_* are unit-test-pinned and unchanged; the UDF trio
-    # q_udf_charge/q_udaf_weighted/q_grouped_zscore + q_rank_ties_mean
-    # + q_string_funcs2 + q_rank_ntile are unchanged with dedicated
-    # pytest coverage; q_window_rank/q_running_total/
-    # q_univariate_moments/q_corr_stats/q_freq_chisq/q_distinct_rows/
-    # q_dupout/q_union_distinct/q_nodupkey/q_unpivot/q_math_rowwise/
-    # q_pivot_api/q_intersect/q_case_when/q_format_lookup/q_derive_cols/
-    # q_project_rename/q_filter_pred/q_string_funcs/q_regex_extract ceded
-    # slots to the twenty-one new round-5 queries (each has
-    # same-family siblings still in the window and full local parity
-    # coverage every pytest run) (window_rank runs in
-    # bench every round regardless) — all rotate back next round.)
-    "q_pivot_status",
-    "q_rollup",
-    "q_distinct_count",
-    "q_percentiles",
-    "q_multimodal_features",
-    "q_merge_in_flags",
-    "q_near_dup_minhash",
     "q_date_funcs",
-    "q_array_ops",
     "q_date_format",
-    "q_union_all",
-    "q_except",
+    "q_intnx_intck",
     "q_topn_sort",
-    "q_missing_semantics",
+    "q_merge_in_flags",
+    "q_percentiles",
 )
 
 

@@ -15,8 +15,14 @@ Conf rationale (SURVEY.md §4.2):
   if a fixture ships events as parquet ``timestamp[ns]`` (which Spark
   4.x cannot read natively, PARQUET_TYPE_ILLEGAL), this reads nanos as
   long; catalog.normalize_event_ts converts exactly. Current fixtures
-  ship ``timestamp[us]`` (arrives as TIMESTAMP_NTZ), normalized by the
-  same helper.
+  ship ``timestamp[us]``.
+- ``parquet.inferTimestampNTZ.enabled=false``: parquet ``timestamp[us]``
+  (no UTC-adjust flag) reads directly as canonical TIMESTAMP instead of
+  TIMESTAMP_NTZ. Under the pinned UTC session timezone the wall-clock
+  values are identical to DuckDB's naive reading (verified both ways),
+  and the scan needs NO projected cast — normalize_event_ts becomes a
+  no-op on current fixtures, keeping timestamp reads on the vectorized
+  fast path with zero extra Project.
 - AQE on: runtime partition coalescing + skew-join splitting — the
   100 TB story relies on it, and locally it stops tiny stages from
   drowning in fixed shuffle-partition overhead.
@@ -35,6 +41,7 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,4 +1,12 @@
-"""Accuracy/statistical bounds for the approximate scale twins."""
+"""Accuracy/statistical bounds for the approximate scale twins.
+
+Round 6: q_approx_percentile / q_approx_distinct / q_sample graduated
+to oracle-paired — each now embeds its accuracy attestation in the
+driver-visible result (a bound flag the oracle asserts constant, or
+exact hash-reproducible membership). The tests here pin the RAW sketch
+estimates against exact twins independently of the query packaging,
+plus the native seeded df.sample lane the queries no longer use.
+"""
 
 from __future__ import annotations
 
@@ -12,52 +20,86 @@ queries_map()
 
 
 def test_approx_percentile_close_to_exact(spark):
+    """Raw sketch vs exact, and the query's embedded flag is all-1."""
     li = load_table(spark, SF_CORRECTNESS, "lineitem")
-    exact = {
-        r.l_returnflag: (r.p25, r.p50, r.p75)
-        for r in li.groupBy("l_returnflag")
+    rows = (
+        li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-            F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.percentile_approx(
+                "l_quantity", [0.25, 0.5, 0.75], 10_000
+            ).alias("approx_q"),
+            F.expr("percentile(l_quantity, 0.25)").alias("e25"),
+            F.expr("percentile(l_quantity, 0.50)").alias("e50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("e75"),
         )
         .collect()
-    }
-    approx = {
-        r.l_returnflag: (r.p25, r.p50, r.p75)
-        for r in QUERIES["q_approx_percentile"].fn(spark, SF_CORRECTNESS).collect()
-    }
-    for flag, (e25, e50, e75) in exact.items():
-        a25, a50, a75 = approx[flag]
-        for e, a in [(e25, a25), (e50, a50), (e75, a75)]:
-            assert abs(e - a) <= 1.0  # quantity domain 1..50; sketch err << 1 bucket
+    )
+    for r in rows:
+        for a, e in zip(r.approx_q, (r.e25, r.e50, r.e75)):
+            assert abs(a - e) <= 1.0  # quantity domain 1..50; err << 1 step
+
+    out = QUERIES["q_approx_percentile"].fn(spark, SF_CORRECTNESS).collect()
+    assert out and all(r.within_1 == 1 for r in out)
 
 
 def test_approx_distinct_within_rsd(spark):
+    """Raw HLL estimate vs exact, and the query's embedded flag."""
     li = load_table(spark, SF_CORRECTNESS, "lineitem")
-    exact = {
-        r.l_returnflag: r.n
-        for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("n"),
+        )
         .collect()
-    }
-    approx = {
-        r.l_returnflag: r.approx_parts
-        for r in QUERIES["q_approx_distinct"].fn(spark, SF_CORRECTNESS).collect()
-    }
-    for flag, n in exact.items():
-        assert abs(approx[flag] - n) <= 0.1 * n  # rsd=0.02, generous bound
+    )
+    for r in rows:
+        assert abs(r.approx_parts - r.n) <= 0.1 * r.n  # rsd=0.02, generous
+
+    out = QUERIES["q_approx_distinct"].fn(spark, SF_CORRECTNESS).collect()
+    assert out and all(r.within_bounds == 1 for r in out)
 
 
-def test_sample_fraction_and_determinism(spark):
+def test_sample_fraction_determinism_and_seed_independence(spark):
     df1 = QUERIES["q_sample"].fn(spark, SF_CORRECTNESS)
     df2 = QUERIES["q_sample"].fn(spark, SF_CORRECTNESS)
     n_src = load_table(spark, SF_CORRECTNESS, "orders").count()
     n = df1.count()
-    assert 0.05 * n_src <= n <= 0.15 * n_src  # fraction=0.1 +- slack
-    assert sorted(r.o_orderkey for r in df1.collect()) == sorted(
-        r.o_orderkey for r in df2.collect()
-    )  # fixed seed -> deterministic
+    assert 0.05 * n_src <= n <= 0.15 * n_src  # rate=100/1000 +- slack
+    keys1 = sorted(r.o_orderkey for r in df1.collect())
+    assert keys1 == sorted(r.o_orderkey for r in df2.collect())  # deterministic
+
+    # a different seed draws a (statistically) different membership,
+    # at the same rate — the PROC SURVEYSELECT SEED= contract
+    from sas_etl_spark.operators.sampling import srs_sample
+
+    orders = load_table(spark, SF_CORRECTNESS, "orders")
+    other = srs_sample(orders, "o_orderkey", 100, seed=7)
+    keys7 = sorted(r.o_orderkey for r in other.select("o_orderkey").collect())
+    assert keys7 != keys1
+    assert 0.05 * n_src <= len(keys7) <= 0.15 * n_src
+
+    # membership is repartitioning-invariant — the property df.sample
+    # lacks (its RNG stream is per-partition)
+    repart = sorted(
+        r.o_orderkey
+        for r in srs_sample(orders.repartition(7), "o_orderkey", 100, seed=42)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert repart == keys1
+
+
+def test_native_seeded_sample_lane(spark):
+    """df.sample(fraction, seed) — the Spark-native Bernoulli lane the
+    registered query deliberately avoids (partition-dependent RNG):
+    still deterministic within a fixed partitioning + seed."""
+    orders = load_table(spark, SF_CORRECTNESS, "orders")
+    a = orders.sample(fraction=0.1, seed=42).count()
+    b = orders.sample(fraction=0.1, seed=42).count()
+    n_src = orders.count()
+    assert a == b
+    assert 0.05 * n_src <= a <= 0.15 * n_src
 
 
 def test_deterministic_split_is_stable_and_partitioning_invariant(spark):

@@ -65,10 +65,11 @@ def test_normalize_event_ts_is_total(spark):
 #: — the contract every query builds on. A driver-side fixture
 #: regeneration that changes any name or type fails HERE, in one
 #: obvious place, instead of as N query/oracle mismatches downstream.
-#: (events.ts is normalized bigint/ntz -> timestamp by the catalog; the
-#: orders/lineitem date columns ship as parquet timestamp[us] and are
-#: intentionally left as timestamp_ntz — DuckDB reads them naive, so
-#: NTZ is the parity-exact type for them.)
+#: (all parquet timestamp[us] columns — events.ts, o_orderdate,
+#: l_shipdate — arrive as canonical TIMESTAMP via the session conf
+#: parquet.inferTimestampNTZ.enabled=false; under the pinned UTC
+#: session timezone this is value-identical to DuckDB's naive reading
+#: and needs no projected cast on the scan.)
 EXPECTED_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "region": [("r_regionkey", "int"), ("r_name", "string")],
     "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
@@ -98,7 +99,7 @@ EXPECTED_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("o_custkey", "bigint"),
         ("o_orderstatus", "string"),
         ("o_totalprice", "double"),
-        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderdate", "timestamp"),
         ("o_orderpriority", "string"),
     ],
     "lineitem": [
@@ -112,11 +113,11 @@ EXPECTED_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("l_tax", "double"),
         ("l_returnflag", "string"),
         ("l_linestatus", "string"),
-        ("l_shipdate", "timestamp_ntz"),
+        ("l_shipdate", "timestamp"),
     ],
     "events": [
         ("event_id", "bigint"),
-        ("ts", "timestamp"),  # canonical post-normalization
+        ("ts", "timestamp"),  # canonical straight off the scan
         ("user_id", "bigint"),
         ("event_type", "string"),
         ("value", "double"),

@@ -35,22 +35,29 @@ def test_queries_map_leads_with_priority() -> None:
     assert sorted(emitted) == sorted(registry.QUERIES)
 
 
-def test_round5_rotation_targets_inside_window() -> None:
-    """Round-5 plan: every query the events-fixture drift broke (fixed
-    this round via catalog.normalize_event_ts) or retyped
-    (TIMESTAMP_NTZ -> canonical TIMESTAMP changes their input plan)
-    must sit in slots 0-49, per VERDICT r4 items 1-2."""
-    broken_r4_fixed_r5 = {
-        "q_sessionize", "q_stream_tumbling", "q_stream_session",
-        "q_stream_sliding", "q_stream_dedup", "q_stream_join",
+def test_round6_rotation_targets_inside_window() -> None:
+    """Round-6 plan (VERDICT r5 items 1, 4, 6): the 28 queries whose
+    newest driver-green row is r2, plus everything new / regraduated /
+    code-changed this round, must sit in slots 0-49."""
+    stale_r2 = {
+        "q_join3_revenue", "q_pricing_summary", "q_window_rank",
+        "q_case_when", "q_derive_cols", "q_filter_pred",
+        "q_format_lookup", "q_project_rename", "q_string_funcs",
+        "q_string_funcs2", "q_regex_extract", "q_math_rowwise",
+        "q_rank_ntile", "q_rank_ties_mean", "q_running_total",
+        "q_union_distinct", "q_intersect", "q_nodupkey",
+        "q_distinct_rows", "q_dupout", "q_udf_charge",
+        "q_udaf_weighted", "q_grouped_zscore", "q_pivot_api",
+        "q_unpivot", "q_corr_stats", "q_univariate_moments",
+        "q_freq_chisq",
     }
-    events_retyped = {
-        "q_tumbling_counts", "q_sliding_window", "q_session_window",
-        "q_gap_fill", "q_asof_event", "q_dedup_firstlast",
-        "q_moving_avg", "q_json_extract",
+    new_or_changed_r6 = {
+        "q_interleave", "q_sample", "q_approx_distinct",
+        "q_approx_percentile", "q_quality_checks", "q_rfm_segments",
+        "q_knn_cosine",
     }
     window = set(list(registry.queries_map())[:WINDOW])
-    must = broken_r4_fixed_r5 | events_retyped
+    must = stale_r2 | new_or_changed_r6
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
