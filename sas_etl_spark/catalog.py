@@ -41,6 +41,26 @@ TABLES: tuple[str, ...] = (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def evict_dead_app_entries(cache: dict, live_app_id: str) -> None:
+    """Drop cache entries that belong to a stopped SparkContext.
+
+    PySpark permits ONE active SparkContext per process, so any entry
+    keyed by an applicationId other than the live one references a
+    context that no longer exists — its plan handles are dead weight a
+    long-lived multi-session host (notebook kernel, app server cycling
+    sessions) would otherwise accumulate forever. Keys may be the
+    app-id string itself or a tuple whose first element is the app-id.
+    O(cache) per call, but only invoked on insert-after-miss — at most
+    once per (new session, key).
+    """
+    for key in [
+        k
+        for k in cache
+        if (k[0] if isinstance(k, tuple) else k) != live_app_id
+    ]:
+        del cache[key]
+
+
 #: Canonical dtype of events.ts after normalization.
 EVENTS_TS_DTYPE = "timestamp"
 
@@ -102,6 +122,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    evict_dead_app_entries(_TABLE_CACHE, key[0])
     _TABLE_CACHE[key] = df
     return df
 

@@ -159,8 +159,18 @@ def prefix_filtered_pairs(
             lambda st: st["h"],
         ).alias("_hs"),
     )
+    # ceil over EXACT arithmetic: thresholds not representable in
+    # binary (0.7, 0.29, ...) can make size*t land a hair ABOVE the
+    # true rational product, over-ceiling and shortening the prefix by
+    # one — silently breaking the recall-exactly-1 guarantee. The
+    # 1e-9 nudge (far below 1/|set| for any realistic shingle count)
+    # floors that representation error away; it can only LENGTHEN the
+    # prefix by one in exact-integer cases, which costs a few extra
+    # candidates, never recall.
     prefix_len = (
-        F.size(F.col("_hs")) - F.ceil(F.size(F.col("_hs")) * F.lit(threshold)) + 1
+        F.size(F.col("_hs"))
+        - F.ceil(F.size(F.col("_hs")) * F.lit(threshold) - F.lit(1e-9))
+        + 1
     ).cast("int")
     prefixes = ordered.select(
         "_id",

@@ -45,6 +45,15 @@ def check_suite(
         raise ValueError(
             "check_suite needs at least one check or unique-key spec"
         )
+    # Check names are interpolated into a selectExpr stack() string
+    # (as '<name>' literals and `<name>` column refs): a quote or
+    # backtick in a name would produce a confusing parse error — or
+    # malformed SQL — at plan time. Fail with a clear message instead.
+    bad = [n for n, _ in checks if "'" in n or "`" in n]
+    if bad:
+        raise ValueError(
+            f"check names must not contain quotes or backticks: {bad}"
+        )
     aggs = [
         F.sum(
             F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)

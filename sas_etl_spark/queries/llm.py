@@ -138,7 +138,10 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     qv = _QVEC_CACHE.get(key)
     if qv is None:
+        from sas_etl_spark.catalog import evict_dead_app_entries
+
         qv = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+        evict_dead_app_entries(_QVEC_CACHE, key[0])
         _QVEC_CACHE[key] = qv
     return cosine_topk_literal(
         emb.filter(F.col("vec_id") != 0),

@@ -31,6 +31,11 @@ def scratch_root(spark: SparkSession) -> str:
     app_id = spark.sparkContext.applicationId
     root = _ROOTS.get(app_id)
     if root is None or not os.path.isdir(root):
+        # Reclaim dead-app scratch NOW rather than at interpreter exit
+        # (their atexit hooks remain as harmless no-ops) and drop the
+        # dict entries — see catalog.evict_dead_app_entries.
+        for dead in [a for a in _ROOTS if a != app_id]:
+            shutil.rmtree(_ROOTS.pop(dead), ignore_errors=True)
         root = tempfile.mkdtemp(prefix=f"sas_etl_scratch_{app_id}_")
         _ROOTS[app_id] = root
         atexit.register(shutil.rmtree, root, ignore_errors=True)

@@ -172,13 +172,16 @@ def run_bounded_to_parquet_sink(
     # recentProgress: that buffer is size-capped and empty when a
     # restart against an existing checkpoint finds no new data
     # (returning 0 there would point readers at a stale partial).
-    import os
-
-    epochs = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("_epoch=")
-    ]
-    if not epochs:
+    # Listed THROUGH Spark (partition-column scan of the sink), not
+    # os.listdir: on a real cluster ``path`` is an HDFS/object-store
+    # URI the driver's local filesystem cannot see. Reading only the
+    # ``_epoch`` partition column touches directory metadata, no data
+    # files.
+    row = (
+        agg.sparkSession.read.parquet(path)
+        .agg(F.max("_epoch").alias("_max_epoch"))
+        .first()
+    )
+    if row is None or row._max_epoch is None:
         raise RuntimeError(f"exactly-once sink at {path} holds no epochs")
-    return max(epochs)
+    return int(row._max_epoch)

@@ -159,3 +159,61 @@ def test_run_sql_textual_surface(spark):
         "on o_custkey = c_custkey"
     ).first().n
     assert n > 0
+
+
+def test_dead_app_cache_entries_evicted(spark):
+    """Entries keyed by a stopped application's id are dropped on the
+    next insert-after-miss (one live SparkContext per process, so a
+    foreign app-id is always dead) — a long-lived multi-session host
+    must not accumulate dead plan handles."""
+    from sas_etl_spark import catalog
+
+    live = spark.sparkContext.applicationId
+    catalog._TABLE_CACHE[("app-dead-0xdead", SF_SMOKE, "orders")] = object()
+    # trailing "/." resolves to the same files but forms a fresh cache
+    # key, forcing the miss->insert path that runs eviction
+    load_table(spark, SF_SMOKE + "/.", "nation")
+    assert all(k[0] == live for k in catalog._TABLE_CACHE)
+
+
+def test_dead_app_qvec_cache_evicted(spark):
+    from sas_etl_spark.queries import llm
+    from sas_etl_spark.registry import QUERIES, queries_map
+
+    queries_map()
+    live = spark.sparkContext.applicationId
+    llm._QVEC_CACHE.pop((live, SF_SMOKE), None)  # force the miss path
+    llm._QVEC_CACHE[("app-dead-0xdead", SF_SMOKE)] = [0.0]
+    QUERIES["q_knn_cosine"].fn(spark, SF_SMOKE).collect()
+    assert all(k[0] == live for k in llm._QVEC_CACHE)
+
+
+def test_dead_app_scratch_roots_reclaimed(spark):
+    import os
+    import tempfile
+
+    from sas_etl_spark import scratch as sc
+
+    live = spark.sparkContext.applicationId
+    dead_root = tempfile.mkdtemp(prefix="sas_etl_dead_test_")
+    sc._ROOTS["app-dead-0xdead"] = dead_root
+    sc._ROOTS.pop(live, None)  # force the (re)create path
+    root = sc.scratch_root(spark)
+    assert os.path.isdir(root)
+    assert "app-dead-0xdead" not in sc._ROOTS
+    assert not os.path.isdir(dead_root)  # reclaimed now, not at exit
+
+
+def test_check_suite_rejects_quoted_names(spark):
+    """Check names are interpolated into a stack() selectExpr; quotes
+    or backticks must fail loudly at the API, not as SQL parse noise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sas_etl_spark.operators.quality_checks import check_suite
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with _pytest.raises(ValueError, match="quotes or backticks"):
+        check_suite(orders, checks=[("bad'name", F.col("o_custkey").isNull())])
+    with _pytest.raises(ValueError, match="quotes or backticks"):
+        check_suite(orders, checks=[("bad`name", F.col("o_custkey").isNull())])

@@ -22,8 +22,9 @@ def test_two_components_and_orientation_invariance(spark):
 
 
 def test_long_chain_needs_many_rounds(spark):
-    # path 0-1-2-...-9: diameter 9 forces multiple rounds AND crosses
-    # the localCheckpoint boundary (every 3 rounds) several times.
+    # path 0-1-2-...-9: diameter 9 forces multiple rounds, each of
+    # which crosses a localCheckpoint boundary (every round —
+    # operators/graph.py _CHECKPOINT_EVERY = 1).
     edges = [(i, i + 1) for i in range(9)]
     labels = _cc(spark, edges)
     assert labels == {i: 0 for i in range(10)}

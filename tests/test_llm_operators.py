@@ -400,3 +400,35 @@ def test_shingle_array_short_doc_contract(spark):
         2: ["solo"],
         3: sorted(["a b c", "b c d"]),
     }
+
+
+def test_lsh_adversarial_skew_bucket_bounded(spark):
+    """Pathological LSH skew (VERDICT r5 item 8): 150 IDENTICAL docs
+    collapse every band into one giant bucket — the worst-case shape
+    for the band equi-join. The operator must (a) complete (AQE skew
+    split owns the physical mitigation; the logical plan stays a plain
+    equi-join — no cartesian), and (b) produce EXACTLY the C(150,2)
+    true pairs among the clones, with zero candidates leaking across
+    to the 50 distinct docs — i.e. the candidate set stays
+    bucket-bounded instead of degrading toward all-pairs over the
+    whole corpus."""
+    n_dup, n_distinct = 150, 50
+    rows = [(i, "the same exact duplicated text body repeated verbatim")
+            for i in range(n_dup)]
+    rows += [(1000 + j,
+              f"unique document number {j} about topic {j * 17} entirely "
+              f"different content {j * 31}")
+             for j in range(n_distinct)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = near_dup_pairs(docs, threshold=0.8)
+    got = pairs.collect()
+    expected = n_dup * (n_dup - 1) // 2
+    assert len(got) == expected
+    assert all(r.a_id < n_dup and r.b_id < n_dup for r in got)
+    assert all(r.jaccard == 1.0 for r in got)
+
+    # the logical plan stays a skew-splittable equi-join — never a
+    # cartesian product (which AQE could not rescue)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
