@@ -370,15 +370,31 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency/frequency/monetary; SAS:
     PROC RANK GROUPS= over PROC MEANS output) WITHOUT the global
-    ntile window — a global ntile is an Exchange SinglePartition,
-    banned at scale. Instead: one keyed agg builds the per-customer
-    RFM triple, exact medians come from a 1-row aggregate that
-    BROADCASTS back over the triples, and segment letters compare
-    against the cuts — every stage keyed or broadcast, nothing
-    single-partition. Median cuts use exact interpolated percentile
-    on both engines (integer-day recency / integer frequency / 2dp
-    monetary keep the interpolation arithmetic drift-free); the
+    ntile window over detail rows — that would sort every ROW through
+    one task. Instead: one keyed agg builds the per-customer RFM
+    triple, median cuts come from a 1-row aggregate BROADCAST back
+    over the triples, and segment letters compare against the cuts.
+
+    Honest scale note (round 6 — found by the fixed SinglePartition
+    audit): the EXACT interpolated-percentile cuts still buffer the
+    per-customer triples through one ObjectHashAggregate merge task —
+    O(customers), the inherent cost of exact global quantiles in any
+    engine (DuckDB's quantile_cont pays the same; it is why this
+    query can be oracle-exact). This is the one allowlisted
+    single-partition funnel in the registry
+    (tests/test_plan_audit.py). At 100 TB pass ``exact_cuts=False``
+    to _rfm_segments: percentile_approx cuts keep constant state per
+    task (accuracy attested by q_approx_percentile's oracle-green
+    bound flag), trading cut placement by at most the sketch's 1e-4
+    rank error. Integer-day recency / integer frequency / 2dp
+    monetary keep the cut arithmetic drift-free on both engines; the
     anchor date is the fixture's max order date."""
+    return _rfm_segments(spark, sf_dir, exact_cuts=True)
+
+
+def _rfm_segments(
+    spark: SparkSession, sf_dir: str, exact_cuts: bool = True
+) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     anchor = F.lit("1998-08-02").cast("timestamp")
     rfm = orders.groupBy("o_custkey").agg(
@@ -386,11 +402,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    cuts = rfm.agg(
-        F.expr("percentile(recency, 0.5)").alias("r_med"),
-        F.expr("percentile(frequency, 0.5)").alias("f_med"),
-        F.expr("percentile(monetary, 0.5)").alias("m_med"),
-    )
+    if exact_cuts:
+        cuts = rfm.agg(
+            F.expr("percentile(recency, 0.5)").alias("r_med"),
+            F.expr("percentile(frequency, 0.5)").alias("f_med"),
+            F.expr("percentile(monetary, 0.5)").alias("m_med"),
+        )
+    else:  # mergeable sketch cuts — the 100 TB path
+        cuts = rfm.agg(
+            F.percentile_approx("recency", 0.5, 10_000).alias("r_med"),
+            F.percentile_approx("frequency", 0.5, 10_000).alias("f_med"),
+            F.percentile_approx("monetary", 0.5, 10_000).alias("m_med"),
+        )
     return rfm.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "recency",

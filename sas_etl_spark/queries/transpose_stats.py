@@ -4,7 +4,7 @@ moment statistics, oracle-paired."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -173,4 +173,51 @@ def q_freq_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.countDistinct("s") - 1) * (F.countDistinct("p") - 1)
             ).alias("dof"),
         )
+    )
+
+
+@query(
+    "q_crosstab_pct",
+    oracle="""
+    with ct as (
+        select o_orderstatus, o_orderpriority,
+               cast(count(*) as bigint) as n
+        from orders
+        group by o_orderstatus, o_orderpriority
+    ), tot as (select cast(sum(n) as double) as t from ct)
+    select o_orderstatus, o_orderpriority, n,
+           round(n / cast(sum(n) over (partition by o_orderstatus)
+                          as double), 6) as pct_row,
+           round(n / cast(sum(n) over (partition by o_orderpriority)
+                          as double), 6) as pct_col,
+           round(n / t, 6) as pct_all
+    from ct cross join tot
+    """,
+    tags=("transpose", "agg"),
+)
+def q_crosstab_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way crosstab with row/column/grand-total percentages (SAS:
+    PROC FREQ TABLES status*priority — the PERCENT/ROWPCT/COLPCT
+    cells; PROC TABULATE PCTN). The detail table is reduced ONCE by a
+    keyed agg; every percentage then lives on the crosstab itself:
+    row/col shares are windows PARTITIONED by the margin dimension
+    (bounded partitions — the crosstab has |status| x |priority|
+    cells), and the grand total is a 1-row constant-state aggregate
+    broadcast back over the cells. No window or join ever touches
+    detail rows — at 100 TB the percentage stages cost O(cells), not
+    O(orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = ct.agg(F.sum("n").cast("double").alias("t"))
+    w_row = Window.partitionBy("o_orderstatus")
+    w_col = Window.partitionBy("o_orderpriority")
+    return ct.crossJoin(F.broadcast(tot)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_row).cast("double"), 6).alias("pct_row"),
+        F.round(F.col("n") / F.sum("n").over(w_col).cast("double"), 6).alias("pct_col"),
+        F.round(F.col("n") / F.col("t"), 6).alias("pct_all"),
     )

@@ -223,3 +223,48 @@ def q_rank_ties_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.count(F.lit(1)).over(w_tie).cast("double") - 1) / 2
         ).alias("mean_rank"),
     )
+
+
+@query(
+    "q_rank_tie_modes",
+    oracle="""
+    select p_partkey, p_brand, p_size,
+           cast(rank() over w as bigint) as r_low,
+           cast(rank() over w
+                + count(*) over (partition by p_brand, p_size) - 1
+                as bigint) as r_high,
+           cast(dense_rank() over w as bigint) as r_dense,
+           round(rank() over w
+                 + (cast(count(*) over (partition by p_brand, p_size)
+                         as double) - 1) / 2, 1) as r_mean
+    from part
+    window w as (partition by p_brand order by p_size)
+    """,
+    tags=("window",),
+)
+def q_rank_tie_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four PROC RANK tie modes in one pass (SAS: PROC RANK
+    TIES=LOW/HIGH/DENSE/MEAN): LOW = ANSI rank(), DENSE =
+    dense_rank(), HIGH = rank + tie_count - 1 (the highest position
+    the tie group spans), MEAN = rank + (tie_count - 1)/2. p_size
+    within p_brand is heavily tied (integer domain 1..50), so every
+    mode is exercised on real tie groups. Both windows share the
+    p_brand hash partitioning — Spark plans ONE exchange, the ordered
+    rank and the value-grouped tie count reuse it; all four outputs
+    are tie-deterministic (functions of the order VALUE, not row
+    position), so no tiebreak column is needed for cross-engine
+    parity."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    w_tie = Window.partitionBy("p_brand", "p_size")
+    low = F.rank().over(w)
+    tie_n = F.count(F.lit(1)).over(w_tie)
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        low.cast("long").alias("r_low"),
+        (low + tie_n - 1).cast("long").alias("r_high"),
+        F.dense_rank().over(w).cast("long").alias("r_dense"),
+        F.round(low + (tie_n.cast("double") - 1) / 2, 1).alias("r_mean"),
+    )

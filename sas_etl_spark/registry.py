@@ -66,6 +66,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r4+.
     # -- new in round 6
     "q_interleave",
+    "q_rank_tie_modes",
+    "q_crosstab_pct",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -120,8 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_date_format",
     "q_intnx_intck",
     "q_topn_sort",
-    "q_merge_in_flags",
-    "q_percentiles",
 )
 
 
