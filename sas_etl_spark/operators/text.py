@@ -156,6 +156,37 @@ def quality_columns(
     }
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as an array of space-joined strings (ALL
+    occurrences, duplicates preserved — repetition metrics need the
+    multiset, unlike shingle_array's distinct sets). Docs shorter
+    than n tokens yield an empty array. Pure higher-order-function
+    expression, whole-stage-codegen'd."""
+    toks = F.split(text, " ")
+    n_grams = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than yielding
+    # empty, so short docs need an explicit empty-array branch
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(text: Column, n: int) -> Column:
+    """Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    occurrence — the Gopher-style repetition quality rule (Rae et al.
+    2021 §A1.1 'repetition' filters; also used by Dolma/RefinedWeb):
+    1 - distinct/total. 0.0 for docs with no n-grams (shorter than n
+    tokens) — a short doc is not 'repetitive'."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    frac = 1 - F.size(F.array_distinct(grams)) / total
+    return F.when(total > 0, frac).otherwise(F.lit(0.0))
+
+
 def token_count_bpe_ish(text: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
     """Approximate LLM token count via the BPE-ish regex."""
     return F.regexp_count(text, F.lit(pattern)).cast("long")

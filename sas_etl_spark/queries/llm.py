@@ -18,6 +18,7 @@ from sas_etl_spark.operators.simhash import (
     with_simhash_portable,
 )
 from sas_etl_spark.operators.text import (
+    duplicate_ngram_fraction,
     lang_id,
     quality_columns,
     token_count_bpe_ish,
@@ -205,6 +206,57 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cols["avg_token_len"], 6).alias("avg_token_len"),
         F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(cols["type_token_ratio"], 6).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "q_repetition_ratio",
+    oracle="""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ), g as (
+        select doc_id,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) as bi,
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                   || toks[i + 2]) as tri
+        from t
+    )
+    select doc_id,
+           round(case when len(bi) > 0
+                      then 1 - len(list_distinct(bi)) * 1.0 / len(bi)
+                      else 0 end, 6) as dup_bigram_frac,
+           round(case when len(tri) > 0
+                      then 1 - len(list_distinct(tri)) * 1.0 / len(tri)
+                      else 0 end, 6) as dup_trigram_frac,
+           cast(case when len(bi) > 0
+                     and 1 - len(list_distinct(bi)) * 1.0 / len(bi) > 0.1
+                     then 1 else 0 end as int) as flagged
+    from g
+    """,
+    tags=("text", "quality", "llm"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule (Rae et al. 2021 §A1.1;
+    the duplicate-n-gram filters Dolma/RefinedWeb also apply): the
+    fraction of bigram/trigram OCCURRENCES that repeat an earlier
+    occurrence in the same document, plus the curation gate
+    (dup_bigram_frac > 0.1 -> flagged; threshold chosen so the fixture exercises both branches). Highly repetitive documents
+    (boilerplate, keyword stuffing, degenerate generations) score
+    near 1; diverse prose near 0. Pure higher-order-function column
+    expressions — one scan pass, zero shuffle, and at 100 TB the gate
+    fuses into the same scan-side Project as the other quality gates
+    (q_curation_pipeline pattern). DuckDB's 1-based list indexing and
+    range(a, b) exclusive end mirror the Spark slice window exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = duplicate_ngram_fraction(F.col("text"), 2)
+    tri = duplicate_ngram_fraction(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.round(bi, 6).alias("dup_bigram_frac"),
+        F.round(tri, 6).alias("dup_trigram_frac"),
+        (bi > 0.1).cast("int").alias("flagged"),
     )
 
 

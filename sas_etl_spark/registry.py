@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_interleave",
     "q_rank_tie_modes",
     "q_crosstab_pct",
+    "q_repetition_ratio",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -121,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_date_funcs",
     "q_date_format",
     "q_intnx_intck",
-    "q_topn_sort",
 )
 
 

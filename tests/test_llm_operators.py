@@ -432,3 +432,30 @@ def test_lsh_adversarial_skew_bucket_bounded(spark):
     # cartesian product (which AQE could not rescue)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_ngram_fraction_edges(spark):
+    """Gopher repetition rule: short docs (< n tokens) score 0.0, a
+    fully repeated doc approaches 1, and the word_ngrams guard never
+    produces the descending-sequence artifact."""
+    from sas_etl_spark.operators.text import duplicate_ngram_fraction, word_ngrams
+
+    rows = [
+        (1, "a"),                        # 1 token: no bigrams -> 0.0
+        (2, "a b"),                      # exactly one bigram -> 0.0
+        (3, "x y x y x y x y"),          # 7 bigrams, 2 distinct
+        (4, "p q r s"),                  # all distinct -> 0.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.f, r.n)
+        for r in docs.select(
+            "doc_id",
+            F.round(duplicate_ngram_fraction(F.col("text"), 2), 6).alias("f"),
+            F.size(word_ngrams(F.col("text"), 2)).alias("n"),
+        ).collect()
+    }
+    assert got[1] == (0.0, 0)  # empty array, not [1, 0]-descending junk
+    assert got[2] == (0.0, 1)
+    assert got[3] == (round(1 - 2 / 7, 6), 7)
+    assert got[4] == (0.0, 3)

@@ -53,8 +53,9 @@ def test_round6_rotation_targets_inside_window() -> None:
     }
     new_or_changed_r6 = {
         "q_interleave", "q_rank_tie_modes", "q_crosstab_pct",
-        "q_sample", "q_approx_distinct", "q_approx_percentile",
-        "q_quality_checks", "q_rfm_segments", "q_knn_cosine",
+        "q_repetition_ratio", "q_sample", "q_approx_distinct",
+        "q_approx_percentile", "q_quality_checks", "q_rfm_segments",
+        "q_knn_cosine",
     }
     window = set(list(registry.queries_map())[:WINDOW])
     must = stale_r2 | new_or_changed_r6
