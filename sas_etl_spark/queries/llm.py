@@ -701,6 +701,108 @@ _SPLIT_BUCKET_SQL = """
 
 
 @query(
+    "q_ngram_contamination",
+    oracle=f"""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks,
+               {_SPLIT_BUCKET_SQL} as bucket
+        from documents
+    ), g as (
+        select doc_id, bucket,
+               unnest(list_transform(range(1, len(toks) - 11),
+                   i -> list_aggregate(toks[i:i+12], 'string_agg', ' ')))
+                   as gram
+        from t
+    ), train as (
+        select distinct gram from g where bucket < 80
+    )
+    select g.doc_id, cast(count(distinct g.gram) as bigint) as n_shared_grams
+    from g join train using (gram)
+    where g.bucket >= 90
+    group by g.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram train/eval contamination audit (the GPT-3 appendix-C
+    decontamination rule, kept by most successors): a TEST document is
+    contaminated if it shares any 13-token word window with any TRAIN
+    document of the deterministic sha256 split. Complements
+    q_contamination (exact full-text leakage) — n-gram overlap catches
+    partial/embedded leakage that whole-document hashing misses.
+
+    Shape: explode distinct 13-grams per doc, reduce the train side to
+    distinct grams, then a plain gram equi-join + per-test-doc count —
+    candidate work is bucket-bounded by gram frequency, never
+    all-pairs. At 100 TB the join key is xxhash64(gram) (8-byte
+    shuffle rows) instead of the gram string; the string form here
+    keeps the oracle engine-portable. The fixture's planted cross-
+    split near-dups make the result non-empty at sf0.01."""
+    from sas_etl_spark.operators.sampling import deterministic_split
+    from sas_etl_spark.operators.text import word_ngrams
+
+    docs = deterministic_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 13))).alias("gram"),
+    )
+    train = grams.filter(F.col("split") == "train").select("gram").distinct()
+    return (
+        grams.filter(F.col("split") == "test")
+        .join(train, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    with tok as (
+        select doc_id, unnest(string_split(text, ' ')) as word
+        from documents
+    ), tf as (
+        select word, cast(count(*) as double) as c from tok group by word
+    ), n as (
+        select cast(count(*) as double) as total from tok
+    )
+    select doc_id, round(avg(-ln(c / total)), 6) as avg_neg_logprob
+    from tok join tf using (word) cross join n
+    group by doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document — the
+    simplest member of the CCNet/KenLM perplexity-filter family every
+    web-scale curation pipeline runs: score = mean over tokens of
+    -ln p(word), with p estimated from the corpus itself. Documents
+    of rare words score high (surprising), stopword soup scores low;
+    curation keeps a middle band.
+
+    Shape: one explode -> term-frequency agg (mergeable partials) ->
+    re-join the frequencies onto the token stream -> per-doc avg.
+    The vocabulary side of the join is groupBy-reduced and BROADCASTS
+    at any realistic vocab size (even web-scale vocabs are millions
+    of rows vs billions of docs); the 1-row corpus total is a benign
+    constant-state merge broadcast back. No window, no sort, no
+    single-partition funnel over detail rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        tok.join(F.broadcast(tf), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6).alias("avg_neg_logprob"))
+    )
+
+
+@query(
     "q_contamination",
     oracle=f"""
     with labeled as (

@@ -69,6 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rank_tie_modes",
     "q_crosstab_pct",
     "q_repetition_ratio",
+    "q_ngram_contamination",
+    "q_unigram_logprob",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -116,8 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_interp_linear",
     "q_moving_avg",
     "q_dedup_firstlast",
-    "q_tumbling_counts",
-    "q_funnel",
     "q_cohort_retention",
     "q_date_funcs",
     "q_date_format",
