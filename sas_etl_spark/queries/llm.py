@@ -759,6 +759,49 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_quantize",
+    oracle="""
+    with s as (
+        select vec_id, embedding,
+               127.0 / list_reduce(
+                   list_transform(embedding, v -> abs(cast(v as double))),
+                   (a, v) -> greatest(a, v)) as scale
+        from embeddings
+    )
+    select vec_id,
+           round(scale, 6) as scale,
+           round(list_reduce(
+               list_transform(embedding,
+                   v -> pow(cast(v as double)
+                            - floor(cast(v as double) * scale + 0.5) / scale,
+                            2)),
+               (a, v) -> a + v) / len(embedding) * 1e6, 6) as mse_e6
+    from s
+    """,
+    tags=("llm", "similarity", "scale"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction-error
+    audit (the vector-store compression step: FAISS SQ8 family). Per
+    vector: scale = 127/max|x|, codes = floor(x*scale + 0.5), and the
+    hash-verified payload is the per-vector reconstruction MSE (x1e6
+    for 6dp stability) — the oracle recomputes every code and error
+    term, so the compression arithmetic is attested bit-for-bit
+    (fold order matches DuckDB's list_reduce; see
+    operators/similarity.int8_quantize_columns). Pure scan-side HOF
+    projection: no shuffle, embarrassingly parallel at 100 TB."""
+    from sas_etl_spark.operators.similarity import int8_quantize_columns
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = int8_quantize_columns("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(cols["scale"], 6).alias("scale"),
+        F.round(cols["mse"] * 1e6, 6).alias("mse_e6"),
+    )
+
+
+@query(
     "q_unigram_logprob",
     oracle="""
     with tok as (

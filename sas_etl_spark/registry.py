@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_repetition_ratio",
     "q_ngram_contamination",
     "q_unigram_logprob",
+    "q_embed_quantize",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -118,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_interp_linear",
     "q_moving_avg",
     "q_dedup_firstlast",
-    "q_cohort_retention",
     "q_date_funcs",
     "q_date_format",
     "q_intnx_intck",

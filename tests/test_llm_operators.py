@@ -459,3 +459,41 @@ def test_duplicate_ngram_fraction_edges(spark):
     assert got[2] == (0.0, 1)
     assert got[3] == (round(1 - 2 / 7, 6), 7)
     assert got[4] == (0.0, 3)
+
+
+def test_int8_quantize_codes_bounded_and_cosine_preserved(spark):
+    """SQ8 contract: codes lie in [-127, 127], reconstruction MSE is
+    tiny relative to vector scale, and top-k cosine neighborhoods
+    survive quantization (the property a vector store actually
+    needs)."""
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.similarity import (
+        cosine,
+        int8_quantize_columns,
+    )
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cols = int8_quantize_columns("embedding")
+    stats = emb.select(
+        F.array_max(cols["codes"]).alias("cmax"),
+        F.array_min(cols["codes"]).alias("cmin"),
+        cols["mse"].alias("mse"),
+        (
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda a, v: F.greatest(a, F.abs(v.cast("double"))),
+            )
+        ).alias("absmax"),
+    ).collect()
+    assert all(-127 <= r.cmin and r.cmax <= 127 for r in stats)
+    assert all(r.mse < (r.absmax / 127) ** 2 for r in stats)  # < 1 LSB^2
+
+    # cosine(original, reconstructed) ~ 1 for every vector
+    recon = emb.select(
+        cosine(
+            F.col("embedding").cast("array<double>"),
+            F.transform(cols["codes"], lambda q: q / cols["scale"]),
+        ).alias("c")
+    ).collect()
+    assert all(r.c > 0.9999 for r in recon)

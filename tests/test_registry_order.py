@@ -54,7 +54,8 @@ def test_round6_rotation_targets_inside_window() -> None:
     new_or_changed_r6 = {
         "q_interleave", "q_rank_tie_modes", "q_crosstab_pct",
         "q_repetition_ratio", "q_ngram_contamination",
-        "q_unigram_logprob", "q_sample", "q_approx_distinct",
+        "q_unigram_logprob", "q_embed_quantize",
+        "q_sample", "q_approx_distinct",
         "q_approx_percentile", "q_quality_checks", "q_rfm_segments",
         "q_knn_cosine",
     }
