@@ -236,22 +236,24 @@ def q_rank_ties_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(dense_rank() over w as bigint) as r_dense,
            round(rank() over w
                  + (cast(count(*) over (partition by p_brand, p_size)
-                         as double) - 1) / 2, 1) as r_mean
+                         as double) - 1) / 2, 1) as r_mean,
+           round(percent_rank() over w, 6) as r_fraction,
+           round(cume_dist() over w, 6) as r_cume
     from part
     window w as (partition by p_brand order by p_size)
     """,
     tags=("window",),
 )
 def q_rank_tie_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four PROC RANK tie modes in one pass (SAS: PROC RANK
-    TIES=LOW/HIGH/DENSE/MEAN): LOW = ANSI rank(), DENSE =
-    dense_rank(), HIGH = rank + tie_count - 1 (the highest position
-    the tie group spans), MEAN = rank + (tie_count - 1)/2. p_size
-    within p_brand is heavily tied (integer domain 1..50), so every
-    mode is exercised on real tie groups. Both windows share the
-    p_brand hash partitioning — Spark plans ONE exchange, the ordered
-    rank and the value-grouped tie count reuse it; all four outputs
-    are tie-deterministic (functions of the order VALUE, not row
+    """Every PROC RANK output mode in one pass: the four TIES= modes
+    (LOW = ANSI rank(), DENSE = dense_rank(), HIGH = rank +
+    tie_count - 1, MEAN = rank + (tie_count - 1)/2) plus the
+    FRACTION/PERCENT family (percent_rank = (rank-1)/(n-1), cume_dist
+    = NPLUS1-style cumulative fraction). p_size within p_brand is
+    heavily tied (integer domain 1..50), so every mode is exercised
+    on real tie groups. All three window specs share the p_brand hash
+    partitioning — Spark plans ONE exchange; every output is
+    tie-deterministic (a function of the order VALUE, not row
     position), so no tiebreak column is needed for cross-engine
     parity."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
@@ -267,4 +269,6 @@ def q_rank_tie_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (low + tie_n - 1).cast("long").alias("r_high"),
         F.dense_rank().over(w).cast("long").alias("r_dense"),
         F.round(low + (tie_n.cast("double") - 1) / 2, 1).alias("r_mean"),
+        F.round(F.percent_rank().over(w), 6).alias("r_fraction"),
+        F.round(F.cume_dist().over(w), 6).alias("r_cume"),
     )
