@@ -155,3 +155,37 @@ def q_format_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment_code")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "q_format_ranges",
+    oracle="""
+    select o.o_orderkey, o.o_totalprice, f.band
+    from orders o
+    join (values (0.0,      100000.0, 'low'),
+                 (100000.0, 300000.0, 'mid'),
+                 (300000.0, 1e9,      'high')) as f(lo, hi, band)
+      on o.o_totalprice >= f.lo and o.o_totalprice < f.hi
+    """,
+    tags=("transform", "join"),
+)
+def q_format_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-based value remapping (SAS: PROC FORMAT VALUE with
+    `low-<100000='low'` range bins + PUT) — the format definition kept
+    AS DATA, not compiled into a CASE chain: real shops maintain
+    hundred-row format catalogs that change without code edits. The
+    tiny range table BROADCASTS and the non-equi predicate runs as a
+    BroadcastNestedLoopJoin — inner side is the O(bins) format, so the
+    per-row cost is a bounded bin scan, shuffle-free at any fact-table
+    size (the CASE-expression twin for literal-known formats is
+    q_case_when / q_format_lookup)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    fmt = spark.createDataFrame(
+        [(0.0, 100_000.0, "low"), (100_000.0, 300_000.0, "mid"),
+         (300_000.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    return orders.join(
+        F.broadcast(fmt),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    ).select("o_orderkey", "o_totalprice", "band")

@@ -221,3 +221,48 @@ def q_crosstab_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(w_col).cast("double"), 6).alias("pct_col"),
         F.round(F.col("n") / F.col("t"), 6).alias("pct_all"),
     )
+
+
+@query(
+    "q_pivot_multi",
+    oracle="""
+    select o_orderpriority,
+           cast(sum(case when o_orderstatus = 'F' then 1 else 0 end)
+                as bigint) as F_n,
+           round(coalesce(sum(case when o_orderstatus = 'F'
+                                   then o_totalprice end), 0), 2) as F_total,
+           cast(sum(case when o_orderstatus = 'O' then 1 else 0 end)
+                as bigint) as O_n,
+           round(coalesce(sum(case when o_orderstatus = 'O'
+                                   then o_totalprice end), 0), 2) as O_total,
+           cast(sum(case when o_orderstatus = 'P' then 1 else 0 end)
+                as bigint) as P_n,
+           round(coalesce(sum(case when o_orderstatus = 'P'
+                                   then o_totalprice end), 0), 2) as P_total
+    from orders
+    group by o_orderpriority
+    """,
+    tags=("transpose", "agg"),
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statistic pivot (SAS: PROC TRANSPOSE with several VAR
+    statements / PROC TABULATE status*(N SUM)): one pivot producing
+    BOTH a count and a sum per pivoted value — Spark names the columns
+    <value>_<aggAlias>, and explicit pivot values keep it a single
+    aggregation pass with map-side partials (no distinct-values
+    pre-job). The oracle is the equivalent conditional-aggregation
+    spelling; both engines fill empty cells with 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+        .na.fill(0)
+    )
+    return out.select(
+        "o_orderpriority",
+        *[c for v in ("F", "O", "P") for c in (f"{v}_n", f"{v}_total")],
+    )

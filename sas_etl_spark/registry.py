@@ -72,6 +72,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ngram_contamination",
     "q_unigram_logprob",
     "q_embed_quantize",
+    "q_format_ranges",
+    "q_pivot_multi",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -119,8 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_interp_linear",
     "q_moving_avg",
     "q_dedup_firstlast",
-    "q_date_funcs",
-    "q_date_format",
     "q_intnx_intck",
 )
 
