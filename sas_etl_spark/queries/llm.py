@@ -555,23 +555,50 @@ def q_knn_ivf_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_knn_ivf", oracle=None, tags=("similarity", "ann", "scale"))
+@query(
+    "q_knn_ivf",
+    oracle="""
+    select cast(10 as bigint) as k,
+           0.25 as probe_frac,
+           cast(1 as int) as recall_ok
+    """,
+    tags=("similarity", "ann", "scale"),
+)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 neighbors of vector 0 — the 100 TB scale
-    path for q_knn_cosine (scan ~nprobe/n_centroids of the corpus).
-    Rows-only for the driver; recall-vs-exact is pinned by unit tests
-    (tests/test_llm_operators.py): >=0.9 recall@10 at nprobe=2/16 on
-    clustered data (the real-embedding regime), >=0.4 floor on this
-    uniform-random fixture (IVF's worst case — recall tracks the
-    probed fraction; measured 0.5 at sf0.01), and exact equality when
-    nprobe = n_centroids (q_knn_ivf_exactprobe's hash-green oracle)."""
+    """IVF approximate top-10 — the 100 TB scale path for q_knn_cosine
+    (scan ~nprobe/n_centroids of the corpus). Graduated from rows-only
+    in round 6 via the bound-flag pattern (q_approx_distinct's): the
+    registered form runs the nprobe=4/16 probe AND the brute-force
+    exact top-10 in one plan and emits ``recall_ok`` = "recall@10 >=
+    0.3", which the oracle asserts constant-1 — so the driver hash now
+    attests the IVF routing end to end (a probe regression that
+    scans the wrong inverted lists drives recall toward 0 and flips
+    the flag). The neighbor IDs themselves are probe-dependent and
+    stay out of the hashed payload; q_knn_ivf_exactprobe remains the
+    exactness proof (nprobe = n_centroids shares q_knn_cosine's
+    oracle verbatim), and unit tests pin the tighter floors (>=0.4
+    measured here: 0.6/0.5/0.4 at sf0.001/0.01/0.1; >=0.9 on
+    clustered data). 0.3 gives the driver flag margin below every
+    measured point on this uniform-random corpus — IVF's worst case,
+    where recall tracks the probed fraction (0.25). Production uses
+    the ivf_topk operator alone; this registered form is its routing
+    harness."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    topk = ivf_topk(
-        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, nprobe=4,
-        sim_col="sim_raw",
+    approx = ivf_topk(
+        cand, qv, k=10, n_centroids=16, nprobe=4, sim_col="sim_raw"
+    ).select("vec_id")
+    from sas_etl_spark.operators.similarity import cosine_topk
+
+    exact = cosine_topk(cand, qv, k=10, query_vec_col="qv", round_dp=4).select(
+        "vec_id"
     )
-    return topk.select("vec_id", F.round("sim_raw", 4).alias("sim"))
+    return approx.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(4 / 16).alias("probe_frac"),
+        (F.count(F.lit(1)) >= F.lit(3)).cast("int").alias("recall_ok"),
+    )
 
 
 @query(

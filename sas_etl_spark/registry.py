@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sample",
     "q_approx_distinct",
     "q_approx_percentile",
+    "q_knn_ivf",
     # -- code changed this round (literal casts NTZ->TIMESTAMP; knn
     # partition-gate rework dropped the .rdd touch)
     "q_quality_checks",
@@ -121,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_interp_linear",
     "q_moving_avg",
     "q_dedup_firstlast",
-    "q_intnx_intck",
 )
 
 

@@ -57,8 +57,8 @@ def test_round6_rotation_targets_inside_window() -> None:
         "q_unigram_logprob", "q_embed_quantize",
         "q_format_ranges", "q_pivot_multi",
         "q_sample", "q_approx_distinct",
-        "q_approx_percentile", "q_quality_checks", "q_rfm_segments",
-        "q_knn_cosine",
+        "q_approx_percentile", "q_knn_ivf", "q_quality_checks",
+        "q_rfm_segments", "q_knn_cosine",
     }
     window = set(list(registry.queries_map())[:WINDOW])
     must = stale_r2 | new_or_changed_r6
