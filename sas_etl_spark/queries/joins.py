@@ -297,3 +297,112 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert_no_exchange(out, "q_bucketed_join")
     return out
+
+
+@query(
+    "q_merge_many_to_many",
+    oracle="""
+    with a as (
+        select o_custkey as k, o_orderkey, o_totalprice,
+               row_number() over (partition by o_custkey
+                                  order by o_orderkey) as rn
+        from orders where o_orderstatus = 'O'
+    ), b as (
+        select o_custkey as k, o_orderkey, o_totalprice,
+               row_number() over (partition by o_custkey
+                                  order by o_orderkey) as rn
+        from orders where o_orderstatus = 'F'
+    ),
+    ca as (select k, max(rn) as na from a group by k),
+    cb as (select k, max(rn) as nb from b group by k),
+    keys as (
+        select coalesce(ca.k, cb.k) as k,
+               coalesce(na, 0) as na, coalesce(nb, 0) as nb
+        from ca full join cb on ca.k = cb.k
+    ),
+    seq as (
+        select k, na, nb,
+               unnest(range(1, greatest(na, nb) + 1)) as i
+        from keys
+    )
+    select s.k, cast(s.i as bigint) as i,
+           a.o_orderkey as a_order, a.o_totalprice as a_price,
+           b.o_orderkey as b_order, b.o_totalprice as b_price
+    from seq s
+    left join a on a.k = s.k and a.rn = least(s.i, s.na)
+    left join b on b.k = s.k and b.rn = least(s.i, s.nb)
+    """,
+    tags=("join", "sas-semantics"),
+)
+def q_merge_many_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS MERGE BY with a many-to-many BY group — the semantics SQL
+    does NOT have: a DATA-step MERGE walks the two sorted datasets
+    ROW-BY-ROW within each BY group, emitting max(n_a, n_b) rows per
+    group, with the shorter side's LAST row retained (re-emitted) for
+    the overhang — never the n_a*n_b cartesian an SQL join produces.
+    Every SAS shop has jobs that depend on this; an engine claiming
+    MERGE parity must reproduce it exactly.
+
+    Spark construction (all equi-joins, no cartesian, no UDF):
+    row-number both sides within the BY group; full-outer the
+    per-group counts; explode sequence(1, greatest(n_a, n_b)) to
+    materialize the output skeleton; join each side back on
+    (key, least(i, n_side)) — the least() IS the retain-last-row
+    rule. Skeleton size is sum of max counts = the exact output,
+    partitioned by the BY key throughout; at 100 TB everything
+    shuffles once on the BY key. Demonstrated on open-vs-finished
+    orders per customer (uneven counts in both directions; customers
+    missing a side exercise the one-sided overhang)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(status: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .select(
+                F.col("o_custkey").alias("k"),
+                "o_orderkey",
+                "o_totalprice",
+                F.row_number().over(w).cast("long").alias("rn"),
+            )
+        )
+
+    a, b = side("O"), side("F")
+    # column names n_a/n_b, not "na": DataFrame.na is the missing-data
+    # accessor and shadows a column of that name in attribute lookups
+    ca = a.groupBy("k").agg(F.max("rn").alias("n_a"))
+    cb = b.groupBy("k").agg(F.max("rn").alias("n_b"))
+    keys = (
+        ca.join(cb, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    seq = keys.select(
+        "k", "n_a", "n_b",
+        F.explode(F.sequence(F.lit(1), F.greatest("n_a", "n_b"))).alias("i"),
+    )
+    return (
+        seq.join(
+            a.select(F.col("k").alias("ak"), F.col("rn").alias("rn_a"),
+                     F.col("o_orderkey").alias("a_order"),
+                     F.col("o_totalprice").alias("a_price")),
+            (seq.k == F.col("ak"))
+            & (F.col("rn_a") == F.least(seq.i, F.col("n_a"))),
+            "left",
+        )
+        .join(
+            b.select(F.col("k").alias("bk"), F.col("rn").alias("rn_b"),
+                     F.col("o_orderkey").alias("b_order"),
+                     F.col("o_totalprice").alias("b_price")),
+            (F.col("k") == F.col("bk"))
+            & (F.col("rn_b") == F.least(F.col("i"), F.col("n_b"))),
+            "left",
+        )
+        .select("k", F.col("i").cast("long").alias("i"),
+                "a_order", "a_price", "b_order", "b_price")
+    )

@@ -74,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_quantize",
     "q_format_ranges",
     "q_pivot_multi",
+    "q_merge_many_to_many",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_asof_event",
     "q_gap_fill",
     "q_interp_linear",
-    "q_moving_avg",
     "q_dedup_firstlast",
 )
 

@@ -55,7 +55,7 @@ def test_round6_rotation_targets_inside_window() -> None:
         "q_interleave", "q_rank_tie_modes", "q_crosstab_pct",
         "q_repetition_ratio", "q_ngram_contamination",
         "q_unigram_logprob", "q_embed_quantize",
-        "q_format_ranges", "q_pivot_multi",
+        "q_format_ranges", "q_pivot_multi", "q_merge_many_to_many",
         "q_sample", "q_approx_distinct",
         "q_approx_percentile", "q_knn_ivf", "q_quality_checks",
         "q_rfm_segments", "q_knn_cosine",
