@@ -669,3 +669,96 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         F.round("mean_luma_sampled", 6).alias("mean_luma_sampled"),
     )
+
+
+@query(
+    "q_fixedwidth_roundtrip",
+    oracle="""
+    select o_orderstatus, cast(count(*) as bigint) as n,
+           cast(sum(o_orderkey) as bigint) as key_sum,
+           round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0, 2)
+               as total
+    from orders group by o_orderstatus
+    """,
+    tags=("io",),
+)
+def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text export + import (SAS: DATA step PUT with
+    column pointers / INFILE + column informats — the mainframe
+    interchange lane every legacy ETL shop still feeds). Layout:
+    cols 1-10 zero-padded orderkey, col 11 status, cols 12-23 the
+    price as an IMPLIED-DECIMAL cents integer (COBOL PIC 9(10)V99 /
+    SAS 12.2 informat) — the authentic fixed-width idiom, and the
+    reason the round-trip is EXACT: cents are integers, so no float
+    formatting ambiguity exists on disk. Parse-back is substring +
+    cast (codegen; at scale, one narrow scan of the text files), and
+    the aggregation carries a key checksum so the hash match proves
+    every column parsed at the right offsets. The oracle recomputes
+    the same implied-decimal encoding from the source table —
+    identical positive-half-up rounding on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = scratch_dir(spark, "fixedwidth")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            12,
+            "0",
+        ),
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.substring("value", 1, 10).cast("long").alias("o_orderkey"),
+        F.substring("value", 11, 1).alias("o_orderstatus"),
+        F.substring("value", 12, 12).cast("long").alias("cents"),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total"),
+    )
+
+
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    select user_id, cast(count(*) as bigint) as events,
+           round(sum(value), 2) as total_value
+    from events group by user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator, driver-attested (round 6 —
+    previously unit-pinned only): running per-user counters via
+    applyInPandasWithState (streaming/stateful.running_user_totals,
+    the streaming analog of a RETAIN DATA step) over the bounded
+    events stream, update-mode memory sink. The sink accumulates one
+    state SNAPSHOT per user per micro-batch; the final state is the
+    snapshot with the highest event count per user (monotone counter),
+    which must equal the plain batch aggregate — the DuckDB oracle.
+    A fold or key-routing bug breaks the hash. The single-file fixture
+    yields ONE micro-batch here; state SURVIVAL across batches is
+    pinned by tests/test_stateful_streaming.py::
+    test_stateful_state_survives_micro_batches, which splits the same
+    fixture into 4 files and drives 4 batches through the same
+    operator. State is one tuple per user — bounded by key
+    cardinality, the only safe state shape for an unbounded stream."""
+    from pyspark.sql import Window
+
+    from sas_etl_spark.streaming.stateful import running_user_totals
+
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    out = running_user_totals(events.select("user_id", "value"))
+    table = run_bounded_to_memory(out, spark, mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("events"))
+    return (
+        table.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "events", F.round("total_value", 2).alias("total_value")
+        )
+    )

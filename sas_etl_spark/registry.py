@@ -75,6 +75,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_format_ranges",
     "q_pivot_multi",
     "q_merge_many_to_many",
+    "q_fixedwidth_roundtrip",
+    "q_stream_stateful_totals",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -118,8 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # readers whose scan type path changed this round (r4/r5 green
     # rows were recorded on the projected-cast plan)
     "q_sessionize",
-    "q_asof_event",
-    "q_gap_fill",
     "q_interp_linear",
     "q_dedup_firstlast",
 )

@@ -138,3 +138,59 @@ def test_transform_with_state_v2_converges_to_batch(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_state_survives_micro_batches(spark, tmp_path):
+    """State must CARRY ACROSS micro-batches (round 6: the other
+    stateful tests stream one file = one batch, so survival was never
+    actually exercised). Split the fixture into 4 files, stream with
+    maxFilesPerTrigger=1 -> 4 micro-batches; users spread across files
+    emit multiple snapshots with increasing counters, and the final
+    snapshot per user must still equal the batch aggregate — if state
+    were dropped between batches the final count would undercount."""
+    import uuid
+
+    from sas_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    path = str(tmp_path / "ev_split")
+    ev.repartition(4).write.parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = running_user_totals(stream)
+    name = f"stateful_mb_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    table = spark.table(name)
+    # >1 snapshot for at least one user proves the operator really saw
+    # multiple micro-batches (not one merged batch)
+    multi = (
+        table.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0, "stream collapsed into a single micro-batch"
+
+    final = {
+        r.user_id: (r.events, round(r.total_value, 6))
+        for r in table.groupBy("user_id")
+        .agg(F.max("events").alias("events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    want = {
+        r.user_id: (r.events, round(r.total_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert final == want
