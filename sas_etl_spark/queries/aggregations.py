@@ -455,3 +455,43 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_weighted_stats",
+    oracle="""
+    select l_returnflag,
+           round(sum(l_quantity), 2) as w_sum,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 6)
+               as wmean_price,
+           round(sum(l_quantity * l_extendedprice * l_extendedprice)
+                   / sum(l_quantity)
+                 - pow(sum(l_quantity * l_extendedprice)
+                         / sum(l_quantity), 2), 1) as wvar_price
+    from lineitem
+    group by l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted statistics (SAS: PROC MEANS with a WEIGHT statement —
+    the frequency/importance weighting every survey and finance ETL
+    uses): weighted mean and weighted population variance of
+    extendedprice, weight = quantity, via the one-pass algebraic
+    identities sum(w*x)/sum(w) and sum(w*x^2)/sum(w) - wmean^2 —
+    mergeable partial aggregates, scaling exactly like sum/count (the
+    pandas-UDAF spelling of the weighted mean is q_udaf_weighted,
+    which demonstrates the UDAF surface; this is the built-in hot
+    path). The variance rounds to 1dp: the identity's cancellation
+    costs ~1 digit, leaving ~1e-3 absolute agreement on this scale —
+    far inside a 0.05 rounding boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w, x = F.col("l_quantity"), F.col("l_extendedprice")
+    sw = F.sum(w)
+    swx = F.sum(w * x)
+    swxx = F.sum(w * x * x)
+    return li.groupBy("l_returnflag").agg(
+        F.round(sw, 2).alias("w_sum"),
+        F.round(swx / sw, 6).alias("wmean_price"),
+        F.round(swxx / sw - F.pow(swx / sw, 2), 1).alias("wvar_price"),
+    )

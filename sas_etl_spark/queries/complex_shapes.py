@@ -305,3 +305,83 @@ def q_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sas_etl_spark.pipeline import run_pipeline
 
     return run_pipeline(spark, sf_dir, PIPELINE_SPEC)
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    with li as (select distinct l_orderkey, l_partkey from lineitem),
+    n as (select cast(count(distinct l_orderkey) as double) as n_orders
+          from li),
+    item as (select l_partkey, cast(count(*) as bigint) as c from li
+             group by l_partkey),
+    pairs as (
+        select a.l_partkey as p1, b.l_partkey as p2,
+               cast(count(*) as bigint) as support
+        from li a join li b
+          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+        group by p1, p2
+        having count(*) >= 2
+    )
+    select p1, p2, support,
+           round(support * n_orders / (i1.c * i2.c), 6) as lift
+    from pairs
+    join item i1 on p1 = i1.l_partkey
+    join item i2 on p2 = i2.l_partkey
+    cross join n
+    order by support desc, lift desc, p1, p2
+    limit 50
+    """,
+    tags=("analytics", "join"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with support and lift (SAS: PROC
+    ASSOC / the association-rules half of Enterprise Miner; the
+    co-purchase analysis every retail ETL ships). Top-50 part pairs
+    ordered by a 2+ support floor.
+
+    Scale shape: the pair generator is a keyed SELF-JOIN on the
+    basket id — pair work per basket is bounded by (items/basket)^2,
+    never corpus-quadratic; the p1<p2 predicate halves it and
+    canonicalizes pair identity. Item counts and the basket total are
+    broadcast back over the (already reduced) pair table. At 100 TB:
+    one shuffle on basket id + one on pair id; a support-floor
+    pre-filter (frequent-items first, the Apriori property) slots in
+    before the self-join when baskets are wide. LIMIT rides a
+    deterministic (support, lift, p1, p2) total order on both
+    engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (a.k == b.k2) & (a.p1 < b.p2))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_orders") / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.desc("lift"), F.asc("p1"), F.asc("p2"))
+        .limit(50)
+    )

@@ -77,6 +77,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_merge_many_to_many",
     "q_fixedwidth_roundtrip",
     "q_stream_stateful_totals",
+    "q_market_basket",
+    "q_weighted_stats",
     # -- graduated rows-only -> oracle-paired this round (new oracles)
     "q_sample",
     "q_approx_distinct",
@@ -119,9 +121,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- timestamp-contract flip: events.ts / o_orderdate / l_shipdate
     # readers whose scan type path changed this round (r4/r5 green
     # rows were recorded on the projected-cast plan)
-    "q_sessionize",
+    # (q_sessionize and q_dedup_firstlast run in bench.py every round
+    # regardless; the other timestamp-flip re-attests rotate in r7)
     "q_interp_linear",
-    "q_dedup_firstlast",
 )
 
 

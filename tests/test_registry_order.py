@@ -57,6 +57,7 @@ def test_round6_rotation_targets_inside_window() -> None:
         "q_unigram_logprob", "q_embed_quantize",
         "q_format_ranges", "q_pivot_multi", "q_merge_many_to_many",
         "q_fixedwidth_roundtrip", "q_stream_stateful_totals",
+        "q_market_basket", "q_weighted_stats",
         "q_sample", "q_approx_distinct",
         "q_approx_percentile", "q_knn_ivf", "q_quality_checks",
         "q_rfm_segments", "q_knn_cosine",
