@@ -56,14 +56,15 @@ QUERIES: dict[str, QuerySpec] = {}
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 6 window (VERDICT r5 items 1, 4, 6). Green rows are
     # CUMULATIVE across rounds; after r5 the union covers all queries,
-    # but 28 of them haven't had a driver-green row since r2. This
-    # window: (a) new/regraduated/changed-code queries first, (b) ALL
-    # 28 r2-stale queries, (c) the queries most affected by this
-    # round's timestamp-contract flip (parquet timestamp[us] now reads
-    # as canonical TIMESTAMP via inferTimestampNTZ=false instead of an
-    # NTZ projected cast — every events/o_orderdate/l_shipdate reader's
-    # scan plan changed). After r6 every query's newest green row is
-    # r4+.
+    # but 28 of them haven't had a driver-green row since r2. Window
+    # composition (50 = 14 + 4 + 3 + 28 + 1): (a) the 14 queries NEW
+    # this round, (b) the 4 graduated rows-only -> oracle-paired,
+    # (c) the 3 whose code changed, (d) ALL 28 r2-stale re-attests,
+    # (e) one timestamp-flip reader re-attest. Every query's newest
+    # green row is r4+ after r6; the remaining timestamp-flip readers
+    # (r4/r5-green on the projected-cast plan, value-identical on the
+    # native-TIMESTAMP plan, locally parity-proven every pytest run)
+    # rotate in r7.
     # -- new in round 6
     "q_interleave",
     "q_rank_tie_modes",
