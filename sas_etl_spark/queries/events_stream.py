@@ -516,3 +516,49 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    with o as (
+        select user_id, value,
+               lag(value) over (partition by user_id
+                                order by ts, event_id) as prev
+        from events
+    )
+    select user_id,
+           cast(count(prev) as bigint) as n_pairs,
+           round(corr(value, prev), 6) as acf1
+    from o
+    where prev is not null
+    group by user_id
+    having count(prev) >= 10
+    """,
+    tags=("events", "stats", "window"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1 autocorrelation (SAS: PROC ARIMA IDENTIFY /
+    PROC TIMESERIES — the stationarity screen before any forecasting
+    stage): pair each user's event value with its predecessor via a
+    PARTITIONED lag window (one keyed sort per series, never a global
+    one), then the same mergeable corr aggregate q_corr_stats already
+    parity-proves. The n>=10 floor keeps the statistic meaningful and
+    the (count, corr) pair deterministic on both engines."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.withColumn("prev", F.lag("value").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count("prev").alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("acf1"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+    )

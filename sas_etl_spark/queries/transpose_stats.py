@@ -266,3 +266,65 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[c for v in ("F", "O", "P") for c in (f"{v}_n", f"{v}_total")],
     )
+
+
+@query(
+    "q_linear_regression",
+    oracle="""
+    with s as (
+        select l_returnflag,
+               cast(count(*) as double) as n,
+               sum(l_quantity) as sx,
+               sum(l_extendedprice) as sy,
+               sum(l_quantity * l_quantity) as sxx,
+               sum(l_extendedprice * l_extendedprice) as syy,
+               sum(l_quantity * l_extendedprice) as sxy
+        from lineitem
+        group by l_returnflag
+    )
+    select l_returnflag,
+           cast(n as bigint) as n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) as slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 2) as intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2
+    from s
+    """,
+    tags=("stats", "agg"),
+)
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (SAS: PROC REG BY group — the
+    score-and-trend stage countless SAS ETL jobs end with):
+    extendedprice ~ quantity per returnflag, closed-form OLS from the
+    five co-moment sums — n, Σx, Σy, Σxx, Σyy, Σxy — which are all
+    mergeable partial aggregates, so the fit costs exactly one
+    grouped scan at any data size (the same one-pass shape as
+    PROC MEANS; no iterative solver for the 1-regressor case).
+    Slope/intercept/R² computed from the sums with the IDENTICAL
+    textbook formulas on both engines; rounding absorbs the ~2-3
+    digits the n*Sxx - Sx² cancellation costs at this scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 2).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
