@@ -495,3 +495,35 @@ def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(swx / sw, 6).alias("wmean_price"),
         F.round(swxx / sw - F.pow(swx / sw, 2), 1).alias("wvar_price"),
     )
+
+
+@query(
+    "q_argmax",
+    oracle="""
+    select c_nationkey,
+           arg_max(c_name, c_acctbal || '|' || c_name) as richest_name,
+           round(max(c_acctbal), 2) as top_bal,
+           arg_min(c_name, c_acctbal || '|' || c_name) as poorest_name
+    from customer
+    group by c_nationkey
+    """,
+    tags=("agg",),
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group (SAS: PROC SUMMARY IDGROUP(MAX(bal)
+    OUT(name)) — 'carry the identifying columns of the extreme row'):
+    Spark max_by/min_by, one mergeable aggregate, no window and no
+    self-join back. Tie determinism: the ordering key is the STRING
+    'acctbal|name', so the extreme row is unique even when two
+    customers share a balance, and both engines compare the identical
+    concatenated key (both render doubles shortest-decimal). The
+    ranking is deliberately the string form on BOTH sides — what is
+    under test is argmax row-identity parity, not numeric ordering;
+    max(c_acctbal) carries the true numeric max alongside."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.concat_ws("|", F.col("c_acctbal").cast("string"), F.col("c_name"))
+    return customer.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest_name"),
+        F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+        F.min_by("c_name", key).alias("poorest_name"),
+    )

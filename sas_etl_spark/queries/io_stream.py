@@ -762,3 +762,54 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "events", F.round("total_value", 2).alias("total_value")
         )
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    select o_orderstatus, cast(count(*) as bigint) as n,
+           cast(count(o_orderpriority_new) as bigint) as n_with_new_col,
+           round(sum(o_totalprice), 2) as total
+    from (
+        select o_orderstatus, o_totalprice, null as o_orderpriority_new
+        from orders where o_orderkey % 2 = 0
+        union all
+        select o_orderstatus, o_totalprice, o_orderpriority
+        from orders where o_orderkey % 2 = 1
+    ) t
+    group by o_orderstatus
+    """,
+    tags=("io", "scale"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution append (SAS: PROC APPEND with FORCE — the new
+    batch carries a column the base table lacks): write a base batch
+    WITHOUT the new column, append a second batch WITH it, read the
+    table back under mergeSchema=true. Old rows surface NULL for the
+    evolved column (count(col) skips them — the n_with_new_col cell
+    proves exactly the old rows are null), keys/measures survive
+    untouched. This is the no-rewrite evolution contract every
+    long-lived 100 TB table needs: each parquet footer keeps its own
+    schema; merge happens at read planning, no data files are
+    touched. The oracle reproduces the same union-with-null shape
+    from the source table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    path = scratch_dir(spark, "schema_evo")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("o_orderpriority_new"),
+    )
+    base.write.mode("overwrite").parquet(path)
+    evolved.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority_new").alias("n_with_new_col"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

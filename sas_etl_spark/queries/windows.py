@@ -272,3 +272,40 @@ def q_rank_tie_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("r_fraction"),
         F.round(F.cume_dist().over(w), 6).alias("r_cume"),
     )
+
+
+@query(
+    "q_rolling_stats",
+    oracle="""
+    select event_id,
+           round(min(value) over w, 6) as roll_min,
+           round(max(value) over w, 6) as roll_max,
+           round(stddev_samp(value) over w, 6) as roll_std
+    from events
+    window w as (partition by user_id order by ts, event_id
+                 rows between 6 preceding and current row)
+    """,
+    tags=("window", "events"),
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row min/max/sample-stddev per user (SAS: PROC EXPAND
+    TRANSFORMOUT=(MOVMIN 7 / MOVMAX 7 / MOVSTD 7) — the envelope and
+    volatility bands next to q_moving_avg's MOVAVE). All three share
+    ONE window spec, so Spark plans a single partitioned sort and
+    evaluates the frame once per row; the first row of each series
+    has a 1-row frame, where sample stddev is NULL on both engines
+    (n-1 = 0)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        F.round(F.min("value").over(w), 6).alias("roll_min"),
+        F.round(F.max("value").over(w), 6).alias("roll_max"),
+        F.round(F.stddev_samp("value").over(w), 6).alias("roll_std"),
+    )
