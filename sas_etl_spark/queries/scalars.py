@@ -389,3 +389,64 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_anchor"
         ),
     )
+
+
+@query(
+    "q_business_days",
+    oracle="""
+    with j as (
+        select l_orderkey, l_linenumber,
+               cast(o_orderdate as date) as d1,
+               cast(l_shipdate as date) as d2
+        from lineitem join orders on l_orderkey = o_orderkey
+    ), spans as (
+        select l_orderkey, l_linenumber,
+               date_diff('day', d1, d2) as n,
+               least(d1, d2) as a,
+               abs(date_diff('day', d1, d2)) as an,
+               case when d2 >= d1 then 1 else -1 end as sgn
+        from j
+    )
+    select l_orderkey, l_linenumber,
+           cast(n as bigint) as cal_days,
+           cast(sgn * ((an // 7) * 5
+                + coalesce(list_sum(list_transform(
+                      range(1, an % 7 + 1),
+                      i -> case when dayofweek(a + i::int) between 1 and 5
+                                then 1 else 0 end)), 0))
+                as bigint) as bus_days
+    from spans
+    """,
+    tags=("scalar", "date"),
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business days from order to line shipment (SAS:
+    INTCK('WEEKDAY', o_orderdate, l_shipdate) — the settlement/SLA
+    counter every finance and ops ETL carries). Closed-form weekday
+    count in (d1, d2]: full weeks x 5 plus a <=6-step HOF fold over
+    the partial week — pure codegen arithmetic, no UDF, no calendar
+    table (holiday calendars bolt on as a broadcast anti-join); see
+    functions/busdays.py, property-tested against a day-walking
+    Python reference over random spans incl. reversed ones. The
+    oracle mirrors the identical formula (engine dayofweek encodings
+    differ: Spark 1=Sun..7=Sat, DuckDB 0=Sun..6=Sat — each side uses
+    its own weekday band). cal_days rides along to pin the raw
+    datediff too."""
+    from sas_etl_spark.functions.busdays import business_days_between
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("date").alias("d1"),
+        F.col("l_shipdate").cast("date").alias("d2"),
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("d2", "d1").cast("long").alias("cal_days"),
+        business_days_between(F.col("d1"), F.col("d2")).alias("bus_days"),
+    )
