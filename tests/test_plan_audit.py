@@ -246,3 +246,34 @@ def test_rfm_approx_cuts_match_exact_segments(spark):
     # sketch rank error 1e-4 can move a cut by at most one domain step;
     # only boundary-straddling customers may flip segment letters
     assert n_diff <= 0.02 * len(exact), f"{n_diff}/{len(exact)} flipped"
+
+
+def test_market_basket_broadcasts_dims_no_cartesian(spark):
+    """Pair generator must stay a keyed equi-join (bounded by
+    (items/basket)^2); item counts and the basket total join back as
+    broadcasts over the already-reduced pair table."""
+    a = _plan(spark, "q_market_basket")
+    assert not a["cartesian"]
+    assert a["broadcast_joins"] >= 2, a["plan"].count("BroadcastHashJoin")
+    assert a["take_ordered"]  # deterministic LIMIT via per-partition heap
+
+
+def test_merge_many_to_many_is_equi_join_only(spark):
+    """The SAS many-to-many MERGE construction must plan as plain
+    equi-joins on the BY key — the whole point is avoiding the SQL
+    cartesian a naive MERGE translation produces."""
+    df = QUERIES["q_merge_many_to_many"].fn(spark, SF_CORRECTNESS)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_format_ranges_broadcasts_the_format_table(spark):
+    """Range-format remapping: the non-equi predicate must evaluate as
+    a BroadcastNestedLoopJoin whose BUILD side is the O(bins) format
+    table — per-row cost bounded by bin count, no shuffle of the fact
+    side."""
+    df = QUERIES["q_format_ranges"].fn(spark, SF_CORRECTNESS)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
