@@ -251,3 +251,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(hash_bucket("o_orderkey", 1000) < rate).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "q_pps_sample",
+    oracle="""
+    with h as (
+        select o_orderkey, o_totalprice,
+               least(1.0, o_totalprice / 300000) as p,
+               list_reduce(
+                 list_transform(range(1,16),
+                   j -> strpos('0123456789abcdef',
+                               substr(sha256('11:' || cast(o_orderkey as varchar)),
+                                      j, 1)) - 1),
+                 (a,x) -> a*16+x) % 1000000 as bucket
+        from orders
+    )
+    select o_orderkey, o_totalprice,
+           round(1.0 / p, 6) as ht_weight
+    from h
+    where bucket < p * 1000000
+    """,
+    tags=("sample", "scale"),
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (Poisson/importance) sampling
+    with Horvitz-Thompson weights (SAS: PROC SURVEYSELECT METHOD=PPS;
+    the quality-weighted document sampling every training-data
+    curation pipeline uses to oversample high-value records):
+    inclusion probability p = min(1, size/threshold), membership
+    decided by the same seeded engine-portable hash as q_sample
+    (per-mille bucket scaled to 1e6 resolution), and each kept row
+    carries weight 1/p so any downstream weighted sum is an unbiased
+    estimator of the population total (Horvitz-Thompson). Membership
+    AND weights are exactly reproducible by the oracle — pure
+    codegen filter at the scan, no shuffle, nothing materialized for
+    the unsampled rest."""
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.least(F.lit(1.0), F.col("o_totalprice") / 300_000)
+    return (
+        orders.withColumn("p", p)
+        .filter(hash_bucket("o_orderkey", 1_000_000, seed=11) < F.col("p") * 1_000_000)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(1.0 / F.col("p"), 6).alias("ht_weight"),
+        )
+    )
