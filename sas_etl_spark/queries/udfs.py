@@ -113,3 +113,68 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         from _udtf_docs d, lateral tokenize_udtf(d.text) t
         """
     )
+
+
+@query(
+    "q_cogroup_reconcile",
+    oracle="""
+    with o as (
+        select o_custkey as custkey, cast(count(*) as bigint) as n_orders
+        from orders group by o_custkey
+    ), l as (
+        select o_custkey as custkey, cast(count(*) as bigint) as n_lines
+        from lineitem join orders on l_orderkey = o_orderkey
+        group by o_custkey
+    )
+    select coalesce(o.custkey, l.custkey) as custkey,
+           coalesce(n_orders, 0) as n_orders,
+           coalesce(n_lines, 0) as n_lines,
+           round(coalesce(n_lines, 0) * 1.0
+                 / greatest(coalesce(n_orders, 0), 1), 6) as lines_per_order
+    from o full join l on o.custkey = l.custkey
+    """,
+    tags=("udf", "cogroup"),
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-GROUPED applyInPandas — the per-BY-group MERGE of TWO
+    datasets with arbitrary Python logic (SAS: ``MERGE a b; BY k;``
+    inside a DATA step whose body does real computation, not just
+    matching): both sides are grouped on the BY key and each
+    (key, pandas_a, pandas_b) pair lands in one Python function via
+    Arrow. Here: reconcile each customer's order count against their
+    line count — either side may be EMPTY for a key (the outer-merge
+    semantics cogroup gives for free). Completes the §2.11 UDF
+    surface next to scalar/grouped-agg/grouped-map/UDTF. Scale: one
+    co-partitioned shuffle on the BY key; per-group pandas work is
+    bounded by group size (the operator to avoid for hot keys —
+    exactly like a skewed DATA-step BY group)."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    orders_k = orders.select(F.col("o_custkey").alias("custkey"))
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        n_orders, n_lines = len(odf), len(ldf)
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [n_orders],
+                "n_lines": [n_lines],
+                "lines_per_order": [round(n_lines / max(n_orders, 1), 6)],
+            }
+        )
+
+    return (
+        orders_k.groupBy("custkey")
+        .cogroup(lines.groupBy("custkey"))
+        .applyInPandas(
+            reconcile,
+            "custkey long, n_orders long, n_lines long, lines_per_order double",
+        )
+    )

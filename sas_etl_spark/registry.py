@@ -131,7 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: addition to anything new/changed in r7): (1) queries registered in
 #: late round 6 AFTER the 50 slots filled (q_linear_regression,
 #: q_autocorr, q_argmax, q_schema_evolution, q_rolling_stats,
-#: q_business_days, q_pps_sample —
+#: q_business_days, q_pps_sample, q_cogroup_reconcile —
 #: local-parity-proven, never driver-attested), (2) the
 #: timestamp-flip readers that ceded r6 slots (q_sessionize,
 #: q_asof_event, q_gap_fill, q_moving_avg, q_dedup_firstlast,
