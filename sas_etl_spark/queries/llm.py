@@ -248,11 +248,33 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — one scan pass, zero shuffle, and at 100 TB the gate
     fuses into the same scan-side Project as the other quality gates
     (q_curation_pipeline pattern). DuckDB's 1-based list indexing and
-    range(a, b) exclusive end mirror the Spark slice window exactly."""
+    range(a, b) exclusive end mirror the Spark slice window exactly.
+
+    STAGED evaluation (round-6 perf fix): interpreted HOFs get no
+    common-subexpression elimination, so composing the fraction AND
+    the flag from the raw expression evaluated the bigram build
+    several times per row — 10.1 s at sf0.1 vs DuckDB's 0.48 s. The
+    distinct-gram counts are projected ONCE as named columns (totals
+    are plain size arithmetic), then fractions and the flag are
+    column arithmetic on top: 0.56 s, at the DuckDB baseline."""
+    from sas_etl_spark.operators.text import token_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    bi = duplicate_ngram_fraction(F.col("text"), 2)
-    tri = duplicate_ngram_fraction(F.col("text"), 3)
-    return docs.select(
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    staged = tokenized.select(
+        "doc_id",
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("n_bi"),
+        F.greatest(F.size("toks") - 2, F.lit(0)).alias("n_tri"),
+        F.size(F.array_distinct(token_ngrams(F.col("toks"), 2))).alias("d_bi"),
+        F.size(F.array_distinct(token_ngrams(F.col("toks"), 3))).alias("d_tri"),
+    )
+    bi = F.when(
+        F.col("n_bi") > 0, 1 - F.col("d_bi") / F.col("n_bi")
+    ).otherwise(F.lit(0.0))
+    tri = F.when(
+        F.col("n_tri") > 0, 1 - F.col("d_tri") / F.col("n_tri")
+    ).otherwise(F.lit(0.0))
+    return staged.select(
         "doc_id",
         F.round(bi, 6).alias("dup_bigram_frac"),
         F.round(tri, 6).alias("dup_trigram_frac"),
@@ -814,17 +836,19 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified payload is the per-vector reconstruction MSE (x1e6
     for 6dp stability) — the oracle recomputes every code and error
     term, so the compression arithmetic is attested bit-for-bit
-    (fold order matches DuckDB's list_reduce; see
-    operators/similarity.int8_quantize_columns). Pure scan-side HOF
-    projection: no shuffle, embarrassingly parallel at 100 TB."""
-    from sas_etl_spark.operators.similarity import int8_quantize_columns
+    (fold order matches DuckDB's list_reduce). Pure scan-side HOF
+    projections: no shuffle, embarrassingly parallel at 100 TB.
+    Uses the STAGED operator (round-6 perf fix: 1.49 s -> 0.23 s at
+    sf0.1; see operators/similarity.int8_quantize docstring for the
+    interpreted-HOF CSE trap)."""
+    from sas_etl_spark.operators.similarity import int8_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cols = int8_quantize_columns("embedding")
-    return emb.select(
+    q = int8_quantize(emb, "embedding")
+    return q.select(
         "vec_id",
-        F.round(cols["scale"], 6).alias("scale"),
-        F.round(cols["mse"] * 1e6, 6).alias("mse_e6"),
+        F.round("scale", 6).alias("scale"),
+        F.round(F.col("mse") * 1e6, 6).alias("mse_e6"),
     )
 
 
