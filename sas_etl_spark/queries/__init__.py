@@ -8,8 +8,10 @@ rules in registry.py's docstring.
 
 from sas_etl_spark.queries import (  # noqa: F401
     aggregations,
+    audit_governance,
     cdc,
     complex_shapes,
+    corpus_index,
     cube_sample,
     events_stream,
     io_stream,
@@ -17,8 +19,10 @@ from sas_etl_spark.queries import (  # noqa: F401
     llm,
     row_transforms,
     scalars,
+    robust_stats,
     setops_sorts,
     skew,
+    text_curation,
     transpose_stats,
     udfs,
     windows,

@@ -1,0 +1,340 @@
+"""Data-governance and drift-audit queries: the monitoring lane of a
+production pipeline (distribution audits, drift detection, class
+balance, right-to-be-forgotten, incremental dedup).
+
+SAS surface covered:
+- PROC FREQ goodness-of-fit style digit audits (Benford),
+- PROC NPAR1WAY-adjacent distribution-shift scoring (PSI),
+- PROC FREQ class-balance tables per split,
+- DATA-step purge via MERGE IN= subsetting (GDPR delete cascade),
+- PROC SORT NODUPKEY against a historical master (incremental dedup).
+
+Everything is conditional aggregation + broadcast joins of tiny stat
+tables — zero windows over detail rows, zero Python. Each plan's
+shuffle carries only (bucket, count) pairs, so 1000x the input changes
+task counts, not plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+# -- Benford first-digit audit ---------------------------------------
+
+
+@query(
+    "q_benford",
+    oracle="""
+    with d as (
+        select cast(substring(cast(cast(floor(o_totalprice) as bigint)
+                                   as varchar), 1, 1) as int) as digit
+        from orders where o_totalprice > 0
+    ),
+    c as (select digit, count(*) as n from d group by digit),
+    t as (select count(*) as total from d)
+    select digit, cast(n as bigint) as n,
+           round(cast(n as double) / total, 6) as obs_frac,
+           round(log10(1.0 + 1.0 / digit), 6) as exp_frac
+    from c cross join t
+    """,
+    tags=("agg", "quality"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals (SAS:
+    PROC FREQ TESTP= goodness-of-fit; fraud/DQ screening: fabricated
+    numeric columns diverge from the log10(1+1/d) law).
+
+    Output is one row per leading digit with observed vs expected
+    fractions — the analyst-facing audit table. (The synthetic fixture
+    prices are uniform-ish, so they WON'T follow Benford — the query
+    verifies the measurement, not the law.)
+
+    Scale: digit extraction is scan-side; the agg output is <= 9 rows;
+    the grand total joins back as a broadcast of one row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "obs_frac"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("exp_frac"),
+    )
+
+
+# -- PSI distribution drift ------------------------------------------
+
+PSI_BIN_WIDTH = 70000.0
+PSI_N_BINS = 8
+PSI_EPS = 1e-6
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    with binned as (
+        select least(cast(floor(o_totalprice / {PSI_BIN_WIDTH}) as bigint),
+                     {PSI_N_BINS - 1}) as bin,
+               o_orderkey % 2 = 0 as in_a
+        from orders
+    ),
+    a as (select bin, count(*) as n_a from binned where in_a group by bin),
+    b as (select bin, count(*) as n_b from binned where not in_a
+          group by bin),
+    j as (
+        select coalesce(a.bin, b.bin) as bin,
+               coalesce(n_a, 0) as n_a, coalesce(n_b, 0) as n_b
+        from a full join b on a.bin = b.bin
+    ),
+    t as (select sum(n_a) as tot_a, sum(n_b) as tot_b from j)
+    select bin, cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+           round((cast(n_b as double) / tot_b - cast(n_a as double) / tot_a)
+                 * ln((cast(n_b as double) / tot_b + {PSI_EPS})
+                      / (cast(n_a as double) / tot_a + {PSI_EPS})), 6)
+               as psi_term
+    from j cross join t
+    """,
+    tags=("agg", "quality"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection between two cohorts
+    (ML monitoring: has the feature distribution shifted between the
+    training period and today?; SAS: PROC FREQ bins + a DATA-step
+    PSI formula).
+
+    Fixed-width bins (not quantile bins) keep the bin grid
+    engine-exact; epsilon-smoothed PSI terms tolerate empty bins.
+    Sum of psi_term > 0.2 is the conventional 'investigate' alarm.
+
+    Scale: one scan -> (bin, cohort) conditional agg (<= 2*bins rows
+    shuffled), full-join of the two tiny histograms, broadcast grand
+    totals. The cohort split here is a parity-keyed stand-in for
+    'last month vs this month' partition predicates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH).cast("long"),
+            F.lit(PSI_N_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("o_orderkey") % 2 == 0).alias("in_a"),
+    )
+    a = (
+        binned.filter("in_a")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        binned.filter(~F.col("in_a"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    j = (
+        a.join(b, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    totals = j.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    frac_a = F.col("n_a").cast("double") / F.col("tot_a")
+    frac_b = F.col("n_b").cast("double") / F.col("tot_b")
+    return j.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(
+            (frac_b - frac_a) * F.log((frac_b + PSI_EPS) / (frac_a + PSI_EPS)),
+            6,
+        ).alias("psi_term"),
+    )
+
+
+# -- class balance per split -----------------------------------------
+
+
+@query(
+    "q_class_balance",
+    oracle="""
+    with s as (
+        select case when vec_id % 10 < 8 then 'train'
+                    when vec_id % 10 = 8 then 'val'
+                    else 'test' end as split,
+               label
+        from embeddings
+    ),
+    c as (select split, label, count(*) as n from s group by split, label),
+    t as (select split, count(*) as n_split from s group by split)
+    select c.split, c.label, cast(c.n as bigint) as n,
+           round(cast(c.n as double) / t.n_split, 6) as frac
+    from c join t on c.split = t.split
+    """,
+    tags=("agg", "llm"),
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-distribution audit per train/val/test split (ML dataprep:
+    catch a split whose class mix diverges before training on it;
+    SAS: PROC FREQ TABLES split*label / OUTPCT).
+
+    Scale: two conditional aggs over one scan (cube-shaped but tiny
+    output), broadcast join of per-split totals. The mod-10 split here
+    is the deterministic stand-in for the sha-bucket assignment of
+    q_split_hash — same audit, any assignment.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = (
+        F.when(F.col("vec_id") % 10 < 8, "train")
+        .when(F.col("vec_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    s = emb.select(split.alias("split"), "label")
+    c = s.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+    t = s.groupBy("split").agg(F.count(F.lit(1)).alias("n_split"))
+    return c.join(F.broadcast(t), "split").select(
+        "split",
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_split"), 6).alias(
+            "frac"
+        ),
+    )
+
+
+# -- right-to-be-forgotten purge -------------------------------------
+
+
+@query(
+    "q_forget_user",
+    oracle="""
+    with forget as (
+        select c_custkey from customer
+        where c_acctbal < 0 and c_custkey % 3 = 0
+    ),
+    tot as (
+        select event_type, count(*) as n_total from events group by event_type
+    ),
+    kept as (
+        select event_type, count(*) as n_kept
+        from events e
+        where not exists (select 1 from forget f
+                          where f.c_custkey = e.user_id)
+        group by event_type
+    )
+    select tot.event_type, cast(n_total as bigint) as n_total,
+           cast(coalesce(n_kept, 0) as bigint) as n_kept,
+           cast(n_total - coalesce(n_kept, 0) as bigint) as n_purged
+    from tot left join kept on tot.event_type = kept.event_type
+    """,
+    tags=("join", "governance"),
+)
+def q_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge cascade with audit counts (GDPR
+    delete: a small deletion list anti-joined against a huge fact
+    table; SAS: MERGE + IF ina AND NOT inb).
+
+    The deletion list (negative-balance customers, deterministic
+    subset) BROADCASTS; the purge is one anti-join pass over events
+    — no shuffle of the fact side at all. The audit table proves the
+    cascade: per event type, total vs kept vs purged.
+
+    Scale: this is THE pattern for compliance deletes at 100 TB —
+    broadcast anti-join (or bloom-filter prefilter for deletion lists
+    too big to broadcast) followed by a partition-overwrite write.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    forget = cust.filter(
+        (F.col("c_acctbal") < 0) & (F.col("c_custkey") % 3 == 0)
+    ).select("c_custkey")
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (
+        ev.join(
+            F.broadcast(forget),
+            ev.user_id == forget.c_custkey,
+            "left_anti",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return tot.join(kept, "event_type", "left").select(
+        "event_type",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_purged"
+        ),
+    )
+
+
+# -- incremental dedup against a historical master -------------------
+
+SEEN_BOUNDARY = 250
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    with seen as (
+        select distinct sha256(text) as sha from documents
+        where doc_id < {SEEN_BOUNDARY}
+    ),
+    batch as (
+        select doc_id, sha256(text) as sha from documents
+        where doc_id >= {SEEN_BOUNDARY}
+    )
+    select min(doc_id) as doc_id, sha,
+           cast(count(*) as bigint) as n_batch_copies
+    from batch b
+    where not exists (select 1 from seen s where s.sha = b.sha)
+    group by sha
+    """,
+    tags=("dedup", "llm"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against a historical digest
+    master (LLM corpus building: each crawl drop dedups against
+    everything already ingested WITHOUT rescanning it; SAS: PROC SORT
+    NODUPKEY against a master lookup).
+
+    Two stages, both digest-keyed: anti-join the batch against the
+    seen-set (drops cross-batch dups), then keep-first-by-doc_id
+    within the batch (drops intra-batch dups). Only 32-byte digests
+    ever shuffle.
+
+    Scale: the seen-set at 100 TB is a parquet table of digests —
+    the anti-join shuffles digests only, or broadcasts a bloom
+    filter of them; the min-agg keep-first is one combinable
+    aggregate. History is never rescanned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_sha = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    seen = (
+        with_sha.filter(F.col("doc_id") < SEEN_BOUNDARY)
+        .select("sha")
+        .distinct()
+    )
+    batch = with_sha.filter(F.col("doc_id") >= SEEN_BOUNDARY)
+    fresh = batch.join(seen, "sha", "left_anti")
+    return fresh.groupBy("sha").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    ).select("doc_id", "sha", "n_batch_copies")

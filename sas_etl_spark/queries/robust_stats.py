@@ -1,0 +1,375 @@
+"""Robust statistics, sequential smoothing, and scale-pattern queries.
+
+SAS surface covered here:
+- PROC UNIVARIATE MODE (modal value per BY group),
+- PROC UNIVARIATE ROBUSTSCALE (median / MAD / robust z outliers),
+- PROC EXPAND TRANSFORM=EWMA (exponential smoothing of a series),
+- PROC SQL correlated scalar subqueries,
+- PROC SUMMARY partial/merge two-phase aggregation (the pattern behind
+  incremental daily rollups merged into monthly totals),
+- sessionized path analysis (first-k event journeys, SAS: RETAIN-built
+  path strings + PROC FREQ).
+
+Scale notes inline per query; nothing here uses Python in the data
+path, collect(), or a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table, register_views
+from sas_etl_spark.registry import query
+
+# -- mode per group ---------------------------------------------------
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    with c as (
+        select c.c_mktsegment, o.o_orderpriority, count(*) as n
+        from customer c join orders o on o.o_custkey = c.c_custkey
+        group by c.c_mktsegment, o.o_orderpriority
+    ),
+    r as (
+        select c_mktsegment, o_orderpriority, n,
+               row_number() over (partition by c_mktsegment
+                                  order by n desc, o_orderpriority desc) as rn
+        from c
+    )
+    select c_mktsegment, o_orderpriority as mode_priority,
+           cast(n as bigint) as mode_n
+    from r where rn = 1
+    """,
+    tags=("agg", "stats"),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order priority per market segment (SAS: PROC UNIVARIATE
+    MODE per BY group / PROC FREQ + keep-first).
+
+    Ties break toward the lexicographically larger priority — encoded
+    as max-of-struct((count, value)) on the Spark side and the
+    equivalent row_number ordering in the oracle.
+
+    Scale: counts reduce map-side on (segment, priority) — a tiny
+    domain — then the mode pick is a second tiny agg. No windows over
+    raw data, no sort; the orders->customer join broadcasts the
+    customer side's (custkey, segment) projection.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = counts.groupBy("c_mktsegment").agg(
+        F.max(F.struct("n", "o_orderpriority")).alias("best")
+    )
+    return best.select(
+        "c_mktsegment",
+        F.col("best.o_orderpriority").alias("mode_priority"),
+        F.col("best.n").alias("mode_n"),
+    )
+
+
+# -- median / MAD robust outliers ------------------------------------
+
+#: Consistency constant making MAD estimate sigma under normality.
+MAD_SIGMA = 1.4826
+ROBUST_Z_CUT = 3.0
+
+
+@query(
+    "q_outlier_mad",
+    oracle=f"""
+    with med as (
+        select o_orderpriority, median(o_totalprice) as med
+        from orders group by o_orderpriority
+    ),
+    mad as (
+        select o.o_orderpriority,
+               median(abs(o.o_totalprice - med.med)) as mad
+        from orders o join med using (o_orderpriority)
+        group by o.o_orderpriority
+    ),
+    z as (
+        select o.o_orderpriority,
+               abs(o.o_totalprice - med.med) / ({MAD_SIGMA} * mad.mad)
+                   as robust_z
+        from orders o
+        join med using (o_orderpriority)
+        join mad using (o_orderpriority)
+    )
+    select z.o_orderpriority,
+           cast(count(*) as bigint) as n,
+           round(min(med.med), 2) as med,
+           round(min(mad.mad), 2) as mad,
+           cast(sum(case when robust_z > {ROBUST_Z_CUT} then 1 else 0 end)
+                as bigint) as n_outliers,
+           round(max(robust_z), 6) as max_robust_z
+    from z
+    join med using (o_orderpriority)
+    join mad using (o_orderpriority)
+    group by z.o_orderpriority
+    """,
+    tags=("agg", "stats", "quality"),
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD z-scores (SAS: PROC
+    UNIVARIATE ROBUSTSCALE; data-quality pipelines: the
+    skew-insensitive alternative to mean/stddev fences).
+
+    robust_z = |x - median| / (1.4826 * MAD); rows with z > 3 are
+    outliers. Both medians interpolate the middle pair identically on
+    both engines, and the z arithmetic is the same IEEE expression
+    tree, so even the STRICT z > 3 cut is engine-exact; max_z is
+    rounded 6dp only as belt-and-braces.
+
+    Scale: two grouped exact medians (sort-based within group — the
+    group count here is tiny; at 100 TB swap percentile_approx in the
+    same shape) + two broadcast joins of 5-row stat tables back onto
+    the fact scan. One full-data agg at the end, map-side combined.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med")
+    )
+    with_med = orders.join(F.broadcast(med), "o_orderpriority")
+    mad = with_med.groupBy("o_orderpriority").agg(
+        F.median(F.abs(F.col("o_totalprice") - F.col("med"))).alias("mad")
+    )
+    z = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .withColumn(
+            "robust_z",
+            F.abs(F.col("o_totalprice") - F.col("med"))
+            / (MAD_SIGMA * F.col("mad")),
+        )
+    )
+    return z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 2).alias("med"),
+        F.round(F.min("mad"), 2).alias("mad"),
+        F.sum((F.col("robust_z") > ROBUST_Z_CUT).cast("int"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("robust_z"), 6).alias("max_robust_z"),
+    )
+
+
+# -- EWMA -------------------------------------------------------------
+
+EWMA_ALPHA = 0.25
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    with s as (
+        select user_id,
+               list(value order by ts, event_id) as vals
+        from events group by user_id
+    )
+    select user_id,
+           cast(len(vals) as bigint) as n_events,
+           round(list_reduce(vals,
+                 (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}), 6)
+               as ewma
+    from s
+    """,
+    tags=("window", "timeseries"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user series (SAS:
+    PROC EXPAND TRANSFORM=(EWMA 0.25); monitoring: the classic
+    smoothed-level estimate).
+
+    y_1 = x_1; y_t = (1-a)*y_{{t-1}} + a*x_t. The recursion is a
+    SEQUENTIAL left fold — not expressible as a window aggregate
+    without numerically explosive (1-a)^-t rescaling — so each series
+    folds its time-ordered value array exactly once: sort_array over
+    the collected (ts, event_id, value) structs, then F.aggregate with
+    the first element as seed. The oracle's list_reduce performs the
+    IDENTICAL left fold (same seed convention, same IEEE ops in the
+    same order), so results match bit-for-bit before the 6dp safety
+    rounding.
+
+    Scale: one shuffle (groupBy user), per-series O(n) fold, state =
+    one array per series. Series too long for memory would switch to
+    applyInPandasWithState in time-slices — the operator contract
+    (ordered fold per key) is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arrs = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s.getField("value"))
+    with_vals = arrs.select("user_id", vals.alias("vals"))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1).cast("double"),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return with_vals.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+# -- two-phase partial/merge aggregation ------------------------------
+
+N_SHARDS = 8
+
+
+@query(
+    "q_partial_agg_merge",
+    oracle="""
+    select l_returnflag, l_linestatus,
+           cast(count(*) as bigint) as n_rows,
+           round(sum(l_quantity), 2) as sum_qty,
+           round(sum(l_extendedprice), 2) as sum_price,
+           min(l_quantity) as min_qty,
+           max(l_quantity) as max_qty
+    from lineitem
+    group by l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scale"),
+)
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase partial/merge aggregation (SAS: PROC SUMMARY per
+    shard + a merge step; pipelines: incremental daily partial aggs
+    rolled into period totals without rescanning history).
+
+    Phase 1 aggregates per (shard, keys) — here shard = orderkey mod 8
+    standing in for 'one partial per day/partition file'; phase 2
+    merges partials with the MERGEABLE form of each statistic
+    (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes). The
+    oracle is the DIRECT one-pass aggregate — result-identical by the
+    algebraic-aggregate merge law, which is exactly what the green
+    hash attests.
+
+    Scale: this IS the 100 TB pattern — partials are tiny (|keys| x
+    shards rows), persistable between runs, and the merge never
+    touches raw history. Spark's own partial/final HashAggregate does
+    this within a job; this query proves it ACROSS materialization
+    boundaries.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy(
+        F.pmod(F.col("l_orderkey"), F.lit(N_SHARDS)).alias("shard"),
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum("l_extendedprice").alias("p_price"),
+        F.min("l_quantity").alias("p_min_qty"),
+        F.max("l_quantity").alias("p_max_qty"),
+    )
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("p_n").alias("n_rows"),
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+        F.round(F.sum("p_price"), 2).alias("sum_price"),
+        F.min("p_min_qty").alias("min_qty"),
+        F.max("p_max_qty").alias("max_qty"),
+    )
+
+
+# -- correlated scalar subquery --------------------------------------
+
+#: One SQL text, two engines (q_proc_sql pattern): submitted verbatim
+#: through spark.sql AND as the DuckDB oracle.
+_CORRELATED_SQL = """
+    select o_orderkey, o_custkey, round(o_totalprice, 2) as totalprice
+    from orders o
+    where o_totalprice > (select 2 * avg(o2.o_totalprice)
+                          from orders o2
+                          where o2.o_custkey = o.o_custkey)
+    """
+
+
+@query("q_correlated_subquery", oracle=_CORRELATED_SQL, tags=("sql", "join"))
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SAS: PROC SQL with a correlated
+    subselect — 'orders costing more than twice this customer's
+    average').
+
+    The ANSI text runs verbatim on both engines. Catalyst
+    DECORRELATES it: the subquery becomes one aggregate over orders
+    grouped by custkey joined back to the outer scan — O(n) with one
+    shuffle, not O(n^2) nested execution. That rewrite is the whole
+    point of declaring the plan instead of hand-looping it.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CORRELATED_SQL)
+
+
+# -- sessionized path analysis ---------------------------------------
+
+PATH_LEN = 5
+TOP_PATHS = 10
+
+
+@query(
+    "q_top_paths",
+    oracle=f"""
+    with r as (
+        select user_id, event_type,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as rn
+        from events
+    ),
+    p as (
+        select user_id, string_agg(event_type, '>' order by rn) as path
+        from r where rn <= {PATH_LEN} group by user_id
+    )
+    select path, cast(count(*) as bigint) as n_users
+    from p group by path
+    order by n_users desc, path
+    limit {TOP_PATHS}
+    """,
+    tags=("window", "events"),
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: each user's first five event types joined
+    into a journey string, counted across users (SAS: RETAIN-built
+    path variable + PROC FREQ; product analytics: entry-journey
+    mining).
+
+    Scale: row_number is per-user (partitioned window, no global
+    sort); path assembly collects at most PATH_LEN structs per user;
+    the path-count agg combines map-side and the top-10 executes as
+    TakeOrderedAndProject. Deterministic: (ts, event_id) is a total
+    order within user, and the limit ties break on path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_k = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(TOP_PATHS)
+    )

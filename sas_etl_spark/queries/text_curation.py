@@ -1,0 +1,329 @@
+"""Text-curation queries: the preprocessing lane of an LLM training-data
+pipeline (canonicalization, chunking, PII scrubbing, keyword weighting)
+over the ``documents`` fixture.
+
+These extend SURVEY.md §2.9 with the steps that sit BETWEEN raw
+ingestion and dedup/quality filtering in a real corpus build:
+
+- canonicalize text so near-identical bytes dedup exactly,
+- split long documents into overlapping token chunks sized for a
+  model context window,
+- scrub PII patterns before anything ships,
+- extract the per-document keywords that feed tagging/clustering.
+
+Everything is pure Catalyst expressions (split/slice/regexp/HOFs) —
+no Python in the data path, so throughput is scan-bound and the plans
+survive a 100 TB corpus unchanged: per-document work is embarrassingly
+parallel (zero shuffles except the small agg tails, which all combine
+map-side first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+# -- canonicalization -------------------------------------------------
+
+#: Normalization pipeline (applied in this order; mirrored verbatim in
+#: the oracles): lowercase -> non-alphanumeric runs to one space ->
+#: collapse space runs -> trim. The sha-256 of the result is the exact
+#: dedup key of the canonical form.
+_NON_ALNUM = "[^a-z0-9 ]"
+_SPACE_RUNS = " +"
+
+
+def normalize_text(text) -> F.Column:
+    """Canonical form of a document for normalization-aware exact dedup.
+
+    At 100 TB this runs scan-side (three regexp passes fused into one
+    whole-stage-codegen Project) and the 32-byte digest — not the text
+    — is what flows into the dedup shuffle (operators/dedup.py
+    hash_col contract).
+    """
+    lowered = F.lower(text)
+    squashed = F.regexp_replace(lowered, _NON_ALNUM, " ")
+    collapsed = F.regexp_replace(squashed, _SPACE_RUNS, " ")
+    return F.trim(collapsed)
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    with n as (
+        select doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) as norm
+        from documents
+    )
+    select doc_id,
+           sha256(norm) as norm_sha,
+           cast(len(string_split(norm, ' ')) as bigint) as n_tokens_norm
+    from n
+    """,
+    tags=("text", "dedup"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization for normalization-aware dedup (SAS:
+    LOWCASE + COMPRESS/TRANWRD chains; LLM pipelines: the
+    pre-dedup cleanup pass every corpus build runs).
+
+    Output is (doc_id, sha256(canonical text), canonical token count):
+    the digest IS the dedup key downstream, and hashing it here means
+    the oracle verifies every byte of the normalized form without
+    shipping the text twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    return norm.select(
+        "doc_id",
+        F.sha2(F.col("norm"), 256).alias("norm_sha"),
+        F.size(F.split(F.col("norm"), " ")).cast("long").alias("n_tokens_norm"),
+    )
+
+
+# -- chunking ---------------------------------------------------------
+
+#: Context-window chunking parameters: 32-token chunks, stride 24
+#: (8-token overlap). Overlap preserves cross-boundary n-grams for
+#: training; the last chunk is the remainder (never padded here).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    c as (
+        select doc_id, toks,
+               unnest(generate_series(
+                   0, (greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                       + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) as chunk_id
+        from t
+    )
+    select doc_id,
+           cast(chunk_id as bigint) as chunk_id,
+           cast(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                               chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+                as bigint) as n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                           ' ') as chunk_text
+    from c
+    """,
+    tags=("text", "llm"),
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (LLM: split documents into
+    model-sized training chunks; SAS analog: a DO-loop over SUBSTR
+    windows with OUTPUT per window).
+
+    chunk i covers tokens [i*stride+1, i*stride+CHUNK] (1-based);
+    chunk count = 1 + ceil(max(n_tok - CHUNK, 0) / stride), so every
+    token lands in >=1 chunk and consecutive chunks overlap by
+    CHUNK - stride tokens. All integer arithmetic — the chunk grid is
+    identical on both engines by construction.
+
+    Scale: posexplode of a computed index range — row-local fan-out
+    with NO shuffle at all; output partitioning inherits the scan.
+    The token array is staged once per row (HOFs get no CSE).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # last chunk id = ceil(max(n_tok - CHUNK, 0) / stride), via the
+    # (g + stride-1) div stride identity — integer-exact on both sides.
+    last_chunk = F.floor(
+        (
+            F.greatest(F.size("toks") - CHUNK_TOKENS, F.lit(0))
+            + (CHUNK_STRIDE - 1)
+        )
+        / CHUNK_STRIDE
+    ).cast("int")
+    fanned = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), last_chunk)).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return fanned.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# -- PII scrubbing ----------------------------------------------------
+
+#: PII patterns — syntax valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): email addresses and NNN-NNNN phone fragments.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    with p as (
+        select doc_id,
+               substring(text, 1, 40) || ' contact user' || doc_id
+                   || '@example.com or call 555-'
+                   || lpad(cast(doc_id % 10000 as varchar), 4, '0') as pii_text
+        from documents
+    )
+    select doc_id,
+           cast(len(regexp_extract_all(pii_text, '{PII_EMAIL}'))
+                + len(regexp_extract_all(pii_text, '{PII_PHONE}'))
+                as bigint) as n_redactions,
+           sha256(regexp_replace(regexp_replace(pii_text,
+                  '{PII_EMAIL}', '[EMAIL]', 'g'),
+                  '{PII_PHONE}', '[PHONE]', 'g')) as redacted_sha
+    from p
+    """,
+    tags=("text", "llm"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (LLM curation: redact emails/phones before a
+    corpus ships; SAS: PRXCHANGE s/…/…/ over a text variable).
+
+    The fixture corpus is synthetic word-salad with no real PII, so
+    the query first plants a deterministic email + phone per document
+    (derived from doc_id — same construction in the oracle), then
+    counts and redacts them. The assertion is therefore end-to-end:
+    pattern hit counts AND the full redacted text (via sha-256) match
+    an independent regex engine.
+
+    Scale: row-local regexp in one codegen Project; zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("pii_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("pii_text"), PII_EMAIL, "[EMAIL]"),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return pii.select(
+        "doc_id",
+        (
+            F.regexp_count("pii_text", F.lit(PII_EMAIL))
+            + F.regexp_count("pii_text", F.lit(PII_PHONE))
+        )
+        .cast("long")
+        .alias("n_redactions"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
+
+
+# -- keyword extraction ----------------------------------------------
+
+
+@query(
+    "q_keyword_extract",
+    oracle="""
+    with tf as (
+        select doc_id, unnest(string_split(text, ' ')) as word
+        from documents where doc_id < 100
+    ),
+    tfc as (
+        select doc_id, word, count(*) as tf
+        from tf group by doc_id, word
+    ),
+    dfc as (
+        select word, count(distinct doc_id) as df
+        from (select doc_id, unnest(string_split(text, ' ')) as word
+              from documents) t
+        group by word
+    ),
+    n as (select count(*) as n_docs from documents),
+    ranked as (
+        select tfc.doc_id, tfc.word, tfc.tf, dfc.df,
+               round(tfc.tf * ln(cast(n.n_docs as double) / dfc.df), 4)
+                   as tfidf,
+               row_number() over (
+                   partition by tfc.doc_id
+                   order by tfc.tf desc, dfc.df asc, tfc.word asc) as rnk
+        from tfc join dfc using (word) cross join n
+    )
+    select doc_id, cast(rnk as bigint) as rnk, word,
+           cast(tf as bigint) as tf, cast(df as bigint) as df, tfidf
+    from ranked where rnk <= 3
+    """,
+    tags=("text", "llm"),
+)
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (LLM: per-doc keyword
+    tagging for clustering/routing; SAS: PROC FREQ per BY group +
+    a corpus-frequency MERGE).
+
+    Ranking uses ONLY integer keys (tf desc, df asc, word asc) so the
+    top-3 boundary is engine-exact; the tf-idf weight itself is output
+    rounded to 4dp (its ~1e-16 relative log drift is far below that).
+    The per-doc window restricts to doc_id < 100 to bound output —
+    the df (document frequency) side still scans the WHOLE corpus.
+
+    Scale: tf is a map-side-combining groupBy on (doc, word); df is a
+    distinct-agg on word (two-stage expand, standard); the df side is
+    tiny after agg -> broadcast join back. The per-doc top-3 window
+    partitions by doc_id — no global sort anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = (
+        words.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = (
+        tf.join(F.broadcast(df_counts), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("tf"), F.asc("df"), F.asc("word")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "word",
+        "tf",
+        "df",
+        "tfidf",
+    )

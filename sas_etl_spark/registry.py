@@ -131,7 +131,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: addition to anything new/changed in r7): (1) queries registered in
 #: late round 6 AFTER the 50 slots filled (q_linear_regression,
 #: q_autocorr, q_argmax, q_schema_evolution, q_rolling_stats,
-#: q_business_days, q_pps_sample, q_cogroup_reconcile —
+#: q_business_days, q_pps_sample, q_cogroup_reconcile,
+#: q_text_normalize, q_chunk_docs, q_pii_redact, q_keyword_extract,
+#: q_mode_per_group, q_outlier_mad, q_ewma, q_partial_agg_merge,
+#: q_correlated_subquery, q_top_paths, q_benford, q_psi_drift,
+#: q_class_balance, q_forget_user, q_incremental_dedup,
+#: q_inverted_index, q_skipgrams, q_embed_dim_stats —
 #: local-parity-proven, never driver-attested), (2) the
 #: timestamp-flip readers that ceded r6 slots (q_sessionize,
 #: q_asof_event, q_gap_fill, q_moving_avg, q_dedup_firstlast,
