@@ -268,6 +268,58 @@ def test_merge_many_to_many_is_equi_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_chunk_docs_has_zero_shuffle(spark):
+    """Context-window chunking is row-local fan-out: posexplode of a
+    computed index grid + slice. The plan must contain NO Exchange at
+    all — output partitioning inherits the scan, which is what makes
+    the operator free at 100 TB."""
+    plan = audit(QUERIES["q_chunk_docs"].fn(spark, SF_CORRECTNESS))["plan"]
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the posexplode fan-out node
+
+
+def test_forget_user_purges_via_broadcast_anti_join(spark):
+    """GDPR purge: the deletion list must BROADCAST and the purge must
+    stay a LeftAnti hash join — the fact side is never shuffled for
+    the join itself (its only exchange is the audit count agg)."""
+    plan = audit(QUERIES["q_forget_user"].fn(spark, SF_CORRECTNESS))["plan"]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_incremental_dedup_anti_join_keys_are_digests(spark):
+    """Incremental dedup must anti-join batch digests against the
+    seen-set (LeftAnti present) and aggregate with map-side partials —
+    only 32-byte digests ever shuffle."""
+    a = _plan(spark, "q_incremental_dedup")
+    assert "LeftAnti" in a["plan"], a["plan"]
+    assert a["plan"].count("HashAggregate") >= 2
+    assert not a["cartesian"]
+
+
+def test_keyword_extract_broadcasts_stat_tables(spark):
+    """TF-IDF keywording: corpus df table and the 1-row doc count must
+    come back as broadcasts over the tf side; the only windows are
+    per-doc partitioned."""
+    from sas_etl_spark.plans.audit import single_partition_funnels
+
+    a = _plan(spark, "q_keyword_extract")
+    assert a["broadcast_joins"] >= 2, a["plan"]
+    assert not a["cartesian"]
+    # the corpus doc-count global agg funnels ONE row per upstream
+    # task (benign constant-state merge); no O(rows) funnel allowed
+    assert single_partition_funnels(a["plan"]) == [], a["plan"]
+
+
+def test_skipgrams_join_is_doc_keyed_not_cartesian(spark):
+    """Skip-gram pair generation must remain a doc_id equi-join with a
+    position-range residual — never a cartesian or nested-loop over
+    the token stream."""
+    df = QUERIES["q_skipgrams"].fn(spark, SF_CORRECTNESS)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_format_ranges_broadcasts_the_format_table(spark):
     """Range-format remapping: the non-equi predicate must evaluate as
     a BroadcastNestedLoopJoin whose BUILD side is the O(bins) format
