@@ -338,3 +338,88 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_batch_copies"),
     ).select("doc_id", "sha", "n_batch_copies")
+
+
+# -- dedup-rate report per source ------------------------------------
+
+
+@query(
+    "q_dedup_stats",
+    oracle="""
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(distinct sha256(text)) as bigint) as n_unique,
+           round(1.0 - cast(count(distinct sha256(text)) as double)
+                     / count(*), 6) as dup_rate
+    from documents
+    group by source
+    """,
+    tags=("dedup", "quality"),
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate report per source (corpus ops: which feeds are
+    polluting the corpus with copies; SAS: PROC SQL count vs
+    count-distinct per BY group).
+
+    Scale: distinct-count expands (source, digest) then re-aggregates
+    — the standard two-stage distinct agg; at extreme cardinality the
+    documented swap is approx_count_distinct in the same shape
+    (q_approx_distinct attests the sketch's error bound).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_unique"),
+        F.round(
+            1.0
+            - F.countDistinct(F.sha2(F.col("text"), 256)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+# -- cross-source duplicate matrix -----------------------------------
+
+
+@query(
+    "q_cross_source_dups",
+    oracle="""
+    with pairs as (
+        select distinct sha256(text) as sha, source from documents
+    )
+    select a.source as src1, b.source as src2,
+           cast(count(*) as bigint) as n_shared
+    from pairs a join pairs b on a.sha = b.sha and a.source < b.source
+    group by a.source, b.source
+    """,
+    tags=("dedup", "quality"),
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate matrix: for each source pair, how many
+    distinct documents appear in BOTH (corpus ops: which feeds
+    overlap, the input to dedup-priority decisions; SAS: PROC SQL
+    self-join on a digest key).
+
+    Scale: the self-join key is the 32-byte digest, and each side is
+    already (digest, source)-distinct, so join fan-out per digest is
+    bounded by the source count — never by corpus size. (Duplicates
+    exist only at sf0.1+ in the fixtures — empty-but-correct below.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.sha2(F.col("text"), 256).alias("sha"), "source"
+    ).distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sha") == F.col("b.sha"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src1"), F.col("b.source").alias("src2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -373,3 +373,123 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(TOP_PATHS)
     )
+
+
+# -- Spearman rank correlation ---------------------------------------
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+    with ranked as (
+        select l_returnflag,
+               rank() over (partition by l_returnflag order by l_quantity)
+                 + (count(*) over (partition by l_returnflag, l_quantity)
+                    - 1) / 2.0 as rq,
+               rank() over (partition by l_returnflag
+                            order by l_extendedprice)
+                 + (count(*) over (partition by l_returnflag,
+                                   l_extendedprice) - 1) / 2.0 as rp
+        from lineitem
+    )
+    select l_returnflag, cast(count(*) as bigint) as n,
+           round(corr(rq, rp), 6) as spearman
+    from ranked group by l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group (SAS: PROC CORR SPEARMAN
+    with BY) — the monotonic-association measure robust to outliers
+    and nonlinearity.
+
+    Average-rank tie handling via the identity
+    avg_rank = rank() + (n_ties - 1)/2 (two windows per variable that
+    share one sort each), then Pearson corr OF THE RANKS. Rank
+    arithmetic is integer-exact, so only the final corr sees floats
+    (round 6dp over the engines' summation-order drift).
+
+    Scale: two partitioned sorts per variable (no global sort), then
+    one mergeable corr aggregate. At 100 TB the exact ranks become the
+    bottleneck; the documented approximation swaps in percentile_approx
+    bucket midranks at constant state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wqt = Window.partitionBy("l_returnflag", "l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (
+            F.rank().over(wq) + (F.count(F.lit(1)).over(wqt) - 1) / 2.0
+        ).alias("rq"),
+        (
+            F.rank().over(wp) + (F.count(F.lit(1)).over(wpt) - 1) / 2.0
+        ).alias("rp"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("rq", "rp"), 6).alias("spearman"),
+    )
+
+
+# -- weighted median --------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    with c as (
+        select l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) over (
+                   partition by l_returnflag
+                   order by l_extendedprice, l_orderkey, l_linenumber
+                   rows between unbounded preceding and current row) as cw,
+               sum(l_quantity) over (partition by l_returnflag) as tot
+        from lineitem
+    )
+    select l_returnflag,
+           round(min(l_extendedprice), 2) as weighted_median,
+           round(min(tot), 2) as total_weight
+    from c where cw >= tot / 2.0
+    group by l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (SAS: PROC MEANS MEDIAN with WEIGHT;
+    here: the price level at which half the shipped QUANTITY sits
+    below) — the smallest value whose cumulative weight reaches half
+    the total.
+
+    The cumulative sum runs over a TOTAL order (value + unique key
+    tiebreak) so both engines accumulate in the identical sequence;
+    weights are integer-valued doubles, so every partial sum is exact
+    and the cw >= tot/2 threshold test is engine-deterministic.
+
+    Scale: one partitioned sort + running-frame window + min-agg; no
+    global sort. (The same shape yields any weighted quantile by
+    changing the threshold fraction.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cw") >= F.col("tot") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.min("tot"), 2).alias("total_weight"),
+        )
+    )

@@ -327,3 +327,57 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         "tfidf",
     )
+
+
+# -- URL parsing ------------------------------------------------------
+
+
+@query(
+    "q_url_extract",
+    oracle="""
+    with u as (
+        select doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang as url
+        from documents
+    )
+    select doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) as host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) as path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) as lang_param
+    from u
+    """,
+    tags=("text", "llm"),
+)
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (web-corpus curation: host/path/param
+    extraction drives domain-level filtering, robots compliance, and
+    per-site quality priors; SAS: SCAN/PRXMATCH chains).
+
+    Deterministic URLs are planted from fixture fields (the corpus
+    itself has none), then parsed with Spark's native parse_url —
+    verified against an INDEPENDENT regex decomposition in the oracle,
+    so the two implementations cross-check each other rather than
+    sharing one pattern.
+
+    Scale: row-local string work in one codegen Project; the host
+    column is what a downstream per-domain groupBy would key on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
