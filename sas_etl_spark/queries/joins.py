@@ -406,3 +406,95 @@ def q_merge_many_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.col("i").cast("long").alias("i"),
                 "a_order", "a_price", "b_order", "b_price")
     )
+
+
+# -- fuzzy match / entity resolution ---------------------------------
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    with dirty as (
+        select c_custkey as dirty_key, c_nationkey,
+               substring(c_name, 1, 9 + c_custkey % 7)
+                 || substring(c_name, 11 + c_custkey % 7, 100) as dirty_name
+        from customer where c_custkey % 10 = 7
+    ),
+    cand as (
+        select d.dirty_key, d.dirty_name, c.c_custkey, c.c_name,
+               levenshtein(d.dirty_name, c.c_name) as dist
+        from dirty d
+        join customer c
+          on c.c_nationkey = d.c_nationkey
+         and length(c.c_name) = length(d.dirty_name) + 1
+        where levenshtein(d.dirty_name, c.c_name) <= 2
+    ),
+    best as (
+        select dirty_key, c_custkey as matched_key,
+               cast(dist as bigint) as dist,
+               row_number() over (partition by dirty_key
+                                  order by dist, c_custkey) as rn
+        from cand
+    )
+    select dirty_key, matched_key, dist,
+           matched_key = dirty_key as correct
+    from best where rn = 1
+    """,
+    tags=("join", "quality"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match entity resolution with blocking (SAS: the classic
+    PROC SQL + COMPGED fuzzy merge; MDM: link dirty records back to a
+    master list).
+
+    A deterministic 10% of customer names get one character deleted
+    (the 'dirty' feed — same construction in the oracle). Candidate
+    generation is a BLOCKED equi-join on (nationkey, name length+1) —
+    never all-pairs: per-block work is bounded by customers-per-nation,
+    the real-world analog of blocking on zip/state. Candidates verify
+    with levenshtein <= 2 and the best match per dirty record wins
+    (min distance, then min key — deterministic). The ``correct``
+    column is the attested accuracy metric — a deleted leading digit
+    can legitimately tie two masters (e.g. '...23' from both '...123'
+    and '...023'), and the deterministic tiebreak resolves such
+    ambiguity IDENTICALLY on both engines, so the hash still pins
+    every link decision.
+
+    Scale: blocking keys are plain equi-join columns, so the candidate
+    join shuffles/broadcasts like any other join; edit distance runs
+    only within blocks. Wider recall (insertions + substitutions)
+    adds (nationkey, len) and (nationkey, len-1) blocks — union of
+    equi-joins, same shape.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 10 == 7).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.concat(
+            F.col("c_name").substr(
+                F.lit(1), (F.lit(9) + F.col("c_custkey") % 7).cast("int")
+            ),
+            F.col("c_name").substr(
+                (F.lit(11) + F.col("c_custkey") % 7).cast("int"), F.lit(100)
+            ),
+        ).alias("dirty_name"),
+    )
+    clean = cust.select("c_custkey", "c_name", "c_nationkey")
+    cand = dirty.join(
+        clean,
+        (F.col("c_nationkey") == F.col("d_nationkey"))
+        & (F.length("c_name") == F.length("dirty_name") + 1),
+    ).withColumn("dist", F.levenshtein("dirty_name", "c_name"))
+    best = (
+        cand.filter(F.col("dist") <= 2)
+        .groupBy("dirty_key")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("c_custkey"))).alias("best")
+        )
+    )
+    return best.select(
+        "dirty_key",
+        F.col("best.c_custkey").alias("matched_key"),
+        F.col("best.dist").cast("long").alias("dist"),
+        (F.col("best.c_custkey") == F.col("dirty_key")).alias("correct"),
+    )
