@@ -300,3 +300,191 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.col("p"), 6).alias("ht_weight"),
         )
     )
+
+
+# -- SAS PCTLDEF 1-5 --------------------------------------------------
+
+
+@query(
+    "q_pctldef",
+    oracle="""
+    with ranked as (
+        select o_orderpriority, o_totalprice as x,
+               row_number() over (partition by o_orderpriority
+                                  order by o_totalprice, o_orderkey) as rn
+        from orders
+    ),
+    stats as (
+        select o_orderpriority, max(rn) as n
+        from ranked group by o_orderpriority
+    ),
+    pcts as (select * from (values (0.25), (0.5), (0.75)) t(p)),
+    gp as (
+        select s.o_orderpriority, s.n, p.p,
+               cast(floor(s.n * p.p) as bigint) as j,
+               s.n * p.p - floor(s.n * p.p) as g,
+               cast(floor((s.n + 1) * p.p) as bigint) as j4,
+               (s.n + 1) * p.p - floor((s.n + 1) * p.p) as g4
+        from stats s cross join pcts p
+    ),
+    pos as (
+        select *,
+               greatest(least(j, n), 1) as lo,
+               greatest(least(j + 1, n), 1) as hi,
+               greatest(least(case when g = 0.5
+                                   then (case when j % 2 = 0 then j
+                                              else j + 1 end)
+                                   else cast(floor(n * p + 0.5) as bigint)
+                              end, n), 1) as i2,
+               greatest(least(j4, n), 1) as lo4,
+               greatest(least(j4 + 1, n), 1) as hi4
+        from gp
+    )
+    select pos.o_orderpriority, pos.p,
+           round((1 - g) * rlo.x + g * rhi.x, 4) as def1,
+           round(ri.x, 4) as def2,
+           round(case when g = 0 then rlo.x else rhi.x end, 4) as def3,
+           round((1 - g4) * rlo4.x + g4 * rhi4.x, 4) as def4,
+           round(case when g = 0 then (rlo.x + rhi.x) / 2.0
+                      else rhi.x end, 4) as def5
+    from pos
+    join ranked rlo  on rlo.o_orderpriority = pos.o_orderpriority
+                    and rlo.rn = pos.lo
+    join ranked rhi  on rhi.o_orderpriority = pos.o_orderpriority
+                    and rhi.rn = pos.hi
+    join ranked ri   on ri.o_orderpriority = pos.o_orderpriority
+                    and ri.rn = pos.i2
+    join ranked rlo4 on rlo4.o_orderpriority = pos.o_orderpriority
+                    and rlo4.rn = pos.lo4
+    join ranked rhi4 on rhi4.o_orderpriority = pos.o_orderpriority
+                    and rhi4.rn = pos.hi4
+    """,
+    tags=("agg", "stats", "sas-semantics"),
+)
+def q_pctldef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL FIVE SAS percentile definitions (PROC UNIVARIATE / PROC
+    MEANS ``PCTLDEF=1..5``) computed exactly, per group, for
+    p in {.25, .5, .75} — the deep-parity surface a SAS migration
+    actually hits, because PCTLDEF changes answers and audits compare
+    them digit-for-digit.
+
+    With n sorted values x(1..n), np = n*p, j = floor(np), g = np-j
+    (per the public SAS 9.4 procedure documentation):
+      - def1: (1-g)x(j) + g x(j+1)            (weighted average at np)
+      - def2: x(i), i = floor(np+1/2); when g = 1/2 exactly, i = j if
+              j even else j+1                  (closest observation)
+      - def3: x(j) if g=0 else x(j+1)          (empirical CDF)
+      - def4: like def1 but at (n+1)p          (weighted average at (n+1)p)
+      - def5: (x(j)+x(j+1))/2 if g=0 else x(j+1)  (EDF with averaging;
+              the SAS DEFAULT)
+    Boundary cases (j=0, j>=n) are handled by clamping the FETCHED
+    positions to [1, n], which reproduces SAS's x(0):=x(1) / y:=x(n)
+    conventions. p values (1/4, 1/2, 3/4) are exact binary fractions,
+    so j and g are engine-exact and every branch condition (g=0,
+    g=1/2, parity of j) is deterministic on both engines.
+
+    Scale: one partitioned rank (no global sort), a 15-row
+    position table broadcast into five ranked-side lookups, each a
+    broadcast join selecting single rows. At 100 TB the exact ranked
+    lookup swaps for the percentile_approx sketch ONLY when PCTLDEF
+    fidelity is not contractual — which is exactly when a SAS audit
+    isn't watching.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    stats = ranked.groupBy("o_orderpriority").agg(F.max("rn").alias("n"))
+    pcts = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "p double")
+    n, p = F.col("n"), F.col("p")
+    gp = stats.crossJoin(F.broadcast(pcts)).select(
+        "o_orderpriority",
+        "n",
+        "p",
+        F.floor(n * p).cast("long").alias("j"),
+        (n * p - F.floor(n * p)).alias("g"),
+        F.floor((n + 1) * p).cast("long").alias("j4"),
+        ((n + 1) * p - F.floor((n + 1) * p)).alias("g4"),
+    )
+    j, g, j4 = F.col("j"), F.col("g"), F.col("j4")
+    clamp = lambda c: F.greatest(F.least(c, n), F.lit(1).cast("long"))
+    pos = gp.select(
+        "o_orderpriority",
+        "p",
+        "g",
+        "g4",
+        clamp(j).alias("lo"),
+        clamp(j + 1).alias("hi"),
+        clamp(
+            F.when(
+                g == 0.5,
+                F.when(j % 2 == 0, j).otherwise(j + 1),
+            ).otherwise(F.floor(n * p + 0.5).cast("long"))
+        ).alias("i2"),
+        clamp(j4).alias("lo4"),
+        clamp(j4 + 1).alias("hi4"),
+    )
+
+    # five single-row lookups: join ranked against the broadcast
+    # position table on (group, rn == position)
+    def lookup(pos_df: DataFrame, pos_col: str, out: str) -> DataFrame:
+        side = pos_df.select(
+            F.col("o_orderpriority").alias("gk"),
+            F.col("p").alias("pk"),
+            F.col(pos_col).alias("want"),
+        )
+        return (
+            ranked.join(
+                F.broadcast(side),
+                (ranked.o_orderpriority == side.gk)
+                & (ranked.rn == side.want),
+            )
+            .select(
+                F.col("gk").alias("o_orderpriority"),
+                F.col("pk").alias("p"),
+                F.col("x").alias(out),
+            )
+        )
+
+    x_lo = lookup(pos, "lo", "x_lo")
+    x_hi = lookup(pos, "hi", "x_hi")
+    x_i2 = lookup(pos, "i2", "x_i2")
+    x_lo4 = lookup(pos, "lo4", "x_lo4")
+    x_hi4 = lookup(pos, "hi4", "x_hi4")
+    keys = ["o_orderpriority", "p"]
+    assembled = (
+        pos.select(*keys, "g", "g4")
+        .join(x_lo, keys)
+        .join(x_hi, keys)
+        .join(x_i2, keys)
+        .join(x_lo4, keys)
+        .join(x_hi4, keys)
+    )
+    g_, g4_ = F.col("g"), F.col("g4")
+    return assembled.select(
+        "o_orderpriority",
+        "p",
+        F.round((1 - g_) * F.col("x_lo") + g_ * F.col("x_hi"), 4).alias(
+            "def1"
+        ),
+        F.round("x_i2", 4).alias("def2"),
+        F.round(
+            F.when(g_ == 0, F.col("x_lo")).otherwise(F.col("x_hi")), 4
+        ).alias("def3"),
+        F.round(
+            (1 - g4_) * F.col("x_lo4") + g4_ * F.col("x_hi4"), 4
+        ).alias("def4"),
+        F.round(
+            F.when(g_ == 0, (F.col("x_lo") + F.col("x_hi")) / 2.0).otherwise(
+                F.col("x_hi")
+            ),
+            4,
+        ).alias("def5"),
+    )
