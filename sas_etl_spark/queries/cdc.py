@@ -302,3 +302,80 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         256,
     ).substr(1, 16)
     return li.select("l_orderkey", "l_linenumber", sk.alias("sk"))
+
+
+# -- point-in-time (AS OF) dimension lookup --------------------------
+
+
+@query(
+    "q_point_in_time_join",
+    oracle="""
+    with dim as (
+        select c_custkey, c_acctbal as bal,
+               timestamp '1992-01-01 00:00:00' as valid_from,
+               timestamp '1995-07-01 00:00:00' as valid_to,
+               1 as version
+        from customer
+        union all
+        select c_custkey, c_acctbal + 1000.0,
+               timestamp '1995-07-01 00:00:00',
+               timestamp '9999-12-31 00:00:00',
+               2
+        from customer
+    )
+    select o.o_orderkey, d.version,
+           round(d.bal, 2) as bal_at_order
+    from orders o
+    join dim d on d.c_custkey = o.o_custkey
+              and o.o_orderdate >= d.valid_from
+              and o.o_orderdate < d.valid_to
+    """,
+    tags=("cdc", "join", "sas-semantics"),
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) dimension lookup: each fact joins the
+    dimension VERSION that was valid at the fact's own timestamp —
+    the correctness core of any SCD2 warehouse read (SAS: MERGE with
+    RETAINed effective-date ranges; SQL: BETWEEN valid_from/valid_to).
+
+    The versioned dimension is built deterministically from customer
+    (two versions split at 1995-07-01, the post-split balance shifted
+    +1000 so a wrong-version join is hash-visible). The join is an
+    equi-join on the business key with a half-open interval residual —
+    half-open is the invariant that makes version intervals PARTITION
+    time, so exactly one version matches and row counts equal fact
+    counts (which the oracle's row count attests).
+
+    Scale: equi-key + range residual stays a hash/broadcast join with
+    per-key fan-out = version count. For high-churn dimensions
+    (hundreds of versions/key) the as-of window form
+    (operators/asof.py, q_asof_event) does one partitioned sort
+    instead of expanding version ranges.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = F.struct(
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("1995-07-01 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    v2 = F.struct(
+        (F.col("c_acctbal") + 1000.0).alias("bal"),
+        F.lit("1995-07-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(2).alias("version"),
+    )
+    dim = cust.select(
+        "c_custkey", F.explode(F.array(v1, v2)).alias("v")
+    ).select("c_custkey", "v.bal", "v.valid_from", "v.valid_to", "v.version")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(
+        dim,
+        (dim.c_custkey == orders.o_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (orders.o_orderdate < dim.valid_to),
+    ).select(
+        "o_orderkey",
+        "version",
+        F.round("bal", 2).alias("bal_at_order"),
+    )

@@ -404,12 +404,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and nonlinearity.
 
     Average-rank tie handling via the identity
-    avg_rank = rank() + (n_ties - 1)/2 (two windows per variable that
-    share one sort each), then Pearson corr OF THE RANKS. Rank
+    avg_rank = rank() + (n_ties - 1)/2 (a rank window + a tie-count
+    window per variable), then Pearson corr OF THE RANKS. Rank
     arithmetic is integer-exact, so only the final corr sees floats
     (round 6dp over the engines' summation-order drift).
 
-    Scale: two partitioned sorts per variable (no global sort), then
+    Scale (plan-verified): ONE exchange (hash by group) feeds all four
+    windows; each runs a within-partition sort (Spark's float-key
+    NaN/-0.0 normalization on window partition keys blocks sort
+    sharing between the rank and tie-count pairs, so it is 4 sorts of
+    near-sorted data, not 2 — cheap re-passes, no extra shuffle), then
     one mergeable corr aggregate. At 100 TB the exact ranks become the
     bottleneck; the documented approximation swaps in percentile_approx
     bucket midranks at constant state.
@@ -492,4 +496,74 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
             F.round(F.min("tot"), 2).alias("total_weight"),
         )
+    )
+
+
+# -- winsorization ----------------------------------------------------
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    with cuts as (
+        select l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) as p01,
+               quantile_cont(l_extendedprice, 0.99) as p99
+        from lineitem group by l_returnflag
+    ),
+    w as (
+        select l.l_returnflag,
+               l.l_extendedprice as x,
+               least(greatest(l.l_extendedprice, c.p01), c.p99) as xw,
+               case when l.l_extendedprice < c.p01 then 1 else 0 end as lo,
+               case when l.l_extendedprice > c.p99 then 1 else 0 end as hi
+        from lineitem l join cuts c using (l_returnflag)
+    )
+    select l_returnflag,
+           cast(count(*) as bigint) as n,
+           cast(sum(lo) as bigint) as n_low_capped,
+           cast(sum(hi) as bigint) as n_high_capped,
+           round(avg(x), 4) as mean_raw,
+           round(avg(xw), 4) as mean_winsorized
+    from w group by l_returnflag
+    """,
+    tags=("agg", "stats", "quality"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at the P1/P99 fences (SAS: PROC UNIVARIATE
+    WINSORIZED= / %WINSORIZE macros; feature prep: cap extreme values
+    so means and downstream models stop chasing tails).
+
+    Exact interpolated percentile cuts per group broadcast back onto
+    the scan; values clamp into [p01, p99] and the report compares raw
+    vs winsorized means with capped-row counts. Both engines
+    interpolate quantiles identically and clamp with the same IEEE
+    comparisons, so even the strict fence tests are engine-exact
+    (4dp rounding covers only the mean summation order).
+
+    Scale: the cuts table is O(groups) and broadcasts; the clamp is
+    scan-side; one map-side-combining agg. At 100 TB swap
+    percentile_approx for the cuts (same shape, constant state) —
+    winsorization tolerates sketch-grade cut placement by design.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    w = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+        ).alias("xw"),
+        (F.col("l_extendedprice") < F.col("p01")).cast("int").alias("lo"),
+        (F.col("l_extendedprice") > F.col("p99")).cast("int").alias("hi"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lo").cast("long").alias("n_low_capped"),
+        F.sum("hi").cast("long").alias("n_high_capped"),
+        F.round(F.avg("x"), 4).alias("mean_raw"),
+        F.round(F.avg("xw"), 4).alias("mean_winsorized"),
     )

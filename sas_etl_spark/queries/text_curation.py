@@ -381,3 +381,97 @@ def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_param"
         ),
     )
+
+
+# -- chunk-level (substring) dedup -----------------------------------
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    c as (
+        select doc_id, toks,
+               unnest(generate_series(
+                   0, (greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                       + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) as chunk_id
+        from t
+    ),
+    chunks as (
+        select doc_id,
+               array_to_string(list_slice(toks,
+                   chunk_id * {CHUNK_STRIDE} + 1,
+                   chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+                   as chunk_text
+        from c
+    )
+    select sha256(chunk_text) as chunk_sha,
+           cast(count(*) as bigint) as n_occurrences,
+           cast(count(distinct doc_id) as bigint) as n_docs
+    from chunks
+    group by sha256(chunk_text)
+    having count(*) > 1
+    order by n_occurrences desc, chunk_sha
+    limit 20
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (substring) duplication report — repeated token
+    windows ACROSS documents, the sub-document granularity of
+    dedup-training-data pipelines (Lee et al. 2022: exact substring
+    dedup; boilerplate headers/footers duplicate at chunk level while
+    their documents stay unique).
+
+    Reuses q_chunk_docs' exact chunk grid, then groups on the chunk
+    DIGEST (32 bytes into the shuffle, never the text) — top repeated
+    chunks with occurrence and document counts. (Whole-doc duplicates
+    exist only at sf0.1+ in the fixtures, so smaller SFs are
+    empty-but-correct, same contract as q_exact_dup.)
+
+    Scale: fan-out is row-local (zero-shuffle chunking), the dedup agg
+    combines map-side on the digest, and the top-20 is
+    TakeOrderedAndProject. This IS the production shape: Lee et al.'s
+    suffix-array pass finds arbitrary-length repeats, but the fixed
+    chunk grid is the mergeable, shuffle-bounded approximation used at
+    corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    last_chunk = F.floor(
+        (
+            F.greatest(F.size("toks") - CHUNK_TOKENS, F.lit(0))
+            + (CHUNK_STRIDE - 1)
+        )
+        / CHUNK_STRIDE
+    ).cast("int")
+    fanned = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), last_chunk)).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    chunk_sha = F.sha2(
+        F.array_join(
+            F.slice(
+                F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1,
+                CHUNK_TOKENS,
+            ),
+            " ",
+        ),
+        256,
+    )
+    return (
+        fanned.select("doc_id", chunk_sha.alias("chunk_sha"))
+        .groupBy("chunk_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_sha"))
+        .limit(20)
+    )
