@@ -385,3 +385,112 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.desc("lift"), F.asc("p1"), F.asc("p2"))
         .limit(50)
     )
+
+
+# -- PageRank (fixed-iteration) --------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+#: The k-iteration update as chained CTE steps — generated so the
+#: oracle's iteration count provably equals PR_ITERS.
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+    p{k} as (
+        select nodes.node,
+               {1 - PR_DAMPING} / n.nn + {PR_DAMPING} * coalesce(s.c, 0)
+                   as pr
+        from nodes cross join n
+        left join (select en.dst, sum(en.wn * {prev}.pr) as c
+                   from en join {prev} on {prev}.node = en.src
+                   group by en.dst) s
+          on s.dst = nodes.node
+    )""")
+        prev = f"p{k}"
+    return f"""
+    with edges as (
+        select c.c_nationkey as src, s.s_nationkey as dst,
+               cast(count(*) as double) as w
+        from orders o
+        join customer c on c.c_custkey = o.o_custkey
+        join lineitem l on l.l_orderkey = o.o_orderkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        group by c.c_nationkey, s.s_nationkey
+    ),
+    outw as (select src, sum(w) as ow from edges group by src),
+    en as (select e.src, e.dst, e.w / o.ow as wn
+           from edges e join outw o on o.src = e.src),
+    nodes as (select distinct node from (
+        select src as node from edges
+        union select dst from edges) t),
+    n as (select cast(count(*) as double) as nn from nodes),
+    p0 as (select node, 1.0 / n.nn as pr from nodes cross join n),
+    {",".join(steps)}
+    select node, round(pr, 6) as pagerank from {prev}
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(), tags=("graph", "composite"))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph (edges =
+    customer-nation -> supplier-nation weighted by line items;
+    5 power iterations, damping 0.85) — the canonical ITERATIVE
+    dataflow, declared as a loop of joins + aggregates with NO
+    driver-side graph state (SAS has no analog; closest is IML
+    matrix iteration).
+
+    pr'(v) = (1-d)/N + d * sum over in-edges (u,v) of
+    pr(u) * w(u,v)/out_weight(u). The oracle UNROLLS the identical
+    update into chained CTEs generated from the same constants, so
+    iteration count and arithmetic provably match; 6dp rounding covers
+    summation-order drift (~1e-15 after 5 rounds).
+
+    Scale: each iteration is one join + one grouped sum on the edge
+    list — the rank vector is O(nodes) and the join keys on src, so
+    1000x more edges changes task counts, not shape. Long iteration
+    chains would localCheckpoint every few rounds exactly as
+    connected_components does (operators/graph.py); 5 rounds on a
+    25-node rank vector doesn't need it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    en = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("wn")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # driver-side scalar: O(nations), bounded
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            en.join(pr, en.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("wn") * F.col("pr")).alias("c"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit((1 - PR_DAMPING) / n_nodes)
+                + PR_DAMPING * F.coalesce("c", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
