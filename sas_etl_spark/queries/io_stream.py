@@ -29,6 +29,7 @@ from sas_etl_spark.operators.multimodal import (
 )
 from sas_etl_spark.registry import query
 from sas_etl_spark.scratch import scratch_dir
+from sas_etl_spark.session import configure
 from sas_etl_spark.sources import (
     append_to,
     multi_output_split,
@@ -812,4 +813,95 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("o_orderpriority_new").alias("n_with_new_col"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# -- streaming CDC apply (micro-batch upsert into snapshots) ---------
+
+
+@query(
+    "q_stream_cdc_upsert",
+    oracle="""
+    with r as (
+        select user_id, value, ts,
+               row_number() over (partition by user_id
+                                  order by ts desc, event_id desc) as rn
+        from events
+    )
+    select user_id, round(value, 2) as last_value, ts as last_ts
+    from r where rn = 1
+    """,
+    tags=("streaming", "cdc", "snapshot"),
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a micro-batched event stream upserts
+    latest-per-key state into the DURABLE versioned snapshot store —
+    the standing pattern behind every streaming materialized
+    dimension (kafka -> foreachBatch MERGE in production; SAS has no
+    analog — the closest is a perpetually re-run UPDATE job).
+
+    The fixture events split into 4 parquet files streamed one file
+    per micro-batch; each batch reduces to its own latest-per-user
+    rows (max of (ts, event_id, value) structs) and MERGES with the
+    published snapshot, writing the next immutable version (so the
+    store's version history IS the batch audit trail). Because the
+    merge key (ts, event_id) is a total order and max-merge is
+    associative and commutative, the final state is independent of
+    how files land in batches — which is exactly why the batch
+    row_number oracle can attest a streaming execution.
+
+    Scale: per-batch state reduce is a map-side-combining agg; the
+    merge touches only (current state ∪ batch deltas), never event
+    history; snapshot versions give exactly-once semantics under
+    retry (a replayed batch re-merges idempotently: max(a, max(a,b))
+    = max(a,b)).
+    """
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    configure(spark)
+    # materialize the bounded source as 4 files -> 4 micro-batches
+    src_dir = scratch_dir(spark, "cdc_src")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    table = scratch_dir(spark, "cdc_state")
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.value").alias("value"),
+            )
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = latest_per_user(batch_df)
+        try:
+            current = read_snapshot(spark, table)
+            merged = latest_per_user(current.unionByName(delta))
+        except FileNotFoundError:
+            merged = delta
+        write_snapshot(merged, table)
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = read_snapshot(spark, table)
+    return final.select(
+        "user_id",
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
     )
