@@ -94,6 +94,35 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 
 
+def chunk_grid(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, toks, chunk) rows for the exact chunk grid
+    shared by q_chunk_docs and q_chunk_dedup: chunk i covers tokens
+    [i*stride+1, i*stride+CHUNK] (1-based), last chunk id =
+    ceil(max(n_tok - CHUNK, 0) / stride) via the (g + stride-1) div
+    stride identity — integer-exact on both engines. Pure row-local
+    fan-out (posexplode of a computed index range): ZERO shuffle, and
+    the token array is staged once per row (HOFs get no CSE)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    last_chunk = F.floor(
+        (
+            F.greatest(F.size("toks") - CHUNK_TOKENS, F.lit(0))
+            + (CHUNK_STRIDE - 1)
+        )
+        / CHUNK_STRIDE
+    ).cast("int")
+    fanned = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), last_chunk)).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return fanned.select("doc_id", "chunk_id", "toks", chunk.alias("chunk"))
+
+
 @query(
     "q_chunk_docs",
     oracle=f"""
@@ -135,31 +164,11 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The token array is staged once per row (HOFs get no CSE).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    # last chunk id = ceil(max(n_tok - CHUNK, 0) / stride), via the
-    # (g + stride-1) div stride identity — integer-exact on both sides.
-    last_chunk = F.floor(
-        (
-            F.greatest(F.size("toks") - CHUNK_TOKENS, F.lit(0))
-            + (CHUNK_STRIDE - 1)
-        )
-        / CHUNK_STRIDE
-    ).cast("int")
-    fanned = toks.select(
-        "doc_id",
-        "toks",
-        F.posexplode(F.sequence(F.lit(0), last_chunk)).alias(
-            "chunk_id", "_start"
-        ),
-    )
-    chunk = F.slice(
-        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
-    )
-    return fanned.select(
+    return chunk_grid(docs).select(
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(chunk).cast("long").alias("n_chunk_tokens"),
-        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
     )
 
 
@@ -439,33 +448,11 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    last_chunk = F.floor(
-        (
-            F.greatest(F.size("toks") - CHUNK_TOKENS, F.lit(0))
-            + (CHUNK_STRIDE - 1)
-        )
-        / CHUNK_STRIDE
-    ).cast("int")
-    fanned = toks.select(
-        "doc_id",
-        "toks",
-        F.posexplode(F.sequence(F.lit(0), last_chunk)).alias(
-            "chunk_id", "_start"
-        ),
-    )
-    chunk_sha = F.sha2(
-        F.array_join(
-            F.slice(
-                F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1,
-                CHUNK_TOKENS,
-            ),
-            " ",
-        ),
-        256,
-    )
     return (
-        fanned.select("doc_id", chunk_sha.alias("chunk_sha"))
+        chunk_grid(docs)
+        .select(
+            "doc_id", F.sha2(F.array_join("chunk", " "), 256).alias("chunk_sha")
+        )
         .groupBy("chunk_sha")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
