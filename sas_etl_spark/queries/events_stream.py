@@ -562,3 +562,96 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") >= 10)
     )
+
+
+# -- activity streaks (gaps and islands) ------------------------------
+
+
+@query(
+    "q_activity_streaks",
+    oracle="""
+    with days as (
+        select distinct user_id, cast(date_trunc('day', ts) as date) as day
+        from events
+    ),
+    anchored as (
+        select user_id, day,
+               date_diff('day', date '1970-01-01', day)
+                 - row_number() over (partition by user_id order by day)
+                   as anchor
+        from days
+    ),
+    streaks as (
+        select user_id, anchor,
+               cast(count(*) as bigint) as streak_len,
+               min(day) as streak_start
+        from anchored group by user_id, anchor
+    ),
+    best as (
+        select user_id, streak_len, streak_start,
+               row_number() over (partition by user_id
+                                  order by streak_len desc, streak_start)
+                   as rn,
+               cast(sum(streak_len) over (partition by user_id) as bigint)
+                   as n_active_days
+        from streaks
+    )
+    select user_id, n_active_days,
+           streak_len as longest_streak,
+           cast(streak_start as timestamp) as streak_start
+    from best where rn = 1
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom (product analytics: engagement streaks;
+    SAS: BY-user DATA step with RETAINed counters across a date LAG).
+
+    The island key is day_number - row_number (an INTEGER anchor,
+    constant within each consecutive run), so islands fall out of one
+    partitioned window + one grouped count — no self-joins, no
+    recursion. Ties for the longest streak break toward the earliest
+    start, deterministically on both engines.
+
+    Scale: distinct (user, day) reduces map-side; both windows
+    partition by user (no global sort); per-user streak rows are
+    bounded by active days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    wt = Window.partitionBy("user_id")
+    best = streaks.select(
+        "user_id",
+        "streak_len",
+        "streak_start",
+        F.row_number().over(wb).alias("rn"),
+        F.sum("streak_len").over(wt).alias("n_active_days"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "user_id",
+        "n_active_days",
+        F.col("streak_len").alias("longest_streak"),
+        # timestamp, not date: Spark DATE surfaces as python objects in
+        # Arrow->pandas while DuckDB DATE arrives datetime64 — the
+        # driver's column compare needs one dtype on both sides
+        F.col("streak_start").cast("timestamp").alias("streak_start"),
+    )

@@ -567,3 +567,75 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 4).alias("mean_raw"),
         F.round(F.avg("xw"), 4).alias("mean_winsorized"),
     )
+
+
+# -- group-mean imputation --------------------------------------------
+
+
+@query(
+    "q_impute_group_mean",
+    oracle="""
+    with masked as (
+        select event_type,
+               case when value < 1.0 then null else value end as v
+        from events
+    ),
+    means as (
+        select event_type, avg(v) as gmean
+        from masked group by event_type
+    ),
+    overall as (select avg(v) as omean from masked)
+    select m.event_type,
+           cast(count(*) as bigint) as n,
+           cast(sum(case when m.v is null then 1 else 0 end) as bigint)
+               as n_imputed,
+           round(avg(m.v), 4) as mean_observed,
+           round(avg(coalesce(m.v, g.gmean, o.omean)), 4) as mean_imputed
+    from masked m
+    join means g on g.event_type = m.event_type
+    cross join overall o
+    group by m.event_type
+    """,
+    tags=("agg", "stats", "quality"),
+)
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by group mean with a global-mean
+    fallback (SAS: PROC STDIZE REPONLY METHOD=MEAN per BY group —
+    feature prep's most common null-repair rule).
+
+    A deterministic mask (value < 1.0 -> missing) plants the nulls;
+    the repair is coalesce(value, group_mean, overall_mean), so a
+    group that lost ALL its values still repairs from the global
+    mean. avg() ignores nulls identically on both engines, and the
+    report hash-pins observed vs imputed means plus imputation
+    counts per group.
+
+    Scale: two stat aggregates (group means + one global) broadcast
+    back onto the scan; the repair is a scan-side coalesce; one final
+    map-side-combined agg. Identical shape for median or
+    regression-based imputation — only the stat table changes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        F.when(F.col("value") < 1.0, None).otherwise(F.col("value")).alias(
+            "v"
+        ),
+    )
+    means = masked.groupBy("event_type").agg(F.avg("v").alias("gmean"))
+    overall = masked.agg(F.avg("v").alias("omean"))
+    return (
+        masked.join(F.broadcast(means), "event_type")
+        .crossJoin(F.broadcast(overall))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").isNull().cast("int"))
+            .cast("long")
+            .alias("n_imputed"),
+            F.round(F.avg("v"), 4).alias("mean_observed"),
+            F.round(
+                F.avg(F.coalesce("v", "gmean", "omean")), 4
+            ).alias("mean_imputed"),
+        )
+    )

@@ -462,3 +462,49 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("chunk_sha"))
         .limit(20)
     )
+
+
+# -- log2 length histogram -------------------------------------------
+
+
+@query(
+    "q_length_histogram_log2",
+    oracle="""
+    with b as (
+        select length(bin(greatest(n_chars, 1))) - 1 as bucket, n_chars
+        from documents
+    )
+    select bucket,
+           cast(count(*) as bigint) as n_docs,
+           min(n_chars) as min_chars,
+           max(n_chars) as max_chars
+    from b group by bucket
+    """,
+    tags=("text", "agg", "quality"),
+)
+def q_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (corpus profiling: the
+    standard log-scale length distribution that drives truncation and
+    packing-budget decisions; SAS: PROC FORMAT log bins + PROC FREQ).
+
+    The bucket is floor(log2(n_chars)) computed as
+    length-of-binary-representation minus one — pure INTEGER
+    arithmetic on both engines, immune to the last-ulp drift a
+    floating log2 would put exactly on the power-of-two boundaries.
+
+    Scale: scan-side bucket expression, one tiny map-side-combined
+    agg (<= 64 buckets at any corpus size).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.length(F.expr("bin(greatest(n_chars, 1))")) - 1
+    ).alias("bucket")
+    return (
+        docs.select(bucket, "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

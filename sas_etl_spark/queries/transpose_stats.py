@@ -328,3 +328,89 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# -- Cramér's V -------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    with cells as (
+        select o_orderstatus as r, o_orderpriority as c,
+               cast(count(*) as double) as obs
+        from orders group by o_orderstatus, o_orderpriority
+    ),
+    rm as (select r, sum(obs) as rtot from cells group by r),
+    cm as (select c, sum(obs) as ctot from cells group by c),
+    n as (select sum(obs) as total,
+                 cast(count(distinct r) as bigint) as nr,
+                 cast(count(distinct c) as bigint) as nc
+          from cells),
+    chi as (
+        select sum((cells.obs - rm.rtot * cm.ctot / n.total)
+                   * (cells.obs - rm.rtot * cm.ctot / n.total)
+                   / (rm.rtot * cm.ctot / n.total)) as chi2
+        from cells
+        join rm on rm.r = cells.r
+        join cm on cm.c = cells.c
+        cross join n
+    )
+    select round(chi.chi2, 4) as chi2,
+           cast((n.nr - 1) * (n.nc - 1) as bigint) as dof,
+           round(sqrt(chi.chi2 / (n.total
+                 * least(n.nr - 1, n.nc - 1))), 6) as cramers_v
+    from chi cross join n
+    """,
+    tags=("stats", "agg"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for a two-way contingency table (SAS:
+    PROC FREQ CHISQ prints V alongside chi-square) — the
+    normalized-association companion to q_freq_chisq: chi-square says
+    WHETHER status and priority are associated, V says HOW MUCH
+    (0..1, comparable across table sizes).
+
+    V = sqrt(chi2 / (n * min(r-1, c-1))), chi-square from the reduced
+    cell table with margin-product expected counts. Everything
+    computes on the O(r*c) cell table; 4dp/6dp rounding covers the
+    cell-summation order drift.
+
+    Scale: one conditional agg to cells (map-side combined), margins
+    and totals as broadcast joins over the tiny cell table — the
+    detail scan is touched exactly once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    rm = cells.groupBy("r").agg(F.sum("obs").alias("rtot"))
+    cm = cells.groupBy("c").agg(F.sum("obs").alias("ctot"))
+    n = cells.agg(
+        F.sum("obs").alias("total"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    exp = F.col("rtot") * F.col("ctot") / F.col("total")
+    chi = (
+        cells.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp).alias(
+                "chi2"
+            )
+        )
+    )
+    return chi.crossJoin(F.broadcast(n)).select(
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("total") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
