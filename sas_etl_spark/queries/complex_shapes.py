@@ -468,6 +468,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # materialize the O(nations^2) edge list ONCE: the node-count
+        # job, the out-weight agg, and all 5 iterations then read the
+        # checkpointed rows instead of re-deriving the 4-table join
+        # (the connected_components lineage-truncation precedent)
+        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     en = edges.join(outw, "src").select(
