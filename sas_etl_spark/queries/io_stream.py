@@ -819,6 +819,41 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- streaming CDC apply (micro-batch upsert into snapshots) ---------
 
 
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """Reduce an event set to its latest row per user — max of
+    (ts, event_id, value) structs, a total order since event_id is
+    unique. Mergeable: max(max(a), max(b)) = max(a ∪ b)."""
+    return (
+        df.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.value").alias("value"),
+        )
+    )
+
+
+def cdc_upsert_batch(spark: SparkSession, table: str, batch_df: DataFrame) -> None:
+    """Apply one micro-batch to the versioned latest-per-key state:
+    reduce the batch, max-merge with the published snapshot, publish
+    the next immutable version. REPLAY-IDEMPOTENT by the max-merge
+    algebra — re-applying a batch publishes a value-identical version
+    (pinned by tests/test_io_streaming.py) — which is what makes the
+    foreachBatch at-least-once contract effectively exactly-once here.
+    """
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    delta = _latest_per_user(batch_df)
+    try:
+        current = read_snapshot(spark, table)
+        merged = _latest_per_user(current.unionByName(delta))
+    except FileNotFoundError:
+        merged = delta
+    write_snapshot(merged, table)
+
+
 @query(
     "q_stream_cdc_upsert",
     oracle="""
@@ -856,7 +891,7 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry (a replayed batch re-merges idempotently: max(a, max(a,b))
     = max(a,b)).
     """
-    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+    from sas_etl_spark.sources.snapshots import read_snapshot
 
     configure(spark)
     # materialize the bounded source as 4 files -> 4 micro-batches
@@ -872,26 +907,8 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = scratch_dir(spark, "cdc_state")
 
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy("user_id")
-            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
-            .select(
-                "user_id",
-                F.col("m.ts").alias("ts"),
-                F.col("m.event_id").alias("event_id"),
-                F.col("m.value").alias("value"),
-            )
-        )
-
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        delta = latest_per_user(batch_df)
-        try:
-            current = read_snapshot(spark, table)
-            merged = latest_per_user(current.unionByName(delta))
-        except FileNotFoundError:
-            merged = delta
-        write_snapshot(merged, table)
+        cdc_upsert_batch(spark, table, batch_df)
 
     q = stream.writeStream.foreachBatch(apply_batch).start()
     try:

@@ -450,3 +450,70 @@ def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("d2", "d1").cast("long").alias("cal_days"),
         business_days_between(F.col("d1"), F.col("d2")).alias("bus_days"),
     )
+
+
+# -- nested JSON parse + array explode -------------------------------
+
+
+@query(
+    "q_json_nested",
+    oracle="""
+    with j as (
+        select event_id,
+               '{"user":{"id":' || user_id || ',"meta":' || props
+                 || '},"tags":["evt_' || event_type || '","bucket_'
+                 || event_id % 3 || '"]}' as payload
+        from events where event_id < 1000
+    )
+    select event_id,
+           cast(json_extract(payload, '$.user.id') as bigint) as user_id,
+           cast(json_extract(payload, '$.user.meta.k') as bigint) as k,
+           unnest(cast(json_extract(payload, '$.tags') as varchar[])) as tag
+    from j
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON parsing with array explosion — the semi-structured
+    ingestion shape (event payloads, API dumps): parse once with an
+    explicit schema, navigate struct fields, explode the embedded
+    array to rows (SAS: libname JSON engine + a DATA step per map —
+    far weaker; this is where the engine leapfrogs the reference
+    class).
+
+    The nested payload is built deterministically from fixture
+    columns (integer fields only — float-to-string rendering differs
+    between engines, integers don't), embedding the REAL ``props``
+    JSON column one level deep. Spark parses with a typed from_json
+    schema; the oracle re-parses the same payloads with DuckDB's
+    independent JSON engine — two parsers, one hash.
+
+    Scale: from_json with an explicit schema is a single codegen
+    expression (no schema inference scan); the explode is row-local.
+    Malformed rows yield nulls (PERMISSIVE) rather than job failure.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    payload = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"meta":'),
+        F.col("props"),
+        F.lit('},"tags":["evt_'),
+        F.col("event_type"),
+        F.lit('","bucket_'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('"]}'),
+    )
+    schema = (
+        "user struct<id: bigint, meta: struct<k: bigint>>,"
+        " tags array<string>"
+    )
+    parsed = ev.select(
+        "event_id", F.from_json(payload, schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.user.id").alias("user_id"),
+        F.col("p.user.meta.k").alias("k"),
+        F.explode("p.tags").alias("tag"),
+    )

@@ -177,3 +177,34 @@ def test_exactly_once_sink_retry_is_idempotent(spark, tmp_path):
         .parquet(path)
     )
     assert sorted(spark.read.parquet(path).collect()) == first_rows
+
+
+def test_cdc_upsert_batch_replay_is_idempotent(spark, tmp_path):
+    """q_stream_cdc_upsert's foreachBatch contract: re-applying the
+    SAME batch (the at-least-once replay case) publishes a new version
+    whose content is value-identical to the previous one — max-merge
+    absorbs replays."""
+    from sas_etl_spark.queries.io_stream import cdc_upsert_batch
+    from sas_etl_spark.sources.snapshots import current_version, read_snapshot
+
+    table = str(tmp_path / "cdc_state")
+    batch = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100, 5.0),
+            (1, "2024-01-01 11:00:00", 101, 7.0),
+            (2, "2024-01-01 09:00:00", 102, 3.0),
+        ],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cdc_upsert_batch(spark, table, batch)
+    v1 = current_version(table)
+    first = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    cdc_upsert_batch(spark, table, batch)  # replay
+    v2 = current_version(table)
+    replayed = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert v2 == v1 + 1  # a new immutable version was published...
+    assert replayed == first  # ...with value-identical state
+    # and the latest-per-user reduce picked the right rows
+    state = {r[0]: r for r in replayed}
+    assert state[1][2] == 101 and state[1][3] == 7.0
+    assert state[2][2] == 102
