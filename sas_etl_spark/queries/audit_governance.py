@@ -423,3 +423,83 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# -- referential-integrity audit --------------------------------------
+
+
+@query(
+    "q_referential_integrity",
+    oracle="""
+    select 'lineitem.l_orderkey -> orders' as fk,
+           cast((select count(*) from lineitem l
+                 where not exists (select 1 from orders o
+                                   where o.o_orderkey = l.l_orderkey))
+                as bigint) as n_orphans,
+           (select count(*) from lineitem l
+            where not exists (select 1 from orders o
+                              where o.o_orderkey = l.l_orderkey)) = 0
+               as passed
+    union all
+    select 'orders.o_custkey -> customer',
+           cast((select count(*) from orders o
+                 where not exists (select 1 from customer c
+                                   where c.c_custkey = o.o_custkey))
+                as bigint),
+           (select count(*) from orders o
+            where not exists (select 1 from customer c
+                              where c.c_custkey = o.o_custkey)) = 0
+    union all
+    select 'customer.c_nationkey -> nation',
+           cast((select count(*) from customer c
+                 where not exists (select 1 from nation n
+                                   where n.n_nationkey = c.c_nationkey))
+                as bigint),
+           (select count(*) from customer c
+            where not exists (select 1 from nation n
+                              where n.n_nationkey = c.c_nationkey)) = 0
+    """,
+    tags=("quality", "join", "governance"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the schema's three core
+    relationships (warehouse DQ: the referential-integrity contract a
+    lakehouse has no constraints to enforce; SAS: MERGE IN= flags +
+    IF a AND NOT b counts).
+
+    Each relationship is one LEFT ANTI join counted — child rows
+    whose parent key does not exist. All three pass on the TPC-H-ish
+    fixtures; the value is the attested harness (a corrupted load
+    flips `passed` and the hash).
+
+    Scale: anti-joins broadcast the parent KEY projection when small,
+    else shuffle on the key; counts are one number per relationship.
+    The union of three 1-row aggregates is driver-trivial.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphan_count(child: DataFrame, ck: str, parent: DataFrame, pk: str, fk: str) -> DataFrame:
+        n = (
+            child.join(
+                parent.select(pk), child[ck] == parent[pk], "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(
+            F.lit(fk).alias("fk"),
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("passed"),
+        )
+
+    return (
+        orphan_count(li, "l_orderkey", orders, "o_orderkey",
+                     "lineitem.l_orderkey -> orders")
+        .unionByName(
+            orphan_count(orders, "o_custkey", cust, "c_custkey",
+                         "orders.o_custkey -> customer"))
+        .unionByName(
+            orphan_count(cust, "c_nationkey", nation, "n_nationkey",
+                         "customer.c_nationkey -> nation"))
+    )

@@ -488,3 +488,55 @@ def q_pctldef(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("def5"),
     )
+
+
+# -- k-fold cross-validation assignment ------------------------------
+
+KFOLD_K = 5
+
+
+@query(
+    "q_kfold_assign",
+    oracle=f"""
+    with f as (
+        select label,
+               list_reduce(
+                 list_transform(range(1, 9),
+                   j -> strpos('0123456789abcdef',
+                          substr(sha256(cast(vec_id as varchar)), j, 1)) - 1),
+                 (a, x) -> a * 16 + x) % {KFOLD_K} as fold
+        from embeddings
+    )
+    select cast(fold as bigint) as fold, label,
+           cast(count(*) as bigint) as n
+    from f group by fold, label
+    """,
+    tags=("sample", "llm"),
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a label
+    balance audit (ML prep: PROC SURVEYSELECT GROUPS= analog). Fold =
+    sha256(id) mod k — the q_split_hash mechanism generalized from
+    {{train,val,test}} to k folds: engine-portable, repartition- and
+    insert-order-invariant, and stable under dataset growth (a row's
+    fold never changes when other rows arrive).
+
+    Output is the (fold, label) census — the audit that folds are
+    size- and class-balanced BEFORE any training run consumes them.
+
+    Scale: pure scan-side hash arithmetic + one tiny agg.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = (
+        F.conv(
+            F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % KFOLD_K
+    ).alias("fold")
+    return (
+        emb.select(fold, "label")
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -655,3 +655,56 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver's column compare needs one dtype on both sides
         F.col("streak_start").cast("timestamp").alias("streak_start"),
     )
+
+
+# -- sliding-window distinct users (trailing 7 days) ------------------
+
+
+@query(
+    "q_sliding_distinct_users",
+    oracle="""
+    with du as (
+        select distinct cast(date_trunc('day', ts) as date) as day, user_id
+        from events
+    ),
+    spine as (select distinct day from du)
+    select cast(s.day as timestamp) as day,
+           cast(count(distinct du.user_id) as bigint) as wau
+    from spine s
+    join du on du.day <= s.day
+           and du.day > s.day - 7 * interval 1 day
+    group by s.day
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve —
+    product analytics' most-watched metric; SAS: a macro loop of PROC
+    SQL counts per window).
+
+    COUNT(DISTINCT) over a sliding frame is not a window aggregate in
+    any engine — the correct distributed shape is: reduce to distinct
+    (day, user) pairs FIRST (map-side combine does the heavy lifting),
+    then fan each pair onto the <=7 window anchors it serves via a
+    range join against the tiny day spine, then count distinct per
+    anchor. Work = active-pairs x 7, never events x 7.
+
+    Scale: the spine is O(days) and broadcasts; the fan-out join is
+    row-local per pair; the final distinct agg shuffles (day, user)
+    pairs once. The approx twin at extreme cardinality replaces the
+    distinct count with an HLL sketch per day merged across the frame
+    (mergeability is WHY HLL fits sliding windows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    spine = du.select(F.col("day").alias("anchor")).distinct()
+    fanned = du.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") > F.date_sub(F.col("anchor"), 7)),
+    )
+    return fanned.groupBy(
+        F.col("anchor").cast("timestamp").alias("day")
+    ).agg(F.countDistinct("user_id").alias("wau"))

@@ -141,7 +141,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: q_cross_source_dups, q_url_extract, q_fuzzy_match, q_pctldef,
 #: q_chunk_dedup, q_point_in_time_join, q_winsorize, q_pagerank,
 #: q_stream_cdc_upsert, q_activity_streaks, q_length_histogram_log2,
-#: q_impute_group_mean, q_cramers_v, q_json_nested —
+#: q_impute_group_mean, q_cramers_v, q_json_nested,
+#: q_sliding_distinct_users, q_referential_integrity, q_kfold_assign —
 #: local-parity-proven, never driver-attested), (2) the
 #: timestamp-flip readers that ceded r6 slots (q_sessionize,
 #: q_asof_event, q_gap_fill, q_moving_avg, q_dedup_firstlast,
