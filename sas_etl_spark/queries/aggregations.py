@@ -527,3 +527,136 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("top_bal"),
         F.min_by("c_name", key).alias("poorest_name"),
     )
+
+
+# -- hierarchical share of parent ------------------------------------
+
+
+@query(
+    "q_share_of_parent",
+    oracle="""
+    with nagg as (
+        select r.r_name as region, n.n_name as nation,
+               round(sum(c.c_acctbal), 2) as bal
+        from customer c
+        join nation n on n.n_nationkey = c.c_nationkey
+        join region r on r.r_regionkey = n.n_regionkey
+        group by r.r_name, n.n_name
+    )
+    select region, nation, bal,
+           round(bal / sum(bal) over (partition by region), 6)
+               as share_of_region,
+           round(sum(bal) over (partition by region)
+                 / sum(bal) over (), 6) as region_share_of_total
+    from nagg
+    """,
+    tags=("agg", "window", "analytics"),
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent rollup: each nation's share of its
+    region and each region's share of the total, in one pass (SAS:
+    PROC TABULATE PCTSUM<row> / nested PROC MEANS remerges).
+
+    Both windows run over the ALREADY-REDUCED nation aggregate
+    (O(nations) rows), so the global-total window's single partition
+    holds 25 rows — not a detail-row funnel. Rounding BEFORE the
+    share division pins the numerator bit-for-bit on both engines.
+
+    Scale: detail rows are touched once by the grouped agg; the share
+    arithmetic is a two-window pass over a dimension-sized table —
+    constant work at any fact size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nagg = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return nagg.select(
+        "region",
+        "nation",
+        "bal",
+        F.round(F.col("bal") / F.sum("bal").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.sum("bal").over(wr) / F.sum("bal").over(wt), 6).alias(
+            "region_share_of_total"
+        ),
+    )
+
+
+# -- top-k plus Other rollup -----------------------------------------
+
+TOPK_OTHER_K = 5
+
+
+@query(
+    "q_topk_other",
+    oracle=f"""
+    with rev as (
+        select p.p_type as category,
+               round(sum(l.l_extendedprice), 2) as revenue
+        from lineitem l join part p on p.p_partkey = l.l_partkey
+        group by p.p_type
+    ),
+    ranked as (
+        select category, revenue,
+               row_number() over (order by revenue desc, category) as rnk
+        from rev
+    )
+    select case when rnk <= {TOPK_OTHER_K} then category
+                else 'OTHER' end as category,
+           round(sum(revenue), 2) as revenue,
+           cast(min(case when rnk <= {TOPK_OTHER_K} then rnk else 9999 end)
+                as bigint) as rnk
+    from ranked
+    group by 1
+    """,
+    tags=("agg", "analytics"),
+)
+def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 categories by revenue with everything else rolled into
+    ONE 'OTHER' row — the universal reporting idiom (SAS: PROC MEANS
+    + a DATA step recode of non-top groups).
+
+    The rank and the Other-rollup both run on the REDUCED category
+    table; the deterministic (revenue desc, category) rank order makes
+    the top-k boundary engine-exact on the 2dp-rounded revenue.
+    OTHER's rank sentinel 9999 keeps the output totally ordered.
+
+    Scale: detail scan -> one grouped agg; ranking a category-sized
+    table is O(categories log categories) on one task — fine because
+    categories, not facts, bound it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("category"))
+    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rnk") <= TOPK_OTHER_K, F.col("category"))
+            .otherwise("OTHER")
+            .alias("category"),
+            "revenue",
+            F.when(F.col("rnk") <= TOPK_OTHER_K, F.col("rnk"))
+            .otherwise(9999)
+            .alias("rnk0"),
+        )
+        .groupBy("category")
+        .agg(
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.min("rnk0").cast("long").alias("rnk"),
+        )
+    )

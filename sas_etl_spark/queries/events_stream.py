@@ -708,3 +708,47 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fanned.groupBy(
         F.col("anchor").cast("timestamp").alias("day")
     ).agg(F.countDistinct("user_id").alias("wau"))
+
+
+# -- latency-style percentiles per time bucket ------------------------
+
+
+@query(
+    "q_latency_percentiles",
+    oracle="""
+    select time_bucket(interval 6 hour, ts) as bucket,
+           cast(count(*) as bigint) as n,
+           round(quantile_cont(value, 0.5), 6) as p50,
+           round(quantile_cont(value, 0.95), 6) as p95,
+           round(quantile_cont(value, 0.99), 6) as p99,
+           round(max(value), 6) as pmax
+    from events
+    group by 1
+    """,
+    tags=("events", "agg", "stats"),
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99/max per 6-hour bucket — the observability
+    latency-dashboard query (SAS: PROC MEANS P50 P95 P99 with a
+    formatted time CLASS).
+
+    Exact interpolated percentiles per bucket (both engines
+    interpolate identically); the oracle's quantile_cont triple is
+    the established q_percentiles parity. Bucketing via date_trunc-
+    aligned 6-hour windows matches DuckDB's time_bucket epoch
+    alignment (the q_tumbling_counts contract).
+
+    Scale: grouped exact percentiles buffer each bucket's values in
+    the percentile ObjectHashAggregate — bounded by bucket width x
+    event rate; the constant-state swap is percentile_approx (sketch
+    accuracy attested by q_approx_percentile), same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "6 hours").getField("start").alias("bucket")
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("pmax"),
+    )

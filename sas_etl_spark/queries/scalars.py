@@ -517,3 +517,59 @@ def q_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.user.meta.k").alias("k"),
         F.explode("p.tags").alias("tag"),
     )
+
+
+# -- date dimension generation ---------------------------------------
+
+
+@query(
+    "q_date_dim",
+    oracle="""
+    select cast(d as timestamp) as day,
+           cast(year(d) as bigint) as yr,
+           cast(quarter(d) as bigint) as qtr,
+           cast(month(d) as bigint) as mo,
+           cast(dayofweek(d) + 1 as bigint) as dow,
+           dayofweek(d) in (0, 6) as is_weekend,
+           cast(date_trunc('month', d) as timestamp) as month_start,
+           cast(last_day(d) as timestamp) as month_end
+    from (select unnest(generate_series(date '2024-01-01',
+                                        date '2024-12-31',
+                                        interval 1 day))::date as d) t
+    """,
+    tags=("scalar", "date"),
+)
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar (date-dimension) table generation for one year — the
+    warehouse spine every reporting join hangs off (SAS: a DO-loop
+    DATA step with INTNX-derived attributes).
+
+    Generated from sequence()/explode with derived attributes: year,
+    quarter, month, day-of-week (SAS convention, 1=Sunday — Spark's
+    dayofweek already is; DuckDB's 0=Sunday is shifted +1 to match),
+    weekend flag, month boundaries. No input table at all: the spine
+    materializes from constants, identically on both engines.
+
+    Scale: 365 rows from one executor-side sequence explode — the
+    generated dimension then BROADCASTS into fact joins (q_gap_fill /
+    q_interp_linear build exactly this spine per key at run time).
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    return spine.select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.year("d").cast("long").alias("yr"),
+        F.quarter("d").cast("long").alias("qtr"),
+        F.month("d").cast("long").alias("mo"),
+        F.dayofweek("d").cast("long").alias("dow"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+        F.date_trunc("month", "d").alias("month_start"),
+        F.last_day("d").cast("timestamp").alias("month_end"),
+    )
