@@ -379,3 +379,54 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         F.round("bal", 2).alias("bal_at_order"),
     )
+
+
+# -- golden-record survivorship --------------------------------------
+
+
+@query(
+    "q_golden_record",
+    oracle="""
+    with ranked as (
+        select user_id, value, event_type, ts, event_id,
+               cast(json_extract(props, '$.k') as bigint) as k,
+               row_number() over (partition by user_id
+                                  order by ts desc, event_id desc) as rl,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as rf
+        from events
+    )
+    select user_id,
+           round(max(case when rl = 1 then value end), 2) as last_value,
+           max(case when rf = 1 then event_type end) as first_type,
+           cast(max(k) as bigint) as max_k,
+           cast(count(distinct event_type) as bigint) as n_types
+    from ranked group by user_id
+    """,
+    tags=("cdc", "agg", "governance"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: one master row per entity where
+    EACH FIELD picks its winner by its own rule (MDM consolidation;
+    SAS: a BY-entity DATA step with per-field RETAIN/UPDATE logic) —
+    most-recent for the value, first-seen for the type, maximum for
+    the numeric attribute, plus a source-diversity count.
+
+    Every rule is ONE mergeable aggregate — max_by/min_by with the
+    (ts, event_id) composite key for recency rules, plain max for the
+    max-rule — so the whole survivorship is a single groupBy pass, no
+    windows over detail rows, no per-field self-joins (the oracle's
+    row_number spelling is the same semantics in ANSI form).
+
+    Scale: one shuffle on the entity key with map-side partials; 10
+    more survivorship fields = 10 more aggregate expressions in the
+    SAME pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.round(F.max_by("value", key), 2).alias("last_value"),
+        F.min_by("event_type", key).alias("first_type"),
+        F.max(F.get_json_object("props", "$.k").cast("long")).alias("max_k"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

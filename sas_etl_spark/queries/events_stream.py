@@ -752,3 +752,156 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.round(F.max("value"), 6).alias("pmax"),
     )
+
+
+# -- max concurrency (interval stacking) ------------------------------
+
+CONCURRENCY_PAD_MIN = 30
+
+
+@query(
+    "q_max_concurrency",
+    oracle=f"""
+    with e as (
+        select user_id, ts, event_id,
+               case when lag(ts) over (partition by user_id
+                                       order by ts, event_id) is null
+                         or ts - lag(ts) over (partition by user_id
+                                               order by ts, event_id)
+                            > interval 30 minute
+                    then 1 else 0 end as new_s
+        from events
+    ),
+    s as (
+        select user_id, ts,
+               sum(new_s) over (partition by user_id order by ts, event_id
+                                rows unbounded preceding) as sid
+        from e
+    ),
+    sess as (
+        select user_id, sid, min(ts) as st,
+               max(ts) + interval {CONCURRENCY_PAD_MIN} minute as en
+        from s group by user_id, sid
+    ),
+    spans as (
+        select user_id, sid, st, en,
+               unnest(generate_series(cast(date_trunc('day', st) as date),
+                                      cast(date_trunc('day', en) as date),
+                                      interval 1 day))::date as day
+        from sess
+    ),
+    clipped as (
+        select user_id, sid, day,
+               greatest(st, cast(day as timestamp)) as cs,
+               least(en, cast(day as timestamp) + interval 1 day) as ce
+        from spans
+        where greatest(st, cast(day as timestamp))
+              < least(en, cast(day as timestamp) + interval 1 day)
+    ),
+    deltas as (
+        select day, cs as ts, 1 as delta, user_id, sid from clipped
+        union all
+        select day, ce, -1, user_id, sid from clipped
+    ),
+    run as (
+        select day, delta,
+               sum(delta) over (partition by day
+                                order by ts, delta, user_id, sid
+                                rows unbounded preceding) as conc
+        from deltas
+    )
+    select cast(day as timestamp) as day,
+           cast(max(conc) as bigint) as max_concurrency,
+           cast(sum(case when delta = 1 then 1 else 0 end) as bigint)
+               as n_sessions
+    from run group by day
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — interval stacking (capacity
+    planning's canonical question; SAS: an event-coded DATA step with
+    a RETAINed counter).
+
+    Sessions are the q_sessionize intervals padded by the 30-minute
+    inactivity window, half-open [start, last_event + 30min). Each
+    interval SPLITS AT DAY BOUNDARIES first (clip to day), so the
+    +1/-1 delta timeline and its running sum partition BY DAY — no
+    global-order funnel; a year of data is 365 independent timelines.
+    At equal timestamps the -1 sorts first (half-open touch points
+    don't overlap), and (user, sid) tiebreaks make the running sum's
+    order total — engine-identical maxima.
+
+    Scale: the day-split explode is bounded by interval length in
+    days (~1-2 here); the per-day window is the only sort. This IS
+    the distributed form — the naive single global ordered cumsum
+    serializes the planet through one task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = CONCURRENCY_PAD_MIN * 60 * 1_000_000
+    new_s = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > gap_us
+        )
+    ).cast("int")
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("st"),
+        (
+            F.timestamp_micros(F.unix_micros(F.max("ts")) + gap_us)
+        ).alias("en"),
+    )
+    spans = sess.select(
+        "user_id",
+        "sid",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.to_date(F.date_trunc("day", "st")),
+                F.to_date(F.date_trunc("day", "en")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    day_ts = F.col("day").cast("timestamp")
+    clipped = spans.select(
+        "user_id",
+        "sid",
+        "day",
+        F.greatest(F.col("st"), day_ts).alias("cs"),
+        F.least(
+            F.col("en"), F.timestamp_micros(F.unix_micros(day_ts) + 86_400_000_000)
+        ).alias("ce"),
+    ).filter(F.col("cs") < F.col("ce"))
+    deltas = clipped.select(
+        "day", F.col("cs").alias("ts"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionByName(
+        clipped.select(
+            "day", F.col("ce").alias("ts"), F.lit(-1).alias("delta"),
+            "user_id", "sid",
+        )
+    )
+    w2 = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "user_id", "sid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select(
+        "day", "delta", F.sum("delta").over(w2).alias("conc")
+    )
+    return run.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
+        F.max("conc").cast("long").alias("max_concurrency"),
+        F.sum((F.col("delta") == 1).cast("int")).cast("long").alias(
+            "n_sessions"
+        ),
+    )
