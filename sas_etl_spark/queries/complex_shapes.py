@@ -499,3 +499,84 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+# -- hierarchy flattening (bounded-depth recursion) -------------------
+
+HIER_NODES = 127  # perfect binary tree: node k's parent is k div 2
+HIER_DEPTH_BOUND = 7  # ceil(log2(127)) — the join-iteration bound
+
+
+@query(
+    "q_hierarchy_flatten",
+    oracle=f"""
+    with recursive nodes as (
+        select c_custkey as node, c_custkey // 2 as parent
+        from customer where c_custkey between 1 and {HIER_NODES}
+    ),
+    walk as (
+        select node, node as cur, 0 as depth from nodes
+        union all
+        select w.node, n.parent, w.depth + 1
+        from walk w join nodes n on n.node = w.cur
+        where w.cur <> 1
+    )
+    select node, cast(max(depth) as bigint) as depth,
+           cast(1 as bigint) as root,
+           node * 2 > {HIER_NODES} as is_leaf
+    from walk group by node
+    """,
+    tags=("graph", "composite", "sas-semantics"),
+)
+def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child hierarchy flattening — depth and root for every
+    node of a 127-node tree (BOM explosion / org-chart rollup; SAS:
+    PROC TREE or a DATA-step point-chase loop; SQL: recursive CTE).
+
+    The hierarchy derives deterministically from customer keys
+    (node k's parent = k div 2). Spark has no recursive CTE — the
+    Spark-native form is a BOUNDED ITERATIVE JOIN: walk one parent
+    step per round for ceil(log2(N)) rounds, retiring nodes that
+    reached the root; the oracle's recursive CTE computes identical
+    depths. Termination is structural (depth bound), not data-driven
+    — no driver-side convergence checks at all.
+
+    Scale: each round is one equi-join of the frontier against the
+    parent map; for deep hierarchies swap in pointer-doubling
+    (ancestor-of-ancestor, log2(depth) rounds — the
+    connected-components trick in operators/graph.py) and
+    localCheckpoint between rounds.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = cust.filter(
+        (F.col("c_custkey") >= 1) & (F.col("c_custkey") <= HIER_NODES)
+    ).select(
+        F.col("c_custkey").alias("node"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+    )
+    parents = nodes.select(
+        F.col("node").alias("p_node"), F.col("parent").alias("p_parent")
+    )
+    walk = nodes.select(
+        "node", F.col("node").alias("cur"), F.lit(0).alias("depth")
+    )
+    for _ in range(HIER_DEPTH_BOUND):
+        stepped = (
+            walk.join(parents, walk.cur == parents.p_node, "left")
+            .select(
+                "node",
+                F.when(F.col("cur") == 1, F.col("cur"))
+                .otherwise(F.col("p_parent"))
+                .alias("cur"),
+                F.when(F.col("cur") == 1, F.col("depth"))
+                .otherwise(F.col("depth") + 1)
+                .alias("depth"),
+            )
+        )
+        walk = stepped
+    return walk.select(
+        "node",
+        F.col("depth").cast("long").alias("depth"),
+        F.lit(1).cast("long").alias("root"),
+        (F.col("node") * 2 > HIER_NODES).alias("is_leaf"),
+    )

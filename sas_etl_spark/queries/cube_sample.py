@@ -540,3 +540,48 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# -- systematic sampling ---------------------------------------------
+
+SYS_INTERVAL = 10
+SYS_OFFSET = 3
+
+
+@query(
+    "q_systematic_sample",
+    oracle=f"""
+    with r as (
+        select o_orderkey, o_custkey, round(o_totalprice, 2) as totalprice,
+               row_number() over (order by o_orderkey) as rn
+        from orders
+    )
+    select o_orderkey, o_custkey, totalprice
+    from r where rn % {SYS_INTERVAL} = {SYS_OFFSET}
+    """,
+    tags=("sample",),
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling over a deterministic frame
+    order (SAS: PROC SURVEYSELECT METHOD=SYS with a fixed seed
+    picking the start offset) — the third SURVEYSELECT method beside
+    SRS (q_sample) and PPS (q_pps_sample).
+
+    The ORACLE spells the textbook frame definition (global
+    row_number over the key order, rank mod k). The Spark side spells
+    the 100 TB form: because the frame key is DENSE (0..N-1, a fixture
+    invariant pinned by tests), frame rank = o_orderkey + 1, so
+    membership is the pure scan predicate (key+1) mod k = offset —
+    ZERO shuffle, no global enumeration — and the oracle hash PROVES
+    the two spellings pick identical rows. (Sparse keys at scale use a
+    per-partition offset-carrying index instead; the membership
+    contract — every k-th frame unit — is unchanged.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderkey") + 1) % SYS_INTERVAL == SYS_OFFSET
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
