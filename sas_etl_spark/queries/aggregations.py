@@ -660,3 +660,59 @@ def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rnk0").cast("long").alias("rnk"),
         )
     )
+
+
+# -- month-over-month growth -----------------------------------------
+
+
+@query(
+    "q_mom_growth",
+    oracle="""
+    with m as (
+        select o_orderpriority,
+               cast(date_trunc('month', o_orderdate) as timestamp) as mo,
+               round(sum(o_totalprice), 2) as revenue
+        from orders
+        group by o_orderpriority, date_trunc('month', o_orderdate)
+    )
+    select o_orderpriority, mo, revenue,
+           round(revenue - lag(revenue) over (partition by o_orderpriority
+                                              order by mo), 2) as delta,
+           round((revenue - lag(revenue) over (partition by o_orderpriority
+                                               order by mo))
+                 / lag(revenue) over (partition by o_orderpriority
+                                      order by mo) * 100, 4) as pct_change
+    from m
+    """,
+    tags=("agg", "window", "analytics"),
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per priority class — the
+    period-comparison report every finance deck runs (SAS: PROC MEANS
+    by month + a DATA-step LAG of the summary dataset).
+
+    The lag runs over the REDUCED month series (O(groups x months)
+    rows), never detail rows; deltas and percent changes compute from
+    the 2dp-rounded monthly totals so both engines difference
+    identical numerators. First month per group yields null
+    delta/pct (no prior period) on both sides.
+
+    Scale: one grouped agg over the scan (map-side combined), then a
+    window over a tiny series — constant work at any fact size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("mo")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "o_orderpriority",
+        "mo",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "pct_change"
+        ),
+    )

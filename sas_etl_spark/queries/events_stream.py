@@ -905,3 +905,59 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions"
         ),
     )
+
+
+# -- new vs returning users ------------------------------------------
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    with du as (
+        select distinct user_id,
+               cast(date_trunc('day', ts) as date) as day
+        from events
+    ),
+    first_day as (
+        select user_id, min(day) as d0 from du group by user_id
+    )
+    select cast(du.day as timestamp) as day,
+           cast(sum(case when du.day = f.d0 then 1 else 0 end) as bigint)
+               as n_new,
+           cast(sum(case when du.day > f.d0 then 1 else 0 end) as bigint)
+               as n_returning
+    from du join first_day f on f.user_id = du.user_id
+    group by du.day
+    """,
+    tags=("events", "analytics"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day (growth analytics'
+    second-most-watched split after WAU; SAS: first-seen flags via
+    PROC SORT + FIRST.user logic merged back).
+
+    First-seen day per user is one min-agg; the daily split is a
+    conditional agg over the distinct (user, day) pairs joined to it.
+
+    Scale: distinct pairs reduce map-side; the first-day table is one
+    row per user and joins back on the user key (same partitioning as
+    the pair reduce — AQE picks the co-located join); no windows over
+    raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    first_day = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        du.join(first_day, "user_id")
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            F.sum((F.col("day") == F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("day") > F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
