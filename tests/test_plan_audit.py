@@ -329,3 +329,41 @@ def test_format_ranges_broadcasts_the_format_table(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_systematic_sample_is_pure_scan_filter(spark):
+    """The 100 TB systematic-sampling spelling: membership must be a
+    scan-side arithmetic predicate — NO Exchange, NO Window, and the
+    filter pushed into the parquet scan."""
+    a = _plan(spark, "q_systematic_sample")
+    assert "Exchange" not in a["plan"], a["plan"]
+    assert "Window" not in a["plan"], a["plan"]
+    assert a["pushed_filters"], a["plan"]
+
+
+def test_golden_record_is_single_aggregate_pass(spark):
+    """Survivorship must stay ONE groupBy pass: a partial/final
+    HashAggregate pair (max_by/min_by are mergeable), no Window nodes,
+    no self-joins."""
+    a = _plan(spark, "q_golden_record")
+    assert "Window" not in a["plan"], a["plan"]
+    assert "Join" not in a["plan"], a["plan"]
+    # struct-keyed max_by/min_by plan as SortAggregate (no hash impl
+    # for struct-ordered aggs) — still a mergeable partial/final pair
+    n_aggs = sum(
+        a["plan"].count(k)
+        for k in ("SortAggregate", "ObjectHashAggregate", "HashAggregate")
+    )
+    assert n_aggs >= 2, a["plan"]
+
+
+def test_max_concurrency_windows_partition_by_day(spark):
+    """Interval stacking must never plan a global-order cumsum: every
+    Window node partitions (by user for sessionize, by day for the
+    delta timeline) — the structural funnel detector must find
+    nothing."""
+    from sas_etl_spark.plans.audit import single_partition_funnels
+
+    a = _plan(spark, "q_max_concurrency")
+    assert single_partition_funnels(a["plan"]) == [], a["plan"]
+    assert not a["cartesian"]
