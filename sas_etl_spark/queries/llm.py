@@ -1057,3 +1057,89 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", "lang", "n_tokens", "stopword_ratio", "type_token_ratio"
     )
+
+
+# -- bigram LM quality score -----------------------------------------
+
+
+@query(
+    "q_bigram_logprob",
+    oracle="""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    g as (
+        select doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) as bg
+        from t
+    ),
+    cbg as (select bg, count(*) as c from g group by bg),
+    ctx as (
+        select string_split(bg, ' ')[1] as w1, sum(c) as cw
+        from cbg group by string_split(bg, ' ')[1]
+    ),
+    v as (
+        select count(distinct word) as vocab
+        from (select unnest(string_split(text, ' ')) as word
+              from documents) s
+    )
+    select g.doc_id, cast(count(*) as bigint) as n_bigrams,
+           round(avg(-ln((cbg.c + 1.0) / (ctx.cw + v.vocab))), 6)
+               as avg_neg_logprob
+    from g
+    join cbg on cbg.bg = g.bg
+    join ctx on ctx.w1 = string_split(g.bg, ' ')[1]
+    cross join v
+    group by g.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document — the
+    conditional-probability upgrade of q_unigram_logprob (CCNet/KenLM
+    family): avg over the doc's bigram occurrences of
+    -ln P(w2 | w1), with add-one smoothing over the corpus vocabulary
+    (P = (c(w1 w2) + 1) / (c(w1 ·) + V)). Documents whose word
+    SEQUENCES are improbable — not just their words — score high.
+
+    Context counts derive from the bigram table itself (c(w1 ·) =
+    sum of bigram counts starting with w1), so the model is
+    self-consistent; the oracle rebuilds the identical model in SQL.
+
+    Scale: bigram extraction is the staged-HOF ngram lane (zero
+    Python); the model tables are two map-side-combining aggs bounded
+    by observed-bigram/vocab cardinality, re-joined onto the doc
+    bigram stream (broadcast when they fit, hash otherwise); one
+    grouped avg ends it. Same shape at any corpus size.
+    """
+    from sas_etl_spark.operators.text import token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    g = toks.select(
+        "doc_id", F.explode(token_ngrams(F.col("toks"), 2)).alias("bg")
+    )
+    cbg = g.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cbg.groupBy(
+        F.element_at(F.split("bg", " "), 1).alias("w1")
+    ).agg(F.sum("c").alias("cw"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("vocab"))
+    )
+    scored = (
+        g.join(cbg, "bg")
+        .join(ctx, F.element_at(F.split(g.bg, " "), 1) == ctx.w1)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log((F.col("c") + 1.0) / (F.col("cw") + F.col("vocab")))
+            ).alias("neg_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("neg_lp"), 6).alias("avg_neg_logprob"),
+    )

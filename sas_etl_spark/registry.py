@@ -145,7 +145,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: q_sliding_distinct_users, q_referential_integrity, q_kfold_assign,
 #: q_share_of_parent, q_topk_other, q_date_dim, q_latency_percentiles,
 #: q_max_concurrency, q_golden_record, q_hierarchy_flatten,
-#: q_systematic_sample, q_new_vs_returning, q_mom_growth —
+#: q_systematic_sample, q_new_vs_returning, q_mom_growth,
+#: q_bigram_logprob —
 #: local-parity-proven, never driver-attested), (2) the
 #: timestamp-flip readers that ceded r6 slots (q_sessionize,
 #: q_asof_event, q_gap_fill, q_moving_avg, q_dedup_firstlast,
