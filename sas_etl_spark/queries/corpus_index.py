@@ -184,3 +184,171 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     )
+
+
+# -- PMI collocation scores ------------------------------------------
+
+PMI_MIN_COUNT = 30
+PMI_TOP = 20
+
+
+@query(
+    "q_pmi_scores",
+    oracle=f"""
+    with pos as (
+        select doc_id,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                   as pos,
+               unnest(string_split(text, ' ')) as word
+        from documents
+    ),
+    pairs as (
+        select p1.word as w1, p2.word as w2, count(*) as c12
+        from pos p1
+        join pos p2 on p2.doc_id = p1.doc_id and p2.pos = p1.pos + 1
+        group by p1.word, p2.word
+    ),
+    uni as (
+        select word, count(*) as c from pos group by word
+    ),
+    tot as (
+        select (select sum(c12) from pairs) as n_pairs,
+               (select sum(c) from uni) as n_words
+    )
+    select w1, w2, cast(c12 as bigint) as c12,
+           round(ln((c12 * 1.0 / tot.n_pairs)
+                    / ((u1.c * 1.0 / tot.n_words)
+                       * (u2.c * 1.0 / tot.n_words))), 6) as pmi
+    from pairs
+    join uni u1 on u1.word = pairs.w1
+    join uni u2 on u2.word = pairs.w2
+    cross join tot
+    where c12 >= {PMI_MIN_COUNT}
+    order by pmi desc, w1, w2
+    limit {PMI_TOP}
+    """,
+    tags=("text", "llm", "stats"),
+)
+def q_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-pair collocations by pointwise mutual information
+    (phrase mining / tokenizer-merge candidates: PMI =
+    ln(P(w1,w2) / (P(w1)P(w2))) over adjacent word pairs; SAS: LAG +
+    PROC FREQ + a DATA-step formula).
+
+    A min-count floor keeps the estimate stable (textbook PMI
+    practice); ties at the LIMIT boundary break on the word pair.
+    Probabilities use each table's own total (pairs vs words), both
+    computed from the same scan.
+
+    Scale: the adjacency join is doc-keyed (same shape as
+    q_skipgrams); unigram and pair tables reduce map-side and join
+    back bounded by vocabulary; top-20 is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    p1 = pos.alias("p1")
+    p2 = pos.alias("p2")
+    pairs = (
+        p1.join(
+            p2,
+            (F.col("p2.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1),
+        )
+        .groupBy(F.col("p1.word").alias("w1"), F.col("p2.word").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = pos.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.agg(F.sum("c12").alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("c").alias("n_words"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * 1.0 / F.col("n_pairs"))
+                    / (
+                        (F.col("c1") * 1.0 / F.col("n_words"))
+                        * (F.col("c2") * 1.0 / F.col("n_words"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOP)
+
+
+# -- character-entropy quality signal ---------------------------------
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    with ch as (
+        select doc_id, len(text) as n,
+               list_sort(list_distinct(string_split_regex(text, ''))) as cs,
+               string_split_regex(text, '') as allc
+        from documents
+    )
+    select doc_id,
+           cast(len(cs) as bigint) as n_distinct_chars,
+           round(list_reduce(
+               list_transform(cs,
+                   c -> -(len(list_filter(allc, x -> x = c)) * 1.0 / n)
+                         * ln(len(list_filter(allc, x -> x = c)) * 1.0 / n)),
+               (a, x) -> a + x), 6) as entropy
+    from ch
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — a
+    classic corpus-quality signal (too LOW = repetitive/degenerate
+    filler, too HIGH = binary junk or encoding damage; used alongside
+    the Gopher repetition rules).
+
+    H = -sum over distinct chars of p ln p. The summation runs over
+    the SORTED distinct-character list on BOTH engines, so the
+    floating fold accumulates in the identical order (6dp rounding is
+    then pure belt-and-braces). The distinct list and the char array
+    are staged columns — the per-char count is the only O(distinct x
+    len) term (~27 x 160 here).
+
+    Scale: row-local HOF arithmetic, zero shuffle; the entropy column
+    fuses into any curation Project beside the other quality gates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.split(F.col("text"), "").alias("allc"),
+        F.array_sort(F.array_distinct(F.split(F.col("text"), ""))).alias(
+            "cs"
+        ),
+    )
+    p = lambda c: (
+        F.size(F.filter(F.col("allc"), lambda x: x == c)) * 1.0 / F.col("n")
+    )
+    entropy = F.aggregate(
+        F.transform(F.col("cs"), lambda c: -p(c) * F.log(p(c))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return staged.select(
+        "doc_id",
+        F.size("cs").cast("long").alias("n_distinct_chars"),
+        F.round(entropy, 6).alias("entropy"),
+    )
