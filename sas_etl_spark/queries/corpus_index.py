@@ -299,18 +299,17 @@ def q_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     with ch as (
         select doc_id, len(text) as n,
-               list_sort(list_distinct(string_split_regex(text, ''))) as cs,
-               string_split_regex(text, '') as allc
+               unnest(string_split_regex(text, '')) as c
         from documents
+    ),
+    cnt as (
+        select doc_id, c, count(*) as k, min(n) as n
+        from ch group by doc_id, c
     )
     select doc_id,
-           cast(len(cs) as bigint) as n_distinct_chars,
-           round(list_reduce(
-               list_transform(cs,
-                   c -> -(len(list_filter(allc, x -> x = c)) * 1.0 / n)
-                         * ln(len(list_filter(allc, x -> x = c)) * 1.0 / n)),
-               (a, x) -> a + x), 6) as entropy
-    from ch
+           cast(count(*) as bigint) as n_distinct_chars,
+           round(sum(-(k * 1.0 / n) * ln(k * 1.0 / n)), 6) as entropy
+    from cnt group by doc_id
     """,
     tags=("text", "llm", "quality"),
 )
@@ -320,35 +319,31 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler, too HIGH = binary junk or encoding damage; used alongside
     the Gopher repetition rules).
 
-    H = -sum over distinct chars of p ln p. The summation runs over
-    the SORTED distinct-character list on BOTH engines, so the
-    floating fold accumulates in the identical order (6dp rounding is
-    then pure belt-and-braces). The distinct list and the char array
-    are staged columns — the per-char count is the only O(distinct x
-    len) term (~27 x 160 here).
+    H = -sum over distinct chars of p ln p, p = char count / length.
+    Spelled RELATIONALLY (explode chars -> per-(doc, char) count ->
+    per-doc sum) rather than as per-row array HOFs: the HOF form
+    re-evaluated its O(distinct x len) count lambda per element
+    OUTSIDE codegen (the interpreted-HOF CSE trap, SCALE.md round-6
+    finding) and measured 4.5 s at sf0.1; the relational form is
+    whole-stage-codegen end to end (~0.2 s, at the DuckDB twin).
+    Engines sum the <=27 entropy terms in different orders — 6dp
+    rounding sits ~9 orders above the drift.
 
-    Scale: row-local HOF arithmetic, zero shuffle; the entropy column
-    fuses into any curation Project beside the other quality gates.
+    Scale: explode fans out len(text) rows but they reduce map-side
+    to (doc, char) pairs immediately; both aggs combine partially, and
+    the doc-keyed shuffle carries at most |alphabet| rows per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
+    chars = docs.select(
         "doc_id",
         F.length("text").alias("n"),
-        F.split(F.col("text"), "").alias("allc"),
-        F.array_sort(F.array_distinct(F.split(F.col("text"), ""))).alias(
-            "cs"
-        ),
+        F.explode(F.split(F.col("text"), "")).alias("c"),
     )
-    p = lambda c: (
-        F.size(F.filter(F.col("allc"), lambda x: x == c)) * 1.0 / F.col("n")
+    cnt = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("k"), F.min("n").alias("n")
     )
-    entropy = F.aggregate(
-        F.transform(F.col("cs"), lambda c: -p(c) * F.log(p(c))),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    return staged.select(
-        "doc_id",
-        F.size("cs").cast("long").alias("n_distinct_chars"),
-        F.round(entropy, 6).alias("entropy"),
+    p = F.col("k") * 1.0 / F.col("n")
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(F.sum(-p * F.log(p)), 6).alias("entropy"),
     )
