@@ -45,7 +45,7 @@ POSTING_CAP = 5
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per term, document frequency + the first
-    {POSTING_CAP} doc ids of its posting list (IR: the index behind
+    5 (POSTING_CAP) doc ids of its posting list (IR: the index behind
     keyword retrieval; SAS: SCAN-loop OUTPUT + PROC SORT NODUPKEY +
     PROC FREQ).
 
@@ -106,7 +106,7 @@ TOP_PAIRS = 20
     tags=("text", "llm"),
 )
 def q_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skip-gram co-occurrence counts within a +/-{SKIP_WINDOW} token
+    """Skip-gram co-occurrence counts within a +/-2 (SKIP_WINDOW) token
     window (word2vec/GloVe training prep; SAS: LAG chains + PROC
     FREQ).
 

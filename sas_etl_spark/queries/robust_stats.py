@@ -190,7 +190,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROC EXPAND TRANSFORM=(EWMA 0.25); monitoring: the classic
     smoothed-level estimate).
 
-    y_1 = x_1; y_t = (1-a)*y_{{t-1}} + a*x_t. The recursion is a
+    y_1 = x_1; y_t = (1-a)*y_(t-1) + a*x_t. The recursion is a
     SEQUENTIAL left fold — not expressible as a window aggregate
     without numerically explosive (1-a)^-t rescaling — so each series
     folds its time-ordered value array exactly once: sort_array over
