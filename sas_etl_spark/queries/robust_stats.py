@@ -639,3 +639,183 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_imputed"),
         )
     )
+
+
+# -- Gini coefficient per group ---------------------------------------
+
+
+@query(
+    "q_gini",
+    oracle="""
+    with r as (
+        select o_orderpriority, o_totalprice as x,
+               row_number() over (partition by o_orderpriority
+                                  order by o_totalprice, o_orderkey) as i,
+               count(*) over (partition by o_orderpriority) as n,
+               sum(o_totalprice) over (partition by o_orderpriority) as tot
+        from orders
+    )
+    select o_orderpriority,
+           cast(min(n) as bigint) as n,
+           round(2.0 * sum(i * x) / (min(n) * min(tot))
+                 - (min(n) + 1.0) / min(n), 6) as gini
+    from r group by o_orderpriority
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per priority class — the
+    standard inequality/concentration measure (SAS: PROC UNIVARIATE
+    output + a DATA-step Lorenz formula).
+
+    Rank formula G = 2*sum(i * x_(i)) / (n * sum(x)) - (n+1)/n over
+    the within-group sorted values. Ties are rank-order invariant
+    (equal x makes sum(i*x) independent of their internal order), so
+    the orderkey tiebreak only pins determinism, not the value.
+
+    Scale: ONE partitioned window (group-keyed sort — never global)
+    feeding a grouped agg; 6dp rounding covers the sum-order drift.
+    Exact Gini needs the within-group total order by definition; the
+    sketch alternative integrates the Lorenz curve over
+    percentile_approx bins at constant state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("o_totalprice").over(wp).alias("tot"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.min("n").cast("long").alias("n"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.min("n") * F.min("tot"))
+            - (F.min("n") + 1.0) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# -- Herfindahl-Hirschman concentration index ------------------------
+
+
+@query(
+    "q_hhi",
+    oracle="""
+    with spend as (
+        select c.c_nationkey, o.o_custkey,
+               sum(o.o_totalprice) as s
+        from orders o join customer c on c.c_custkey = o.o_custkey
+        group by c.c_nationkey, o.o_custkey
+    ),
+    tot as (
+        select c_nationkey, sum(s) as t, count(*) as n_cust
+        from spend group by c_nationkey
+    )
+    select spend.c_nationkey,
+           cast(min(tot.n_cust) as bigint) as n_customers,
+           round(sum((spend.s / tot.t) * (spend.s / tot.t)), 6) as hhi
+    from spend join tot on tot.c_nationkey = spend.c_nationkey
+    group by spend.c_nationkey
+    """,
+    tags=("agg", "analytics"),
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of customer spend per
+    nation — how concentrated is each market in few customers (1/n =
+    perfectly even, 1.0 = monopoly; the antitrust-screening formula;
+    SAS: PROC MEANS shares + a squared-sum DATA step).
+
+    HHI = sum over customers of (share)^2, share = customer spend /
+    nation total. Two grouped aggs and a broadcast of the per-nation
+    totals — no windows, no sorts anywhere.
+
+    Scale: the inner agg reduces facts to one row per customer
+    map-side; the totals table is O(nations) and broadcasts; the
+    squared-share sum combines partially. Fully mergeable at any
+    size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    tot = spend.groupBy("c_nationkey").agg(
+        F.sum("s").alias("t"), F.count(F.lit(1)).alias("n_cust")
+    )
+    share = F.col("s") / F.col("t")
+    return (
+        spend.join(F.broadcast(tot), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("n_cust").cast("long").alias("n_customers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
+
+
+# -- anomalous-day detection -----------------------------------------
+
+ANOMALY_Z = 2.0
+
+
+@query(
+    "q_anomaly_days",
+    oracle=f"""
+    with d as (
+        select cast(date_trunc('day', ts) as timestamp) as day,
+               count(*) as n
+        from events group by date_trunc('day', ts)
+    ),
+    stats as (
+        select avg(n * 1.0) as mu, stddev_samp(n * 1.0) as sigma from d
+    )
+    select d.day, cast(d.n as bigint) as n_events,
+           round((d.n - s.mu) / s.sigma, 6) as z,
+           abs(d.n - s.mu) > {ANOMALY_Z} * s.sigma as is_anomaly
+    from d cross join stats s
+    """,
+    tags=("events", "quality", "analytics"),
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: flag days whose event count
+    sits more than {ANOMALY_Z} sigma from the mean of the daily
+    series (pipeline monitoring's first alarm — an ingest gap or a
+    duplicate-delivery day; SAS: PROC MEANS over a PROC TIMESERIES
+    output + a DATA-step flag).
+
+    Both mean and deviation compute over the REDUCED day series
+    (O(days) rows); the strict z-threshold comparison runs on the
+    same IEEE expression tree on both engines, and z is also emitted
+    rounded for the report.
+
+    Scale: one map-side-combined count per day, a 1-row stats
+    broadcast, and a scan-free flag projection over the day series.
+    (Robust variants swap mean/sigma for the q_outlier_mad
+    median/MAD machinery — same shape.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = d.agg(
+        F.avg(F.col("n") * 1.0).alias("mu"),
+        F.stddev_samp(F.col("n") * 1.0).alias("sigma"),
+    )
+    return d.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        (
+            F.abs(F.col("n") - F.col("mu")) > ANOMALY_Z * F.col("sigma")
+        ).alias("is_anomaly"),
+    )

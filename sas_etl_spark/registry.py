@@ -146,7 +146,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: q_share_of_parent, q_topk_other, q_date_dim, q_latency_percentiles,
 #: q_max_concurrency, q_golden_record, q_hierarchy_flatten,
 #: q_systematic_sample, q_new_vs_returning, q_mom_growth,
-#: q_bigram_logprob, q_pmi_scores, q_char_entropy —
+#: q_bigram_logprob, q_pmi_scores, q_char_entropy, q_gini, q_hhi,
+#: q_anomaly_days —
 #: local-parity-proven, never driver-attested), (2) the
 #: timestamp-flip readers that ceded r6 slots (q_sessionize,
 #: q_asof_event, q_gap_fill, q_moving_avg, q_dedup_firstlast,
