@@ -39,25 +39,15 @@ def _estimated_scan_tasks(df: DataFrame) -> int | None:
     source, or URIs the driver cannot stat (hdfs://, s3://) — which
     callers must treat as "assume big": at cluster scale the scan is
     already parallel and tiny-scan mitigation must not trigger.
-    """
-    import os
-    import urllib.parse
 
-    try:
-        files = df.inputFiles()
-    except Exception:
+    File-size summing is shared with the size-gated broadcast hint
+    (operators/broadcast.py::estimated_input_bytes).
+    """
+    from sas_etl_spark.operators.broadcast import estimated_input_bytes
+
+    total = estimated_input_bytes(df)
+    if total is None:
         return None
-    if not files:
-        return None
-    total = 0
-    for uri in files:
-        parsed = urllib.parse.urlparse(uri)
-        if parsed.scheme not in ("file", ""):
-            return None
-        try:
-            total += os.path.getsize(urllib.parse.unquote(parsed.path))
-        except OSError:
-            return None
     try:
         max_pb = _parse_byte_size(
             df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB")

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.broadcast import broadcast_if_small
 from sas_etl_spark.operators.quality_checks import check_suite
 from sas_etl_spark.registry import query
 
@@ -633,12 +634,14 @@ def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: detail scan -> one grouped agg; ranking a category-sized
     table is O(categories log categories) on one task — fine because
-    categories, not facts, bound it.
+    categories, not facts, bound it. Part GROWS with SF (sf×200k
+    rows), so the lineitem⋈part hint is size-gated: broadcast while
+    provably small, AQE's strategy choice past the bound.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        li.join(broadcast_if_small(part), part.p_partkey == li.l_partkey)
         .groupBy(F.col("p_type").alias("category"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
     )

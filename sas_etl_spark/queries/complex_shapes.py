@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
+from sas_etl_spark.operators.broadcast import broadcast_if_small
 from sas_etl_spark.operators.graph import connected_components
 from sas_etl_spark.operators.minhash import (
     jaccard,
@@ -39,8 +40,10 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority shape (TPC-H Q3 class): selective dimension
     filter -> two joins -> agg -> global top-10. Filters sit before the
     joins so they push to the scans; the segment-filtered customer side
-    broadcasts; top-10 is TakeOrdered on the rounded revenue with
-    orderkey tiebreak (deterministic limit boundary)."""
+    takes a SIZE-GATED broadcast hint (customer grows with SF — past
+    the bound AQE picks the strategy, and its runtime stats still see
+    the ~1/5 segment selectivity); top-10 is TakeOrdered on the rounded
+    revenue with orderkey tiebreak (deterministic limit boundary)."""
     customer = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -58,7 +61,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

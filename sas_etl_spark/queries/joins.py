@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
 from sas_etl_spark.operators.asof import most_recent_prior
+from sas_etl_spark.operators.broadcast import broadcast_if_small
 from sas_etl_spark.registry import query
 
 
@@ -184,9 +185,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join: equi-key + range residual (SAS: PROC SQL with
     inequality ON). SURVEY.md §2.3 #22.
 
-    Per nation, count customers richer than each supplier. The small
-    side (supplier) is broadcast; the range predicate evaluates as a
-    post-probe filter — no nested-loop over the big side.
+    Per nation, count customers richer than each supplier. The smaller
+    side (supplier) takes a SIZE-GATED broadcast hint — supplier grows
+    with SF (sf×10k rows), so the hint holds only while the scan is
+    provably small; past the bound the equi-key part shuffles as a
+    hash join and the range predicate still evaluates as a post-probe
+    filter — never a nested-loop over the big side.
     """
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
@@ -194,7 +198,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     return (
         customer.join(
-            F.broadcast(supplier),
+            broadcast_if_small(supplier),
             (F.col("c_nationkey") == F.col("s_nationkey"))
             & (F.col("c_acctbal") > F.col("s_acctbal")),
         )

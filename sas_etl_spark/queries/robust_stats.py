@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table, register_views
+from sas_etl_spark.operators.broadcast import broadcast_if_small
 from sas_etl_spark.registry import query
 
 # -- mode per group ---------------------------------------------------
@@ -55,15 +56,18 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: counts reduce map-side on (segment, priority) — a tiny
     domain — then the mode pick is a second tiny agg. No windows over
-    raw data, no sort; the orders->customer join broadcasts the
-    customer side's (custkey, segment) projection.
+    raw data, no sort. Customer GROWS with SF, so its (custkey,
+    segment) projection takes the size-gated broadcast hint only while
+    the table is provably small; past the bound the orders⋈customer
+    join falls back to AQE's own strategy choice (shuffled hash join)
+    instead of an executor-OOM forced broadcast.
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     orders = load_table(spark, sf_dir, "orders")
     counts = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -99,8 +103,8 @@ ROBUST_Z_CUT = 3.0
     ),
     z as (
         select o.o_orderpriority,
-               abs(o.o_totalprice - med.med) / ({MAD_SIGMA} * mad.mad)
-                   as robust_z
+               abs(o.o_totalprice - med.med)
+                   / ({MAD_SIGMA} * nullif(mad.mad, 0)) as robust_z
         from orders o
         join med using (o_orderpriority)
         join mad using (o_orderpriority)
@@ -109,7 +113,9 @@ ROBUST_Z_CUT = 3.0
            cast(count(*) as bigint) as n,
            round(min(med.med), 2) as med,
            round(min(mad.mad), 2) as mad,
-           cast(sum(case when robust_z > {ROBUST_Z_CUT} then 1 else 0 end)
+           cast(sum(case when robust_z is null then null
+                         when robust_z > {ROBUST_Z_CUT} then 1
+                         else 0 end)
                 as bigint) as n_outliers,
            round(max(robust_z), 6) as max_robust_z
     from z
@@ -130,6 +136,13 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree, so even the STRICT z > 3 cut is engine-exact; max_z is
     rounded 6dp only as belt-and-braces.
 
+    Degenerate groups (MAD = 0 — over half the group's values equal
+    its median) are guarded IDENTICALLY on both engines: the divisor
+    routes through nullif(mad, 0) / F.when(mad != 0, ...), so
+    robust_z is NULL rather than Spark-NULL-vs-DuckDB-inf, and the
+    outlier counter propagates that NULL on both sides instead of
+    DuckDB's CASE defaulting it to 0.
+
     Scale: two grouped exact medians (sort-based within group — the
     group count here is tiny; at 100 TB swap percentile_approx in the
     same shape) + two broadcast joins of 5-row stat tables back onto
@@ -148,15 +161,23 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mad), "o_orderpriority")
         .withColumn(
             "robust_z",
-            F.abs(F.col("o_totalprice") - F.col("med"))
-            / (MAD_SIGMA * F.col("mad")),
+            F.when(
+                F.col("mad") != 0,
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                / (MAD_SIGMA * F.col("mad")),
+            ),
         )
     )
     return z.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("med"), 2).alias("med"),
         F.round(F.min("mad"), 2).alias("mad"),
-        F.sum((F.col("robust_z") > ROBUST_Z_CUT).cast("int"))
+        F.sum(
+            F.when(
+                F.col("robust_z").isNotNull(),
+                (F.col("robust_z") > ROBUST_Z_CUT).cast("int"),
+            )
+        )
         .cast("long")
         .alias("n_outliers"),
         F.round(F.max("robust_z"), 6).alias("max_robust_z"),
@@ -736,8 +757,10 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals — no windows, no sorts anywhere.
 
     Scale: the inner agg reduces facts to one row per customer
-    map-side; the totals table is O(nations) and broadcasts; the
-    squared-share sum combines partially. Fully mergeable at any
+    map-side; the totals table is O(nations) — genuinely bounded, so
+    it broadcasts unconditionally; customer GROWS with SF, so its
+    join hint is size-gated (past the bound AQE picks the strategy).
+    The squared-share sum combines partially. Fully mergeable at any
     size.
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -745,7 +768,7 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey"
     )
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
         .agg(F.sum("o_totalprice").alias("s"))
     )
@@ -780,7 +803,7 @@ ANOMALY_Z = 2.0
         select avg(n * 1.0) as mu, stddev_samp(n * 1.0) as sigma from d
     )
     select d.day, cast(d.n as bigint) as n_events,
-           round((d.n - s.mu) / s.sigma, 6) as z,
+           round((d.n - s.mu) / nullif(s.sigma, 0), 6) as z,
            abs(d.n - s.mu) > {ANOMALY_Z} * s.sigma as is_anomaly
     from d cross join stats s
     """,
@@ -796,7 +819,11 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both mean and deviation compute over the REDUCED day series
     (O(days) rows); the strict z-threshold comparison runs on the
     same IEEE expression tree on both engines, and z is also emitted
-    rounded for the report.
+    rounded for the report. The degenerate flat series (every day
+    identical -> sigma = 0) routes the divisor through
+    nullif(sigma, 0) / F.when(sigma != 0, ...) so z is NULL on BOTH
+    engines instead of Spark-NULL-vs-DuckDB-NaN; is_anomaly needs no
+    guard (|n - mu| = 0 > 0 is false on both).
 
     Scale: one map-side-combined count per day, a 1-row stats
     broadcast, and a scan-free flag projection over the day series.
@@ -814,7 +841,13 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(F.broadcast(stats)).select(
         "day",
         F.col("n").cast("long").alias("n_events"),
-        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        F.round(
+            F.when(
+                F.col("sigma") != 0,
+                (F.col("n") - F.col("mu")) / F.col("sigma"),
+            ),
+            6,
+        ).alias("z"),
         (
             F.abs(F.col("n") - F.col("mu")) > ANOMALY_Z * F.col("sigma")
         ).alias("is_anomaly"),

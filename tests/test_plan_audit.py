@@ -367,3 +367,72 @@ def test_max_concurrency_windows_partition_by_day(spark):
     a = _plan(spark, "q_max_concurrency")
     assert single_partition_funnels(a["plan"]) == [], a["plan"]
     assert not a["cartesian"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_mode_per_group",
+        "q_hhi",
+        "q_range_join",
+        "q_topk_other",
+        "q_ship_priority",
+    ],
+)
+def test_sf_scaling_broadcasts_are_size_gated(spark, name):
+    """The five queries whose broadcast side is an SF-SCALING table
+    (customer/supplier/part) route the hint through
+    broadcast_if_small. At the test SF every side is provably tiny, so
+    the hint must still FIRE (plan keeps its BroadcastHashJoin — the
+    attested plan shape is unchanged); the gate's above-bound behavior
+    is pinned separately below."""
+    a = _plan(spark, name)
+    assert a["broadcast_joins"] >= 1, a["plan"]
+    assert not a["cartesian"]
+
+
+def test_broadcast_gate_drops_hint_above_bound(spark):
+    """broadcast_if_small is a NO-OP (returns the frame unhinted) when
+    the estimated scan footprint exceeds the bound — the executor-OOM
+    guard for forced broadcasts of tables that grow with SF. Forcing a
+    1-byte bound on the real customer table must produce a plan with
+    ZERO broadcast exchanges where the permissive bound produces one."""
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+
+    cust = load_table(spark, SF_CORRECTNESS, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, SF_CORRECTNESS, "orders").select("o_custkey")
+
+    hinted = orders.join(
+        broadcast_if_small(cust, bound=1 << 30),
+        orders.o_custkey == cust.c_custkey,
+    )
+    unhinted = orders.join(
+        broadcast_if_small(cust, bound=1),
+        orders.o_custkey == cust.c_custkey,
+    )
+    # the hint itself lives in the analyzed plan as a ResolvedHint /
+    # UnresolvedHint node; physical fallout depends on session
+    # autoBroadcastJoinThreshold, so assert on the logical hint
+    assert "hint" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    assert (
+        "hint" not in unhinted._jdf.queryExecution().analyzed().toString().lower()
+    )
+
+
+def test_broadcast_gate_assumes_big_when_unsizable(spark):
+    """Derived frames (aggregates, joins) and non-file sources give no
+    usable size estimate -> the gate must NOT hint (assume big)."""
+    from sas_etl_spark.operators.broadcast import (
+        broadcast_if_small,
+        estimated_input_bytes,
+    )
+
+    rng = spark.range(10)  # non-file source: no inputFiles
+    assert estimated_input_bytes(rng) is None
+    hinted = broadcast_if_small(rng, bound=1 << 30)
+    assert (
+        "hint" not in hinted._jdf.queryExecution().analyzed().toString().lower()
+    )
