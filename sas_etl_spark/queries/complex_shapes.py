@@ -545,10 +545,12 @@ def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no driver-side convergence checks at all.
 
     Scale: each round is one equi-join of the frontier against the
-    parent map; for deep hierarchies swap in pointer-doubling
-    (ancestor-of-ancestor, log2(depth) rounds — the
-    connected-components trick in operators/graph.py) and
-    localCheckpoint between rounds.
+    parent map — right while depth is small and known. For DEEP
+    hierarchies use operators/graph.py::flatten_hierarchy —
+    pointer doubling (ancestor-of-ancestor), ceil(log2(depth)) rounds
+    with localCheckpoint between them; property-tested equal to this
+    walker on this tree and to a Python parent-walk on 600-deep
+    chains and random forests (tests/test_graph.py).
     """
     cust = load_table(spark, sf_dir, "customer")
     nodes = cust.filter(

@@ -59,3 +59,97 @@ def test_pointer_jumping_converges_logarithmically(spark):
         for r in connected_components(edges, max_iter=8).collect()
     }
     assert labels == {i: 0 for i in range(128)}
+
+
+def test_flatten_hierarchy_deep_chain_in_log_rounds(spark):
+    """A 600-deep chain (VERDICT r6 item 6: depth >~ 500) must flatten
+    exactly — depth(i) = i, root = 0 for every node — with only
+    ceil(log2(max_depth)) = 10 self-join rounds, where the bounded
+    one-step walker would need 600."""
+    from sas_etl_spark.operators.graph import flatten_hierarchy
+
+    n = 601  # node i's parent is i-1; node 0 is the root (NULL parent)
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, n)]
+    nodes = spark.createDataFrame(rows, "node long, parent long")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in flatten_hierarchy(nodes, max_depth=1024).collect()
+    }
+    assert got == {i: (0, i) for i in range(n)}
+
+
+def test_flatten_hierarchy_random_forest_property(spark):
+    """Random multi-root forests: pointer doubling must agree with a
+    pure-Python parent walk on every (root, depth) — roots expressed
+    both ways (NULL parent and self-parent)."""
+    import random
+
+    from sas_etl_spark.operators.graph import flatten_hierarchy
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 200
+        parent: dict[int, int | None] = {}
+        for i in range(n):
+            if i < 3 or rng.random() < 0.05:  # several roots
+                parent[i] = None if rng.random() < 0.5 else i
+            else:
+                parent[i] = rng.randrange(0, i)  # acyclic by construction
+
+        def walk(i: int) -> tuple[int, int]:
+            d = 0
+            while parent[i] is not None and parent[i] != i:
+                i = parent[i]  # type: ignore[assignment]
+                d += 1
+            return i, d
+
+        expected = {i: walk(i) for i in range(n)}
+        nodes = spark.createDataFrame(
+            [(i, parent[i]) for i in range(n)], "node long, parent long"
+        )
+        got = {
+            r.node: (r.root, r.depth)
+            for r in flatten_hierarchy(nodes, max_depth=256).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_flatten_hierarchy_matches_bounded_walker_query(spark):
+    """On q_hierarchy_flatten's own 127-node tree the operator must
+    reproduce the registered bounded-iteration walker's (depth, root)
+    exactly — the two forms are interchangeable below the walker's
+    depth bound."""
+    from sas_etl_spark.operators.graph import flatten_hierarchy
+    from sas_etl_spark.queries.complex_shapes import HIER_NODES
+    from sas_etl_spark.registry import queries_map
+    from tests.conftest import SF_CORRECTNESS
+
+    walker = {
+        r.node: (r.root, r.depth)
+        for r in queries_map()["q_hierarchy_flatten"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    nodes = spark.createDataFrame(
+        [(k, None if k == 1 else k // 2) for k in range(1, HIER_NODES + 1)],
+        "node long, parent long",
+    )
+    got = {
+        r.node: (r.root, r.depth)
+        for r in flatten_hierarchy(nodes, max_depth=16).collect()
+    }
+    assert got == walker
+
+
+def test_flatten_hierarchy_cycle_yields_sentinel_not_hang(spark):
+    """A 3-cycle (malformed input) must terminate structurally with a
+    large distance sentinel — never loop or hang."""
+    from sas_etl_spark.operators.graph import flatten_hierarchy
+
+    nodes = spark.createDataFrame(
+        [(0, 2), (1, 0), (2, 1), (7, None)], "node long, parent long"
+    )
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(nodes, max_depth=64).collect()}
+    assert got[7] == (7, 0)
+    for i in (0, 1, 2):
+        assert got[i][1] >= 64  # cycle distance ran to the round budget
