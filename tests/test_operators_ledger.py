@@ -1,0 +1,87 @@
+"""Cross-check the committed OPERATORS.md attestation ledger against
+the driver's CORRECTNESS_r*.json artifacts (VERDICT r6 item 5: window
+bookkeeping used to live in hand-maintained registry comments; round 2
+burned an attestation slot to exactly that drift).
+
+Contract pinned here:
+- every registered query has exactly one ledger row;
+- each row's "last attested" equals the newest fully-green round
+  recomputed from the JSON files available THROUGH THE LEDGER'S OWN
+  generation round (header line);
+- one-round grace: the driver drops CORRECTNESS_r0{N+1}.json at the
+  round boundary BEFORE anyone can regenerate, so a ledger generated
+  through N stays valid while N+1 is the only newer artifact — but
+  two rounds of drift fail, forcing regeneration each round.
+
+The "code since" column is git-derived and advisory; it is not
+re-verified here (tests must pass in a checkout without git history).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+from sas_etl_spark.registry import QUERIES, queries_map
+
+queries_map()
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+LEDGER = REPO / "OPERATORS.md"
+
+
+def _expected_attestations(through_round: int) -> dict[str, int | None]:
+    newest: dict[str, int | None] = {name: None for name in QUERIES}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        if rnd > through_round:
+            continue
+        for name, rec in json.loads(f.read_text()).items():
+            if name not in QUERIES:
+                continue
+            need_hash = QUERIES[name].oracle is not None
+            green = (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and (rec.get("hash_match") or not need_hash)
+                and not rec.get("err")
+            )
+            if green and rnd >= (newest[name] or 0):
+                newest[name] = rnd
+    return newest
+
+
+def _parse_ledger() -> tuple[int, dict[str, str]]:
+    text = LEDGER.read_text()
+    m = re.search(r"Ledger generated through round (\d+)", text)
+    assert m, "OPERATORS.md missing its generation-round header"
+    rows: dict[str, str] = {}
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) >= 5 and cells[1].startswith("`q_"):
+            rows[cells[1].strip("`")] = cells[3]
+    return int(m.group(1)), rows
+
+
+def test_ledger_matches_correctness_artifacts():
+    through, rows = _parse_ledger()
+    available = max(
+        int(f.stem.split("_r")[1]) for f in REPO.glob("CORRECTNESS_r*.json")
+    )
+    # one-round grace: a fresh driver artifact may exist before the
+    # ledger is regenerated, but not two
+    assert through >= available - 1, (
+        f"OPERATORS.md generated through r{through} but artifacts reach "
+        f"r{available} — rerun scratch/gen_operators_md.py"
+    )
+    assert set(rows) == set(QUERIES), (
+        "ledger rows out of sync with the registry — rerun the generator: "
+        f"missing={sorted(set(QUERIES) - set(rows))[:5]} "
+        f"extra={sorted(set(rows) - set(QUERIES))[:5]}"
+    )
+    expected = _expected_attestations(through)
+    for name, want in expected.items():
+        got = rows[name]
+        want_s = "never" if want is None else f"r{want}"
+        assert got == want_s, f"{name}: ledger says {got}, artifacts say {want_s}"
