@@ -54,106 +54,88 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 6 window (VERDICT r5 items 1, 4, 6). Green rows are
-    # CUMULATIVE across rounds; after r5 the union covers all queries,
-    # but 28 of them haven't had a driver-green row since r2. Window
-    # composition (50 = 14 + 4 + 3 + 28 + 1): (a) the 14 queries NEW
-    # this round, (b) the 4 graduated rows-only -> oracle-paired,
-    # (c) the 3 whose code changed, (d) ALL 28 r2-stale re-attests,
-    # (e) one timestamp-flip reader re-attest. Every query's newest
-    # green row is r4+ after r6; the remaining timestamp-flip readers
-    # (r4/r5-green on the projected-cast plan, value-identical on the
-    # native-TIMESTAMP plan, locally parity-proven every pytest run)
-    # rotate in r7.
-    # -- new in round 6
-    "q_interleave",
-    "q_rank_tie_modes",
-    "q_crosstab_pct",
-    "q_repetition_ratio",
-    "q_ngram_contamination",
-    "q_unigram_logprob",
-    "q_embed_quantize",
-    "q_format_ranges",
-    "q_pivot_multi",
-    "q_merge_many_to_many",
-    "q_fixedwidth_roundtrip",
-    "q_stream_stateful_totals",
-    "q_market_basket",
-    "q_weighted_stats",
-    # -- graduated rows-only -> oracle-paired this round (new oracles)
-    "q_sample",
-    "q_approx_distinct",
-    "q_approx_percentile",
+    # ROUND 7 window (VERDICT r6 item 1: drain the never-attested
+    # backlog). Composition (50 = 46 + 4): (a) 46 of the 62 round-6
+    # registrations that have never been inside a driver window (all
+    # locally hash-green every pytest run via test_oracle_parity),
+    # (b) the 4 queries OPERATORS.md's function-level ledger flags as
+    # code-changed since their newest green row — q_knn_ivf (k-means
+    # refined centroids, nprobe 4->3), q_range_join / q_ship_priority
+    # (size-gated broadcasts), and q_jaccard_pairs (the ledger's
+    # first catch: edited after its r4 attestation, never re-attested).
+    # The 16 deferred backlog names + the 11 timestamp-flip re-attests
+    # are the ROUND 8 comment below.
+    # -- (b) code changed since newest green row (ledger: "changed")
     "q_knn_ivf",
-    # -- code changed this round (literal casts NTZ->TIMESTAMP; knn
-    # partition-gate rework dropped the .rdd touch)
-    "q_quality_checks",
-    "q_rfm_segments",
-    "q_knn_cosine",
-    # -- newest green row is r2: full re-attestation (oldest first)
-    "q_join3_revenue",
-    "q_pricing_summary",
-    "q_window_rank",
-    "q_case_when",
-    "q_derive_cols",
-    "q_filter_pred",
-    "q_format_lookup",
-    "q_project_rename",
-    "q_string_funcs",
-    "q_string_funcs2",
-    "q_regex_extract",
-    "q_math_rowwise",
-    "q_rank_ntile",
-    "q_rank_ties_mean",
-    "q_running_total",
-    "q_union_distinct",
-    "q_intersect",
-    "q_nodupkey",
-    "q_distinct_rows",
-    "q_dupout",
-    "q_udf_charge",
-    "q_udaf_weighted",
-    "q_grouped_zscore",
-    "q_pivot_api",
-    "q_unpivot",
-    "q_corr_stats",
-    "q_univariate_moments",
-    "q_freq_chisq",
-    # -- timestamp-contract flip: events.ts / o_orderdate / l_shipdate
-    # readers whose scan type path changed this round (r4/r5 green
-    # rows were recorded on the projected-cast plan)
-    # (q_sessionize and q_dedup_firstlast run in bench.py every round
-    # regardless; the other timestamp-flip re-attests rotate in r7)
-    "q_interp_linear",
+    "q_range_join",
+    "q_ship_priority",
+    "q_jaccard_pairs",
+    # -- (a) never driver-attested backlog, registration order; the
+    # five marked * also changed code this round (broadcast gating /
+    # degenerate-division guards), making them doubly due
+    "q_linear_regression",
+    "q_autocorr",
+    "q_argmax",
+    "q_schema_evolution",
+    "q_rolling_stats",
+    "q_business_days",
+    "q_pps_sample",
+    "q_cogroup_reconcile",
+    "q_text_normalize",
+    "q_chunk_docs",
+    "q_pii_redact",
+    "q_keyword_extract",
+    "q_mode_per_group",  # *
+    "q_outlier_mad",  # *
+    "q_ewma",
+    "q_partial_agg_merge",
+    "q_correlated_subquery",
+    "q_top_paths",
+    "q_benford",
+    "q_psi_drift",
+    "q_class_balance",
+    "q_forget_user",
+    "q_incremental_dedup",
+    "q_inverted_index",
+    "q_skipgrams",
+    "q_embed_dim_stats",
+    "q_spearman_corr",
+    "q_weighted_median",
+    "q_dedup_stats",
+    "q_cross_source_dups",
+    "q_url_extract",
+    "q_fuzzy_match",
+    "q_pctldef",
+    "q_chunk_dedup",
+    "q_point_in_time_join",
+    "q_winsorize",
+    "q_pagerank",
+    "q_stream_cdc_upsert",
+    "q_activity_streaks",
+    "q_length_histogram_log2",
+    "q_referential_integrity",
+    "q_share_of_parent",
+    "q_topk_other",  # *
+    "q_gini",
+    "q_hhi",  # *
+    "q_anomaly_days",  # *
 )
 
-#: ROUND 7 window backlog — lead the next rotation with these (in
-#: addition to anything new/changed in r7): (1) queries registered in
-#: late round 6 AFTER the 50 slots filled (q_linear_regression,
-#: q_autocorr, q_argmax, q_schema_evolution, q_rolling_stats,
-#: q_business_days, q_pps_sample, q_cogroup_reconcile,
-#: q_text_normalize, q_chunk_docs, q_pii_redact, q_keyword_extract,
-#: q_mode_per_group, q_outlier_mad, q_ewma, q_partial_agg_merge,
-#: q_correlated_subquery, q_top_paths, q_benford, q_psi_drift,
-#: q_class_balance, q_forget_user, q_incremental_dedup,
-#: q_inverted_index, q_skipgrams, q_embed_dim_stats,
-#: q_spearman_corr, q_weighted_median, q_dedup_stats,
-#: q_cross_source_dups, q_url_extract, q_fuzzy_match, q_pctldef,
-#: q_chunk_dedup, q_point_in_time_join, q_winsorize, q_pagerank,
-#: q_stream_cdc_upsert, q_activity_streaks, q_length_histogram_log2,
-#: q_impute_group_mean, q_cramers_v, q_json_nested,
-#: q_sliding_distinct_users, q_referential_integrity, q_kfold_assign,
-#: q_share_of_parent, q_topk_other, q_date_dim, q_latency_percentiles,
-#: q_max_concurrency, q_golden_record, q_hierarchy_flatten,
-#: q_systematic_sample, q_new_vs_returning, q_mom_growth,
-#: q_bigram_logprob, q_pmi_scores, q_char_entropy, q_gini, q_hhi,
-#: q_anomaly_days —
-#: local-parity-proven, never driver-attested), (2) the
-#: timestamp-flip readers that ceded r6 slots (q_sessionize,
-#: q_asof_event, q_gap_fill, q_moving_avg, q_dedup_firstlast,
-#: q_tumbling_counts, q_funnel, q_cohort_retention, q_date_funcs,
-#: q_date_format, q_intnx_intck), (3) then r4-green sentinels oldest
-#: first.
+#: ROUND 8 window plan — lead the next rotation with (in addition to
+#: anything new/changed in r8; cross-check OPERATORS.md, the ledger
+#: computes all of this from CORRECTNESS_r*.json + git):
+#: (1) the 16 backlog names deferred from r7's window
+#: (q_impute_group_mean, q_cramers_v, q_json_nested,
+#: q_sliding_distinct_users, q_kfold_assign, q_date_dim,
+#: q_latency_percentiles, q_max_concurrency, q_golden_record,
+#: q_hierarchy_flatten, q_systematic_sample, q_new_vs_returning,
+#: q_mom_growth, q_bigram_logprob, q_pmi_scores, q_char_entropy —
+#: after r7 these are the ONLY never-attested queries),
+#: (2) the timestamp-flip readers whose newest green row predates the
+#: round-6 native-TIMESTAMP scan change (q_sessionize, q_asof_event,
+#: q_gap_fill, q_moving_avg, q_dedup_firstlast, q_tumbling_counts,
+#: q_funnel, q_cohort_retention, q_date_funcs, q_date_format,
+#: q_intnx_intck), (3) then r4-green sentinels oldest first.
 
 
 def query(

@@ -35,36 +35,46 @@ def test_queries_map_leads_with_priority() -> None:
     assert sorted(emitted) == sorted(registry.QUERIES)
 
 
-def test_round6_rotation_targets_inside_window() -> None:
-    """Round-6 plan (VERDICT r5 items 1, 4, 6): the 28 queries whose
-    newest driver-green row is r2, plus everything new / regraduated /
-    code-changed this round, must sit in slots 0-49."""
-    stale_r2 = {
-        "q_join3_revenue", "q_pricing_summary", "q_window_rank",
-        "q_case_when", "q_derive_cols", "q_filter_pred",
-        "q_format_lookup", "q_project_rename", "q_string_funcs",
-        "q_string_funcs2", "q_regex_extract", "q_math_rowwise",
-        "q_rank_ntile", "q_rank_ties_mean", "q_running_total",
-        "q_union_distinct", "q_intersect", "q_nodupkey",
-        "q_distinct_rows", "q_dupout", "q_udf_charge",
-        "q_udaf_weighted", "q_grouped_zscore", "q_pivot_api",
-        "q_unpivot", "q_corr_stats", "q_univariate_moments",
-        "q_freq_chisq",
+def test_round7_rotation_targets_inside_window() -> None:
+    """Round-7 plan (VERDICT r6 items 1-3, 7): every query the
+    OPERATORS.md ledger marks code-changed since its newest green row,
+    plus every query changed by this round's broadcast-gating /
+    degenerate-division / IVF-refinement work, must sit in slots 0-49;
+    the rest of the window drains the never-attested backlog (pinned
+    structurally below, not by name list)."""
+    changed_since_attestation = {
+        "q_knn_ivf", "q_range_join", "q_ship_priority",
+        "q_jaccard_pairs",
     }
-    new_or_changed_r6 = {
-        "q_interleave", "q_rank_tie_modes", "q_crosstab_pct",
-        "q_repetition_ratio", "q_ngram_contamination",
-        "q_unigram_logprob", "q_embed_quantize",
-        "q_format_ranges", "q_pivot_multi", "q_merge_many_to_many",
-        "q_fixedwidth_roundtrip", "q_stream_stateful_totals",
-        "q_market_basket", "q_weighted_stats",
-        "q_sample", "q_approx_distinct",
-        "q_approx_percentile", "q_knn_ivf", "q_quality_checks",
-        "q_rfm_segments", "q_knn_cosine",
+    changed_r7_never_attested = {
+        "q_mode_per_group", "q_outlier_mad", "q_topk_other",
+        "q_hhi", "q_anomaly_days",
     }
     window = set(list(registry.queries_map())[:WINDOW])
-    must = stale_r2 | new_or_changed_r6
+    must = changed_since_attestation | changed_r7_never_attested
     assert must <= window, f"outside window: {sorted(must - window)}"
+
+
+def test_round7_window_drains_backlog_only() -> None:
+    """Every non-re-attest slot must go to a NEVER-driver-attested
+    query (recomputed from the CORRECTNESS artifacts — no hand list):
+    spending a slot on an already-green, unchanged query would strand
+    a backlog query for another full round."""
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    attested: set[str] = set()
+    for f in repo.glob("CORRECTNESS_r*.json"):
+        for name, rec in json.loads(f.read_text()).items():
+            if rec.get("rows_match") and rec.get("schema_match") and not rec.get("err"):
+                attested.add(name)
+    re_attests = {
+        "q_knn_ivf", "q_range_join", "q_ship_priority", "q_jaccard_pairs",
+    }
+    window = set(list(registry.queries_map())[:WINDOW])
+    stragglers = (window - re_attests) & attested
+    assert not stragglers, f"already-attested queries burning slots: {sorted(stragglers)}"
 
 
 def test_driver_order_raises_on_phantom_priority_name() -> None:
