@@ -585,3 +585,128 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round("o_totalprice", 2).alias("totalprice"),
     )
+
+
+# -- domain-mixture resampling ---------------------------------------
+
+#: Target mixture in per-mille by source tier (sums to 1000 across the
+#: 20-source fixture: 5*100 + 5*50 + 10*25).
+MIX_W_HIGH, MIX_W_MID, MIX_W_LOW = 100, 50, 25
+
+
+@query(
+    "q_domain_mixture",
+    oracle=f"""
+    with w as (
+        select source, count(*) as n_avail,
+               case when cast(substr(source, 4) as int) < 5
+                        then {MIX_W_HIGH}
+                    when cast(substr(source, 4) as int) < 10
+                        then {MIX_W_MID}
+                    else {MIX_W_LOW} end as w
+        from documents group by source
+    ),
+    budget as (
+        -- largest total T (in rows) such that every source can supply
+        -- its share w/1000 * T from what it has: T = min n*1000/w
+        select min(n_avail * 1000 // w) as t from w
+    ),
+    rates as (
+        select source, n_avail, w,
+               least(1000000,
+                     w * t * 1000000 // (1000 * n_avail)) as rate_ppm
+        from w cross join budget
+    ),
+    kept as (
+        select d.source, count(*) as n_kept
+        from documents d
+        join rates r on r.source = d.source
+        where list_reduce(
+                list_transform(range(1,16),
+                  j -> strpos('0123456789abcdef',
+                              substr(sha256('7:' || cast(d.doc_id as varchar)),
+                                     j, 1)) - 1),
+                (a,x) -> a*16+x) % 1000000 < r.rate_ppm
+        group by d.source
+    )
+    select r.source,
+           cast(r.n_avail as bigint) as n_avail,
+           cast(r.w as bigint) as target_w,
+           cast(r.rate_ppm as bigint) as rate_ppm,
+           cast(coalesce(k.n_kept, 0) as bigint) as n_kept
+    from rates r left join kept k on k.source = r.source
+    """,
+    tags=("sample", "llm", "governance"),
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — THE training-data mixing op: given
+    per-source target weights (per-mille), downsample each source so
+    the corpus hits the target mixture at the largest total the
+    scarcest source allows (SAS: PROC SURVEYSELECT stratified with
+    unequal rates; pipelines: the domain-weights stage of any
+    pretraining mix).
+
+    Everything is INTEGER arithmetic so both engines compute
+    bit-identical keep thresholds: budget T = min over sources of
+    floor(n*1000/w); per-source rate_ppm = floor(w*T*1e6/(1000*n)),
+    capped at 1e6. Membership is then the seeded engine-portable
+    sha256 per-MILLION bucket of doc_id (operators/sampling
+    hash_bucket; same idiom q_sample attests per-mille) — so the
+    oracle reproduces the exact kept-row set, not just expected
+    counts. Output: per-source availability, weight, rate, and
+    realized kept count.
+
+    Scale: two O(sources) aggs (map-side combined count, then min),
+    the rate table broadcasts back onto the scan, and membership is a
+    codegen filter — the unkept rows are never materialized, and no
+    shuffle moves more than O(sources) rows except the final kept
+    count (map-side combined). Upsampling variants (scarce source,
+    epochs = ceil(share/avail)) reuse the same rate table with a
+    repeat factor instead of a filter.
+    """
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    idx = F.substring("source", 4, 10).cast("int")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn(
+            "w",
+            F.when(idx < 5, F.lit(MIX_W_HIGH))
+            .when(idx < 10, F.lit(MIX_W_MID))
+            .otherwise(F.lit(MIX_W_LOW)),
+        )
+    )
+    budget = w.agg(
+        F.min(F.floor(F.col("n_avail") * 1000 / F.col("w"))).alias("t")
+    )
+    rates = w.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "n_avail",
+        "w",
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                F.col("w") * F.col("t") * 1_000_000 / (1000 * F.col("n_avail"))
+            ),
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket("doc_id", 1_000_000, seed=7) < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.col("w").cast("long").alias("target_w"),
+            "rate_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
