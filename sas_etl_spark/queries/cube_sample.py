@@ -678,18 +678,20 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(MIX_W_LOW)),
         )
     )
+    # TRUE integer division (not float+floor): bit-identical to the
+    # oracle's // at any magnitude a BIGINT holds. The ppm numerator
+    # w*T*1e6 ~ corpus_rows*1e9 stays in-range below ~9e9 rows; past
+    # that, widen both engines to DECIMAL(38) in the same places.
     budget = w.agg(
-        F.min(F.floor(F.col("n_avail") * 1000 / F.col("w"))).alias("t")
+        F.min(F.expr("n_avail * 1000 div w")).alias("t")
     )
     rates = w.crossJoin(F.broadcast(budget)).select(
         "source",
         "n_avail",
         "w",
         F.least(
-            F.lit(1_000_000),
-            F.floor(
-                F.col("w") * F.col("t") * 1_000_000 / (1000 * F.col("n_avail"))
-            ),
+            F.lit(1_000_000).cast("long"),
+            F.expr("w * t * 1000000 div (1000 * n_avail)"),
         )
         .cast("long")
         .alias("rate_ppm"),
