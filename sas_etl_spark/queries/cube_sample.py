@@ -712,3 +712,87 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+#: Epoch-planning total budget: 2x the corpus (typical multi-epoch
+#: pretraining mix — scarce overweighted sources repeat).
+MIX_BUDGET_X = 2
+
+
+@query(
+    "q_mixture_epochs",
+    oracle=f"""
+    with w as (
+        select source, count(*) as n_avail,
+               case when cast(substr(source, 4) as int) < 5
+                        then {MIX_W_HIGH}
+                    when cast(substr(source, 4) as int) < 10
+                        then {MIX_W_MID}
+                    else {MIX_W_LOW} end as w
+        from documents group by source
+    ),
+    tot as (select sum(n_avail) * {MIX_BUDGET_X} as t_total from w),
+    plan as (
+        select source, n_avail, w,
+               w * t_total // 1000 as target_rows
+        from w cross join tot
+    )
+    select source,
+           cast(n_avail as bigint) as n_avail,
+           cast(w as bigint) as target_w,
+           cast(target_rows as bigint) as target_rows,
+           cast(target_rows // n_avail as bigint) as full_epochs,
+           cast((target_rows % n_avail) * 1000000 // n_avail as bigint)
+               as residual_ppm
+    from plan
+    """,
+    tags=("sample", "llm", "governance"),
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture planning — the UPSAMPLING side of domain
+    mixing (q_domain_mixture downsamples to the scarcest source; real
+    pretraining recipes instead fix a token budget and let scarce
+    overweighted domains REPEAT): per source, how many full epochs plus
+    what residual sampling rate hits target_rows = w/1000 x budget,
+    budget = {MIX_BUDGET_X}x corpus.
+
+    Pure integer arithmetic end to end (BIGINT div/mod, identical on
+    both engines): full_epochs = target div avail; the remainder
+    becomes a per-million residual rate for the final partial epoch —
+    executable directly against q_domain_mixture's seeded-hash
+    membership machinery (epochs e: union e full copies + hash-filter
+    at residual_ppm). High-weight sources here get 4 epochs
+    (100/1000 x 2x x 20 sources), low-weight ones a 1/2 epoch.
+
+    Scale: one map-side-combined count per source, one 1-row total
+    broadcast, O(sources) output — the plan itself never touches row
+    data, so it costs the same at 100 TB as at test SF; the execution
+    stage it parameterizes is scan-side filtering/unioning only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    idx = F.substring("source", 4, 10).cast("int")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn(
+            "w",
+            F.when(idx < 5, F.lit(MIX_W_HIGH))
+            .when(idx < 10, F.lit(MIX_W_MID))
+            .otherwise(F.lit(MIX_W_LOW)),
+        )
+    )
+    tot = w.agg((F.sum("n_avail") * MIX_BUDGET_X).alias("t_total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("target_rows", F.expr("w * t_total div 1000"))
+        .select(
+            "source",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.col("w").cast("long").alias("target_w"),
+            F.col("target_rows").cast("long").alias("target_rows"),
+            F.expr("target_rows div n_avail").cast("long").alias("full_epochs"),
+            F.expr("(target_rows % n_avail) * 1000000 div n_avail")
+            .cast("long")
+            .alias("residual_ppm"),
+        )
+    )

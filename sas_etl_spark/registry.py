@@ -130,8 +130,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: q_latency_percentiles, q_max_concurrency, q_golden_record,
 #: q_hierarchy_flatten, q_systematic_sample, q_new_vs_returning,
 #: q_mom_growth, q_bigram_logprob, q_pmi_scores, q_char_entropy —
-#: plus q_domain_mixture, registered in round 7 after the window was
-#: composed — after r7 these are the ONLY never-attested queries),
+#: plus q_domain_mixture and q_mixture_epochs, registered in round 7
+#: after the window was composed — after r7 these are the ONLY
+#: never-attested queries),
 #: (2) the timestamp-flip readers whose newest green row predates the
 #: round-6 native-TIMESTAMP scan change (q_sessionize, q_asof_event,
 #: q_gap_fill, q_moving_avg, q_dedup_firstlast, q_tumbling_counts,
