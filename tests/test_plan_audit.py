@@ -436,3 +436,44 @@ def test_broadcast_gate_assumes_big_when_unsizable(spark):
     assert (
         "hint" not in hinted._jdf.queryExecution().analyzed().toString().lower()
     )
+
+
+def test_broadcast_gate_sums_multi_file_scans(spark, tmp_path):
+    """estimated_input_bytes must sum EVERY file of a partitioned/
+    multi-file table (cluster tables are never one file) and the gate
+    must act on the total: a table written as 4 files broadcasts under
+    a generous bound and not under a bound below the summed size."""
+    import os
+
+    from sas_etl_spark.operators.broadcast import (
+        broadcast_if_small,
+        estimated_input_bytes,
+    )
+
+    path = str(tmp_path / "multi.parquet")
+    spark.range(0, 40_000).repartition(4).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    est = estimated_input_bytes(df)
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert len(files) == 4
+    assert est == sum(os.path.getsize(f) for f in files)
+
+    assert (
+        "hint"
+        in broadcast_if_small(df, bound=est + 1)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+        .lower()
+    )
+    assert (
+        "hint"
+        not in broadcast_if_small(df, bound=est)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+        .lower()
+    )
