@@ -239,3 +239,88 @@ def kmeans_refine(
             )
         )
     return refined
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    query_vec_col: str = "qv",
+    sim_col: str = "sim",
+    dim: int | None = None,
+    round_dp: int | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Batched IVF top-k: serve a WHOLE QUERY TABLE (qid, qv) in one
+    plan — the shape a similarity-search service actually runs
+    (ivf_topk answers one vector; real callers arrive in batches).
+
+    The corpus-side work is done ONCE for the batch, not per query:
+    centroid build + assignment are query-independent, and the
+    assignment groupBy carries each vector's payload through with
+    any_value so the inverted lists never re-join the corpus. Per-query
+    routing (score centroids against each query, keep its nprobe best)
+    happens on the Q x n_centroids grid — driver-free, then broadcast.
+    Candidate scoring fans each inverted list out only to the queries
+    that probe it, and the final per-query cut is a row_number window
+    over qid.
+
+    Exchanges (count INDEPENDENT of Q — adding queries adds no stage):
+    1. assignment groupBy(id) over the corpus,
+    2. the tiny probe-grid window (Q x n_centroids rows),
+    3. the per-query top-k window over ~Q * nprobe/n_centroids * |emb|
+       scored pairs — the output-proportional shuffle every batched
+       k-NN must pay; at production Q, salt qid or range-partition the
+       query batch to spread it.
+    nprobe = n_centroids degrades to exact batched search (the test
+    oracle's equivalence handle, same as ivf_topk).
+    """
+    from pyspark.sql import Window
+
+    centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        centroids = kmeans_refine(emb, centroids, refine_iters, id_col, vec_col, dim)
+    scored_cells = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(vec_col, "centroid_vec", dim).alias("_sim"),
+    )
+    lists = scored_cells.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("_sim"), -F.col("centroid_id"))
+        ).alias("centroid_id"),
+        F.any_value(vec_col).alias(vec_col),
+    )
+    probe_rank = Window.partitionBy(qid_col).orderBy(
+        F.desc("_qsim"), F.asc("centroid_id")
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select(
+            qid_col,
+            "centroid_id",
+            query_vec_col,
+            cosine("centroid_vec", query_vec_col, dim).alias("_qsim"),
+        )
+        .withColumn("_rn", F.row_number().over(probe_rank))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, "centroid_id", query_vec_col)
+    )
+    sim = cosine(vec_col, query_vec_col, dim)
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = lists.join(F.broadcast(probes), "centroid_id").select(
+        qid_col, id_col, sim.alias(sim_col)
+    )
+    topk_rank = Window.partitionBy(qid_col).orderBy(F.desc(sim_col), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(topk_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, sim_col, "rank")
+    )

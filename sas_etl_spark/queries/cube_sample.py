@@ -608,13 +608,16 @@ MIX_W_HIGH, MIX_W_MID, MIX_W_LOW = 100, 50, 25
     ),
     budget as (
         -- largest total T (in rows) such that every source can supply
-        -- its share w/1000 * T from what it has: T = min n*1000/w
-        select min(n_avail * 1000 // w) as t from w
+        -- its share w/1000 * T from what it has: T = min n*1000/w.
+        -- 128-bit (HUGEINT here, DECIMAL(38,0) on the Spark side) so
+        -- the n*1000 / w*T*1e6 numerators survive 1e10+ row sources.
+        select min(cast(n_avail as hugeint) * 1000 // w) as t from w
     ),
     rates as (
         select source, n_avail, w,
                least(1000000,
-                     w * t * 1000000 // (1000 * n_avail)) as rate_ppm
+                     cast(w as hugeint) * t * 1000000
+                         // (1000 * cast(n_avail as hugeint))) as rate_ppm
         from w cross join budget
     ),
     kept as (
@@ -678,12 +681,14 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(MIX_W_LOW)),
         )
     )
-    # TRUE integer division (not float+floor): bit-identical to the
-    # oracle's // at any magnitude a BIGINT holds. The ppm numerator
-    # w*T*1e6 ~ corpus_rows*1e9 stays in-range below ~9e9 rows; past
-    # that, widen both engines to DECIMAL(38) in the same places.
+    # TRUE integer division (not float+floor), in 128-bit: Spark
+    # DECIMAL(38,0) DIV here, HUGEINT in the oracle — both are int128
+    # arithmetic, bit-identical, and the w*T*1e6 ~ corpus_rows*1e9
+    # numerator stays exact past 1e10-row sources (where BIGINT would
+    # wrap at ~9e9). Pinned at synthetic 2e10-row counts by
+    # tests/test_llm_operators.py::test_mixture_arithmetic_1e10_rows.
     budget = w.agg(
-        F.min(F.expr("n_avail * 1000 div w")).alias("t")
+        F.min(F.expr("cast(n_avail as decimal(38,0)) * 1000 div w")).alias("t")
     )
     rates = w.crossJoin(F.broadcast(budget)).select(
         "source",
@@ -691,7 +696,10 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.least(
             F.lit(1_000_000).cast("long"),
-            F.expr("w * t * 1000000 div (1000 * n_avail)"),
+            F.expr(
+                "cast(w as decimal(38,0)) * t * 1000000"
+                " div (1000 * cast(n_avail as decimal(38,0)))"
+            ),
         )
         .cast("long")
         .alias("rate_ppm"),
@@ -733,8 +741,10 @@ MIX_BUDGET_X = 2
     ),
     tot as (select sum(n_avail) * {MIX_BUDGET_X} as t_total from w),
     plan as (
+        -- HUGEINT (int128, = Spark's DECIMAL(38,0) DIV): w*t_total and
+        -- remainder*1e6 survive 1e10+ row sources where BIGINT wraps
         select source, n_avail, w,
-               w * t_total // 1000 as target_rows
+               cast(w as hugeint) * t_total // 1000 as target_rows
         from w cross join tot
     )
     select source,
@@ -742,8 +752,8 @@ MIX_BUDGET_X = 2
            cast(w as bigint) as target_w,
            cast(target_rows as bigint) as target_rows,
            cast(target_rows // n_avail as bigint) as full_epochs,
-           cast((target_rows % n_avail) * 1000000 // n_avail as bigint)
-               as residual_ppm
+           cast(cast(target_rows % n_avail as hugeint) * 1000000 // n_avail
+                as bigint) as residual_ppm
     from plan
     """,
     tags=("sample", "llm", "governance"),
@@ -784,15 +794,220 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = w.agg((F.sum("n_avail") * MIX_BUDGET_X).alias("t_total"))
     return (
         w.crossJoin(F.broadcast(tot))
-        .withColumn("target_rows", F.expr("w * t_total div 1000"))
+        # DECIMAL(38,0) DIV = int128 floor division, the oracle's
+        # HUGEINT twin — exact past 1e10-row sources (BIGINT wraps at
+        # ~9e9); pinned by test_mixture_arithmetic_1e10_rows.
+        .withColumn(
+            "target_rows",
+            F.expr("cast(w as decimal(38,0)) * t_total div 1000"),
+        )
         .select(
             "source",
             F.col("n_avail").cast("long").alias("n_avail"),
             F.col("w").cast("long").alias("target_w"),
             F.col("target_rows").cast("long").alias("target_rows"),
             F.expr("target_rows div n_avail").cast("long").alias("full_epochs"),
-            F.expr("(target_rows % n_avail) * 1000000 div n_avail")
+            F.expr(
+                "cast(target_rows % n_avail as decimal(38,0))"
+                " * 1000000 div n_avail"
+            )
             .cast("long")
             .alias("residual_ppm"),
+        )
+    )
+
+
+#: Seeds for the mixture-apply membership and content hashes. Distinct
+#: from every other registered seed so the drawn residual sets are
+#: independent of the other sampling queries.
+MIX_RESID_SEED, MIX_HASH_SEED = 11, 13
+
+#: Extra rows added to q_mixture_apply's budget. The fixture's sources
+#: are uniform (n_avail identical), so the plain 2x budget divides
+#: evenly and every residual_ppm would be 0 — the partial-epoch
+#: hash-filter path would go unattested. +137 makes every tier's
+#: target non-divisible: all 20 sources get a real residual rate.
+MIX_APPLY_EXTRA = 137
+
+#: sha256-fold idioms the DuckDB oracle uses to reproduce Spark's
+#: operators/sampling.hash_bucket bit-for-bit (first 15 hex digits ->
+#: int -> mod): seeded residual-membership bucket on doc_id, and the
+#: per-(doc_id, epoch) content-hash bucket. 1e8 content buckets keep
+#: the per-source SUM far inside BIGINT even at 1e10x4-epoch sources.
+_SQL_RESID_BUCKET = f"""list_reduce(list_transform(range(1,16),
+            j -> strpos('0123456789abcdef',
+                        substr(sha256('{MIX_RESID_SEED}:'
+                                      || cast(d.doc_id as varchar)),
+                               j, 1)) - 1),
+          (a,x) -> a*16+x) % 1000000"""
+_SQL_EPOCH_HASH = f"""list_reduce(list_transform(range(1,16),
+                j -> strpos('0123456789abcdef',
+                            substr(sha256('{MIX_HASH_SEED}:'
+                                          || cast(doc_id as varchar)
+                                          || '#' || cast(e as varchar)),
+                                   j, 1)) - 1),
+              (a,x) -> a*16+x) % 100000000"""
+
+
+@query(
+    "q_mixture_apply",
+    oracle=f"""
+    with w as (
+        select source, count(*) as n_avail,
+               case when cast(substr(source, 4) as int) < 5
+                        then {MIX_W_HIGH}
+                    when cast(substr(source, 4) as int) < 10
+                        then {MIX_W_MID}
+                    else {MIX_W_LOW} end as w
+        from documents group by source
+    ),
+    tot as (select sum(n_avail) * {MIX_BUDGET_X} + {MIX_APPLY_EXTRA}
+                as t_total from w),
+    plan as (
+        select source, n_avail,
+               cast(w as hugeint) * t_total // 1000 as target_rows
+        from w cross join tot
+    ),
+    plan2 as (
+        select source, n_avail,
+               target_rows // n_avail as full_epochs,
+               cast(target_rows % n_avail as hugeint) * 1000000 // n_avail
+                   as residual_ppm
+        from plan
+    ),
+    perdoc as (
+        select d.source, p.n_avail, p.full_epochs, p.residual_ppm,
+               cast(p.full_epochs
+                 + (case when {_SQL_RESID_BUCKET} < p.residual_ppm
+                         then 1 else 0 end) as bigint) as copies,
+               d.doc_id
+        from documents d join plan2 p on p.source = d.source
+    ),
+    exploded as (
+        select source, n_avail, full_epochs, residual_ppm, copies,
+               coalesce(list_sum(list_transform(range(1, copies + 1),
+                   e -> {_SQL_EPOCH_HASH})), 0) as doc_hash
+        from perdoc
+    )
+    select source,
+           cast(n_avail as bigint) as n_avail,
+           cast(full_epochs as bigint) as full_epochs,
+           cast(residual_ppm as bigint) as residual_ppm,
+           cast(sum(copies) as bigint) as n_rows,
+           cast(case when full_epochs >= 1 then n_avail
+                     else sum(case when copies > full_epochs then 1
+                              else 0 end) end as bigint) as n_docs,
+           cast(sum(doc_hash) as bigint) as content_hash
+    from exploded
+    group by source, n_avail, full_epochs, residual_ppm
+    """,
+    tags=("sample", "llm", "governance"),
+)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the epoch-weighted mixture plan — materialize
+    q_mixture_epochs' (full_epochs, residual_ppm) per-source recipe as
+    the actual upsampled row multiset: every document repeats
+    full_epochs times, plus one extra copy when its seeded hash falls
+    under the residual rate (the final partial epoch). This closes the
+    plan->corpus gap: q_mixture_epochs proves the arithmetic,
+    q_mixture_apply proves the produced ROWS. The budget here is
+    2x corpus + MIX_APPLY_EXTRA: the fixture's sources are uniform, so
+    the plain 2x budget divides evenly and the residual path would
+    never fire — the offset forces a nonzero residual_ppm on every
+    tier, putting the partial-epoch hash filter inside the hash.
+
+    The oracle reproduces the exact kept/repeated multiset, not just
+    expected counts: membership is the engine-portable seeded sha256
+    per-million bucket (operators/sampling.hash_bucket), and
+    ``content_hash`` sums a per-(doc_id, epoch) sha bucket over every
+    emitted copy — any row gained, lost, or shifted between epochs
+    flips the hash. ``n_rows`` = full_epochs*n_avail + residual kept;
+    ``n_docs`` (distinct documents represented) uses the closed form
+    [full_epochs>=1 -> n_avail, else residual-kept count] instead of a
+    count(distinct) so no doc-keyed expand enters the plan.
+
+    Scale: the plan stage is O(sources) aggs; execution is a broadcast
+    of the O(sources) rate table back onto the scan, a codegen
+    ``copies`` expression, and explode(sequence(1, copies)) AT THE
+    SCAN — unkept rows never materialize, repeats never shuffle as
+    payload. The only exchange is the final groupBy(source) of
+    map-side-combined partials. Epoch count is data-independent
+    (bounded by max weight), so the explode fan-out is a constant
+    factor, not a skew risk. 128-bit plan arithmetic (DECIMAL(38,0)
+    div / HUGEINT) survives 1e10-row sources — pinned by
+    test_mixture_arithmetic_1e10_rows."""
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    idx = F.substring("source", 4, 10).cast("int")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn(
+            "w",
+            F.when(idx < 5, F.lit(MIX_W_HIGH))
+            .when(idx < 10, F.lit(MIX_W_MID))
+            .otherwise(F.lit(MIX_W_LOW)),
+        )
+    )
+    tot = w.agg((F.sum("n_avail") * MIX_BUDGET_X + MIX_APPLY_EXTRA).alias("t_total"))
+    plan = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_rows",
+            F.expr("cast(w as decimal(38,0)) * t_total div 1000"),
+        )
+        .select(
+            "source",
+            "n_avail",
+            F.expr("target_rows div n_avail").alias("full_epochs"),
+            F.expr(
+                "cast(target_rows % n_avail as decimal(38,0))"
+                " * 1000000 div n_avail"
+            ).alias("residual_ppm"),
+        )
+    )
+    resid = hash_bucket("doc_id", 1_000_000, seed=MIX_RESID_SEED)
+    copies = F.col("full_epochs") + F.when(
+        resid < F.col("residual_ppm"), F.lit(1)
+    ).otherwise(F.lit(0))
+    exploded = (
+        docs.join(F.broadcast(plan), "source")
+        .withColumn("copies", copies)
+        .filter(F.col("copies") >= 1)
+        .withColumn("e", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+        .withColumn(
+            "h",
+            hash_bucket(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("e").cast("string"),
+                ),
+                100_000_000,
+                seed=MIX_HASH_SEED,
+            ),
+        )
+    )
+    return (
+        exploded.groupBy("source", "n_avail", "full_epochs", "residual_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("e") == F.col("full_epochs") + 1, 1).otherwise(0)
+            ).alias("_n_resid"),
+            F.sum("h").alias("content_hash"),
+        )
+        .select(
+            "source",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            F.col("residual_ppm").cast("long").alias("residual_ppm"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.when(F.col("full_epochs") >= 1, F.col("n_avail"))
+            .otherwise(F.col("_n_resid"))
+            .cast("long")
+            .alias("n_docs"),
+            F.col("content_hash").cast("long").alias("content_hash"),
         )
     )

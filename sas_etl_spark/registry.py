@@ -54,90 +54,86 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 7 window (VERDICT r6 item 1: drain the never-attested
-    # backlog). Composition (50 = 46 + 4): (a) 46 of the 62 round-6
-    # registrations that have never been inside a driver window (all
-    # locally hash-green every pytest run via test_oracle_parity),
-    # (b) the 4 queries OPERATORS.md's function-level ledger flags as
-    # code-changed since their newest green row — q_knn_ivf (k-means
-    # refined centroids, nprobe 4->3), q_range_join / q_ship_priority
-    # (size-gated broadcasts), and q_jaccard_pairs (the ledger's
-    # first catch: edited after its r4 attestation, never re-attested).
-    # The 16 deferred backlog names + the 11 timestamp-flip re-attests
-    # are the ROUND 8 comment below.
-    # -- (b) code changed since newest green row (ledger: "changed")
-    "q_knn_ivf",
-    "q_range_join",
-    "q_ship_priority",
-    "q_jaccard_pairs",
-    # -- (a) never driver-attested backlog, registration order; the
-    # five marked * also changed code this round (broadcast gating /
-    # degenerate-division guards), making them doubly due
-    "q_linear_regression",
-    "q_autocorr",
-    "q_argmax",
-    "q_schema_evolution",
-    "q_rolling_stats",
-    "q_business_days",
-    "q_pps_sample",
-    "q_cogroup_reconcile",
-    "q_text_normalize",
-    "q_chunk_docs",
-    "q_pii_redact",
-    "q_keyword_extract",
-    "q_mode_per_group",  # *
-    "q_outlier_mad",  # *
-    "q_ewma",
-    "q_partial_agg_merge",
-    "q_correlated_subquery",
-    "q_top_paths",
-    "q_benford",
-    "q_psi_drift",
-    "q_class_balance",
-    "q_forget_user",
-    "q_incremental_dedup",
-    "q_inverted_index",
-    "q_skipgrams",
-    "q_embed_dim_stats",
-    "q_spearman_corr",
-    "q_weighted_median",
-    "q_dedup_stats",
-    "q_cross_source_dups",
-    "q_url_extract",
-    "q_fuzzy_match",
-    "q_pctldef",
-    "q_chunk_dedup",
-    "q_point_in_time_join",
-    "q_winsorize",
-    "q_pagerank",
-    "q_stream_cdc_upsert",
-    "q_activity_streaks",
-    "q_length_histogram_log2",
-    "q_referential_integrity",
-    "q_share_of_parent",
-    "q_topk_other",  # *
-    "q_gini",
-    "q_hhi",  # *
-    "q_anomaly_days",  # *
+    # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
+    # this window every registered query has been driver-proven at
+    # least once and nothing is stale across the round-6 timestamp
+    # reader change). Composition (50 = 2 + 18 + 11 + 19):
+    # -- (a) NEW this round, never attested by construction:
+    # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
+    # item 5) and q_knn_ivf_batch (Q=100 batched ANN, item 7)
+    "q_mixture_apply",
+    "q_knn_ivf_batch",
+    # -- (b) the 18 queries never inside a driver window after r7
+    # (16 deferred from the r7 cap + the two domain-mixing ops
+    # registered after r7's window was composed; the mixture pair
+    # also changed code this round — DECIMAL(38) widening — making
+    # them doubly due). All locally hash-green every pytest run.
+    "q_domain_mixture",
+    "q_mixture_epochs",
+    "q_impute_group_mean",
+    "q_cramers_v",
+    "q_json_nested",
+    "q_sliding_distinct_users",
+    "q_kfold_assign",
+    "q_date_dim",
+    "q_latency_percentiles",
+    "q_max_concurrency",
+    "q_golden_record",
+    "q_hierarchy_flatten",
+    "q_systematic_sample",
+    "q_new_vs_returning",
+    "q_mom_growth",
+    "q_bigram_logprob",
+    "q_pmi_scores",
+    "q_char_entropy",
+    # -- (c) timestamp-flip re-attests (VERDICT r7 item 2 / gap 2):
+    # newest driver-green row predates the round-6 native-TIMESTAMP
+    # scan change; locally green under the new reader, re-proven here
+    "q_sessionize",
+    "q_asof_event",
+    "q_gap_fill",
+    "q_moving_avg",
+    "q_dedup_firstlast",
+    "q_tumbling_counts",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_date_funcs",
+    "q_date_format",
+    "q_intnx_intck",
+    # -- (d) regression sentinels: oldest driver-green rows (all r4),
+    # alphabetical — refresh the stalest attestations with the slots
+    # left over
+    "q_anti_join",
+    "q_append_sink",
+    "q_bucketed_join",
+    "q_contamination",
+    "q_cosine_pairs",
+    "q_csv_roundtrip",
+    "q_cube",
+    "q_dataset_compare",
+    "q_doc_embed_join",
+    "q_doc_fingerprint",
+    "q_doc_quality",
+    "q_exact_dup",
+    "q_grouping_sets",
+    "q_image_features",
+    "q_json_roundtrip",
+    "q_knn_ivf_exactprobe",
+    "q_lang_id",
+    "q_left_join_null",
+    "q_min_per_group_join",
 )
 
-#: ROUND 8 window plan — lead the next rotation with (in addition to
-#: anything new/changed in r8; cross-check OPERATORS.md, the ledger
-#: computes all of this from CORRECTNESS_r*.json + git):
-#: (1) the 16 backlog names deferred from r7's window
-#: (q_impute_group_mean, q_cramers_v, q_json_nested,
-#: q_sliding_distinct_users, q_kfold_assign, q_date_dim,
-#: q_latency_percentiles, q_max_concurrency, q_golden_record,
-#: q_hierarchy_flatten, q_systematic_sample, q_new_vs_returning,
-#: q_mom_growth, q_bigram_logprob, q_pmi_scores, q_char_entropy —
-#: plus q_domain_mixture and q_mixture_epochs, registered in round 7
-#: after the window was composed — after r7 these are the ONLY
-#: never-attested queries),
-#: (2) the timestamp-flip readers whose newest green row predates the
-#: round-6 native-TIMESTAMP scan change (q_sessionize, q_asof_event,
-#: q_gap_fill, q_moving_avg, q_dedup_firstlast, q_tumbling_counts,
-#: q_funnel, q_cohort_retention, q_date_funcs, q_date_format,
-#: q_intnx_intck), (3) then r4-green sentinels oldest first.
+#: ROUND 9 window plan — after r8 lands, the never-attested backlog is
+#: EMPTY: every registered query has a driver-green row and none
+#: predates the timestamp reader change. Compose future windows as:
+#: (1) anything new/changed in the round (the OPERATORS.md ledger
+#: computes "changed since newest green row" from CORRECTNESS_r*.json
+#: + function-level git diff), then (2) sentinels oldest-green-first
+#: (after r8 the stalest rows are the r4 queries not refreshed here:
+#: q_multi_split, q_near_dup_embedding, q_near_dup_simhash,
+#: q_orc_roundtrip, q_pack_sequences, q_partitioned_write, q_proc_sql,
+#: q_remerge_share, q_scd2_merge, q_semi_join, ...).
 
 
 def query(

@@ -528,3 +528,76 @@ def test_int8_quantize_codes_bounded_and_cosine_preserved(spark):
         ).alias("c")
     ).collect()
     assert all(r.c > 0.9999 for r in recon)
+
+
+def test_mixture_arithmetic_1e10_rows(spark):
+    """The domain-mixture plan arithmetic (q_domain_mixture /
+    q_mixture_epochs / q_mixture_apply) is 128-bit — DECIMAL(38,0) DIV
+    on Spark, HUGEINT // in the DuckDB oracle — so it stays exact past
+    1e10-row sources, where the former BIGINT form overflows (w*T*1e6
+    ~ 1e22). Pure plan rows: synthetic per-source counts, no row
+    data."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    counts = pd.DataFrame(
+        {
+            "source": ["a", "b", "c"],
+            "n_avail": [20_000_000_000, 13_000_000_007, 7_000_000_001],
+            "w": [100, 50, 25],
+        }
+    )
+    sdf = spark.createDataFrame(counts).selectExpr(
+        "source",
+        "n_avail",
+        "w",
+        "cast(n_avail as decimal(38,0)) * 1000 div w as t_cap",
+    )
+    t = sdf.selectExpr("min(t_cap) as t").collect()[0].t
+    widened = {
+        r.source: (r.rate_ppm, r.full_epochs, r.residual_ppm)
+        for r in sdf.selectExpr(
+            "source",
+            "n_avail",
+            f"cast(w as decimal(38,0)) * {t} * 1000000"
+            f" div (1000 * cast(n_avail as decimal(38,0))) as rate_ppm",
+            "cast(w as decimal(38,0)) * 80000000016 div 1000 as target",
+        )
+        .selectExpr(
+            "source",
+            "rate_ppm",
+            "target div n_avail as full_epochs",
+            "cast(target % n_avail as decimal(38,0)) * 1000000"
+            " div n_avail as residual_ppm",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("counts", counts)
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""
+            select source,
+                   cast(cast(w as hugeint) * {t} * 1000000
+                        // (1000 * cast(n_avail as hugeint)) as bigint),
+                   cast(tgt // n_avail as bigint),
+                   cast(cast(tgt % n_avail as hugeint) * 1000000
+                        // n_avail as bigint)
+            from (select *, cast(w as hugeint) * 80000000016 // 1000 as tgt
+                  from counts)
+            """
+        ).fetchall()
+    }
+    for src, vals in widened.items():
+        assert vals == oracle[src], src
+        assert all(v is not None for v in vals)  # no decimal overflow->NULL
+
+    # the round-7 BIGINT form demonstrably cannot compute this plan:
+    # under ANSI (Spark 4 default) the w*T*1e6 numerator overflows long
+    with pytest.raises(ArithmeticException, match="ARITHMETIC_OVERFLOW"):
+        sdf.selectExpr(
+            f"w * {t} * 1000000 div (1000 * n_avail) as wrapped"
+        ).collect()

@@ -35,46 +35,80 @@ def test_queries_map_leads_with_priority() -> None:
     assert sorted(emitted) == sorted(registry.QUERIES)
 
 
-def test_round7_rotation_targets_inside_window() -> None:
-    """Round-7 plan (VERDICT r6 items 1-3, 7): every query the
-    OPERATORS.md ledger marks code-changed since its newest green row,
-    plus every query changed by this round's broadcast-gating /
-    degenerate-division / IVF-refinement work, must sit in slots 0-49;
-    the rest of the window drains the never-attested backlog (pinned
-    structurally below, not by name list)."""
-    changed_since_attestation = {
-        "q_knn_ivf", "q_range_join", "q_ship_priority",
-        "q_jaccard_pairs",
-    }
-    changed_r7_never_attested = {
-        "q_mode_per_group", "q_outlier_mad", "q_topk_other",
-        "q_hhi", "q_anomaly_days",
-    }
-    window = set(list(registry.queries_map())[:WINDOW])
-    must = changed_since_attestation | changed_r7_never_attested
-    assert must <= window, f"outside window: {sorted(must - window)}"
+#: The round whose window DRIVER_PRIORITY currently encodes. Window
+#: bookkeeping below only consults CORRECTNESS artifacts from rounds
+#: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
+#: a test that recomputes "attested" from ALL artifacts self-destructs
+#: the moment its own window's results land. Bump when recomposing.
+WINDOW_ROUND = 8
+
+#: Slots deliberately spent on already-attested queries this round:
+#: the 11 timestamp-flip re-attests (newest green row predates the
+#: round-6 native-TIMESTAMP reader) + 19 oldest-green (r4) sentinels.
+RE_ATTESTS = {
+    "q_sessionize", "q_asof_event", "q_gap_fill", "q_moving_avg",
+    "q_dedup_firstlast", "q_tumbling_counts", "q_funnel",
+    "q_cohort_retention", "q_date_funcs", "q_date_format",
+    "q_intnx_intck",
+}
+SENTINELS = {
+    "q_anti_join", "q_append_sink", "q_bucketed_join", "q_contamination",
+    "q_cosine_pairs", "q_csv_roundtrip", "q_cube", "q_dataset_compare",
+    "q_doc_embed_join", "q_doc_fingerprint", "q_doc_quality",
+    "q_exact_dup", "q_grouping_sets", "q_image_features",
+    "q_json_roundtrip", "q_knn_ivf_exactprobe", "q_lang_id",
+    "q_left_join_null", "q_min_per_group_join",
+}
 
 
-def test_round7_window_drains_backlog_only() -> None:
-    """Every non-re-attest slot must go to a NEVER-driver-attested
-    query (recomputed from the CORRECTNESS artifacts — no hand list):
-    spending a slot on an already-green, unchanged query would strand
-    a backlog query for another full round."""
+def _attested_before_window_round() -> set[str]:
+    """Queries with a green driver row in any round < WINDOW_ROUND.
+    Excluding the window's own round keeps these assertions true both
+    before AND after the driver drops CORRECTNESS_r0{WINDOW_ROUND}."""
     import json
     import pathlib
+    import re
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     attested: set[str] = set()
     for f in repo.glob("CORRECTNESS_r*.json"):
+        if int(re.search(r"r(\d+)", f.name).group(1)) >= WINDOW_ROUND:
+            continue
         for name, rec in json.loads(f.read_text()).items():
             if rec.get("rows_match") and rec.get("schema_match") and not rec.get("err"):
                 attested.add(name)
-    re_attests = {
-        "q_knn_ivf", "q_range_join", "q_ship_priority", "q_jaccard_pairs",
-    }
+    return attested
+
+
+def test_round8_rotation_targets_inside_window() -> None:
+    """Round-8 plan (VERDICT r7 items 2, 5-7): the two new operators,
+    the DECIMAL-widened mixture pair, and the 11 timestamp-flip
+    re-attests must all sit in slots 0-49."""
+    must = {
+        "q_mixture_apply", "q_knn_ivf_batch",
+        "q_domain_mixture", "q_mixture_epochs",
+    } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
-    stragglers = (window - re_attests) & attested
-    assert not stragglers, f"already-attested queries burning slots: {sorted(stragglers)}"
+    assert must <= window, f"outside window: {sorted(must - window)}"
+
+
+def test_round8_window_finishes_attestation() -> None:
+    """The r8 window must drain the ENTIRE never-attested backlog
+    (recomputed from pre-r8 CORRECTNESS artifacts, no hand list) and
+    spend every remaining slot only on declared re-attests/sentinels —
+    after this round no registered query lacks a driver-green row."""
+    attested = _attested_before_window_round()
+    registry._load_all()
+    window = set(list(registry.queries_map())[:WINDOW])
+
+    backlog = set(registry.QUERIES) - attested
+    stranded = backlog - window
+    assert not stranded, f"never-attested queries left out: {sorted(stranded)}"
+
+    undeclared = (window & attested) - RE_ATTESTS - SENTINELS
+    assert not undeclared, (
+        f"attested queries burning undeclared slots: {sorted(undeclared)}"
+    )
 
 
 def test_driver_order_raises_on_phantom_priority_name() -> None:
