@@ -77,9 +77,22 @@ def main() -> None:
 
     # Round-robin measurement: pass p runs every query once, so a
     # transient slowdown degrades one sample per query, not one
-    # query's full sample.
+    # query's full sample. Each pass also times a trivial control job
+    # (warm `spark.range(10).toPandas()`): its median, floor_ms, is
+    # the box's same-session job floor. Read sum-of-medians AGAINST
+    # it — the floor drifts 25-130 ms with box load (VERDICT r7:
+    # an apparent +20% round-over-round "regression" was fully
+    # explained by a 2-3x higher floor on the bench day), so a
+    # latency delta only indicates a plan change when floor_ms is
+    # comparable between the readings (protocol in SCALE.md).
+    floor_df = spark.range(10)
+    floor_df.toPandas()  # warm the control path too
     samples: dict[str, list[float]] = {name: [] for name in plans}
+    floor_samples: list[float] = []
     for _ in range(BENCH_RUNS):
+        t0 = time.perf_counter()
+        floor_df.toPandas()
+        floor_samples.append(time.perf_counter() - t0)
         for name, df in plans.items():
             t0 = time.perf_counter()
             df.toPandas()
@@ -97,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "floor_ms": round(statistics.median(floor_samples) * 1000, 2),
             }
         )
     )
