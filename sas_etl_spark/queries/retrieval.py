@@ -1,0 +1,272 @@
+"""Retrieval / serving queries — the search side of an LLM data
+platform: Okapi BM25 lexical scoring and reciprocal-rank-fusion
+hybrid retrieval (lexical + embedding). SAS has no native analog
+(closest: PROC SQL LIKE scans); these are the pipeline-native ops a
+corpus index actually serves.
+
+Both queries are pure relational plans: tokenize -> vocab-bounded
+aggregations -> broadcast stat/rank tables -> TakeOrderedAndProject.
+No UDFs, no collect, no per-query rescans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sas_etl_spark.catalog import load_table
+from sas_etl_spark.registry import query
+
+#: BM25 query terms — drawn from the fixture's closed vocabulary so
+#: they match at every SF. Okapi parameters at the textbook defaults.
+BM25_TERMS = ("spark", "join", "scan")
+BM25_K1, BM25_B = 1.2, 0.75
+
+#: RRF rank-smoothing constant (Cormack et al. 2009's k=60) and the
+#: per-modality candidate-list depth feeding the fusion.
+RRF_K, RRF_DEPTH = 60, 50
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+#: Shared oracle CTE block: per-doc BM25 score over the query terms.
+#: idf = ln(1 + (N-df+0.5)/(df+0.5)) (the non-negative Lucene form),
+#: tf normalized by doc length against the corpus mean.
+_BM25_ORACLE_CTES = f"""
+    toks as (
+        select doc_id, unnest(string_split(text, ' ')) as term
+        from documents
+    ),
+    dl as (
+        select doc_id, len(string_split(text, ' ')) as dl from documents
+    ),
+    stats as (
+        select count(*) as n, avg(dl) as avgdl from dl
+    ),
+    tf as (
+        select doc_id, term, count(*) as tf
+        from toks where term in ({_TERMS_SQL})
+        group by doc_id, term
+    ),
+    df as (select term, count(*) as df from tf group by term),
+    bm25 as (
+        select tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * ({BM25_K1} + 1)
+                   / (tf + {BM25_K1}
+                          * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+               ), 6) as bm25
+        from tf
+        join df using (term)
+        join dl on dl.doc_id = tf.doc_id
+        cross join stats
+        group by tf.doc_id
+    )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Okapi BM25 over BM25_TERMS as a DataFrame plan.
+
+    Shape: one tokenize pass feeds BOTH the per-doc length and the
+    (doc, term) tf counts; df re-aggregates the tf relation (bounded
+    by |terms| rows) and comes back with the 1-row corpus stats as
+    broadcasts, so the only corpus-sized exchange is the tf groupBy.
+    The term filter lands before that shuffle: only postings for the
+    query terms ever leave the scan stage.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.round(F.sum("_c"), 6).alias("bm25")
+    )
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    with {_BM25_ORACLE_CTES}
+    select doc_id, bm25
+    from bm25
+    order by bm25 desc, doc_id
+    limit 20
+    """,
+    tags=("text", "retrieval", "llm"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed term query — the lexical
+    retrieval op of a corpus index (what `grep the training set`
+    actually means at scale; SAS closest analog: PROC SQL LIKE
+    scans, which rescan every document per query).
+
+    Score is the non-negative Lucene idf form with standard
+    k1=1.2 / b=0.75 length normalization; both engines sum the same
+    <=|terms| contributions per doc and round to 6dp before the cut,
+    with doc_id tiebreak (registry LIMIT rule).
+
+    Scale: the term IN-filter reaches the token stream BEFORE the
+    (doc, term) shuffle, so postings for non-query terms never leave
+    the scan; df and the corpus stats are vocab-bounded/1-row
+    broadcasts; top-20 compiles to TakeOrderedAndProject. Serving
+    many queries batches the same shape through one plan keyed by
+    query_id — the inverted-index variant (corpus_index.py) trades
+    this scan for a prebuilt postings table.
+    """
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_rrf_hybrid",
+    oracle=f"""
+    with {_BM25_ORACLE_CTES},
+    lex as (
+        select doc_id,
+               row_number() over (order by bm25 desc, doc_id) as r_lex
+        from bm25
+    ),
+    qv as (select embedding as qv from embeddings where vec_id = 0),
+    sem_scored as (
+        select e.vec_id as doc_id,
+               round(cast(list_cosine_similarity(e.embedding, q.qv)
+                          as double), 4) as sim
+        from embeddings e, qv q
+        where e.vec_id <> 0
+    ),
+    sem as (
+        select doc_id,
+               row_number() over (order by sim desc, doc_id) as r_sem
+        from sem_scored
+    ),
+    fused as (
+        select coalesce(l.doc_id, s.doc_id) as doc_id,
+               round(coalesce(1.0 / ({RRF_K} + l.r_lex), 0)
+                     + coalesce(1.0 / ({RRF_K} + s.r_sem), 0), 6)
+                   as rrf,
+               coalesce(l.r_lex, 0) as r_lex,
+               coalesce(s.r_sem, 0) as r_sem
+        from (select * from lex where r_lex <= {RRF_DEPTH}) l
+        full outer join (select * from sem where r_sem <= {RRF_DEPTH}) s
+            on l.doc_id = s.doc_id
+    )
+    select doc_id, rrf, cast(r_lex as bigint) as r_lex,
+           cast(r_sem as bigint) as r_sem
+    from fused
+    order by rrf desc, doc_id
+    limit 10
+    """,
+    tags=("retrieval", "similarity", "llm"),
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard way
+    a modern corpus search combines a lexical (BM25) ranking with an
+    embedding-cosine ranking without score calibration (RRF, Cormack
+    et al. 2009): score = sum over lists of 1/(k + rank), k=60,
+    top-50 candidates per modality, fused top-10.
+
+    The two rankings join on the fixture's doc_id = vec_id identity
+    (documents x embeddings); docs ranked by only one modality keep
+    that modality's term (full outer join + coalesce, rank 0 marking
+    absence in the output). Ranks are deterministic on both engines:
+    row_number over (rounded score desc, id) — so the fused scores
+    and the final cut hash-match exactly.
+
+    Scale: each modality's candidate list is produced by its own
+    scale path (BM25's filtered postings; the ANN operator replaces
+    the exact cosine at corpus scale), and the fusion itself touches
+    only 2 x RRF_DEPTH rows — broadcastable, output-bounded, one
+    TakeOrderedAndProject. The global row_number windows here rank
+    CANDIDATE LISTS (bounded), never the corpus.
+    """
+    from sas_etl_spark.operators.similarity import cosine
+
+    # candidate cut FIRST via orderBy().limit() — TakeOrderedAndProject
+    # (per-partition heap + driver merge of DEPTH rows), so the global
+    # row_number window only ever ranks the bounded DEPTH-row result,
+    # never the corpus-sized score relation in one partition.
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "r_lex",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "qv"), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "r_sem",
+            F.row_number().over(
+                Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_sem")
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.coalesce("r_lex", F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce("r_sem", F.lit(0)).cast("long").alias("r_sem"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
