@@ -1011,3 +1011,193 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("content_hash").cast("long").alias("content_hash"),
         )
     )
+
+
+#: Seed for the epoch-shuffle ordering keys (distinct from every other
+#: registered seed) and the key space (uniform in [0, 1e15): ties are
+#: astronomically rare and broken deterministically anyway).
+MIX_SHUFFLE_SEED, MIX_SHUFFLE_SPACE = 17, 10**15
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    with w as (
+        select source, count(*) as n_avail,
+               case when cast(substr(source, 4) as int) < 5
+                        then {MIX_W_HIGH}
+                    when cast(substr(source, 4) as int) < 10
+                        then {MIX_W_MID}
+                    else {MIX_W_LOW} end as w
+        from documents group by source
+    ),
+    tot as (select sum(n_avail) * {MIX_BUDGET_X} + {MIX_APPLY_EXTRA}
+                as t_total from w),
+    plan2 as (
+        select source, n_avail,
+               tgt // n_avail as full_epochs,
+               cast(tgt % n_avail as hugeint) * 1000000 // n_avail
+                   as residual_ppm
+        from (select source, n_avail,
+                     cast(w as hugeint) * t_total // 1000 as tgt
+              from w cross join tot)
+    ),
+    perdoc as (
+        select d.doc_id,
+               cast(p.full_epochs
+                 + (case when {_SQL_RESID_BUCKET} < p.residual_ppm
+                         then 1 else 0 end) as bigint) as copies
+        from documents d join plan2 p on p.source = d.source
+    ),
+    multiset as (
+        select doc_id, unnest(range(1, copies + 1)) as e
+        from perdoc where copies >= 1
+    ),
+    keyed as (
+        select e, doc_id,
+               list_reduce(list_transform(range(1,16),
+                   j -> strpos('0123456789abcdef',
+                               substr(sha256('{MIX_SHUFFLE_SEED}:'
+                                             || cast(doc_id as varchar)
+                                             || '#' || cast(e as varchar)),
+                                      j, 1)) - 1),
+                 (a,x) -> a*16+x) % {MIX_SHUFFLE_SPACE} as k
+        from multiset
+    ),
+    head as (
+        select string_agg(cast(e as varchar) || ':'
+                          || cast(doc_id as varchar), ','
+                          order by k, e, doc_id) as head10
+        from (select * from keyed order by k, e, doc_id limit 10)
+    )
+    select cast(e as bigint) as epoch,
+           cast(count(*) as bigint) as n_rows,
+           cast(min(k) as bigint) as key_min,
+           cast(max(k) as bigint) as key_max,
+           cast(sum(k % 1000003) as bigint) as key_modsum,
+           head10
+    from keyed cross join head
+    group by e, head10
+    """,
+    tags=("sample", "llm", "scale"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle of the mixed corpus — the
+    third leg of the mixture lane (q_mixture_epochs PLANS the mix,
+    q_mixture_apply MATERIALIZES the multiset, this op ORDERS it for
+    training): every (doc, epoch) copy gets a pseudo-random sort key
+    = seeded sha256 of (doc_id, epoch) in [0, 1e15), so the data
+    order is a pure function of (seed, content) — identical across
+    engines, runs, cluster sizes, and repartitionings. Spark's own
+    rand()/shuffle would be partition-dependent and unreplayable: the
+    same reason srs_sample exists.
+
+    Attestation covers the ORDER-DEFINING material end to end: the
+    global head-10 of the permutation in key order (TakeOrdered, the
+    actual start of epoch-interleaved training), and per-epoch key
+    count/min/max/modular-sum — any key gained, lost, or changed
+    flips a column, and the full permutation is derivable from the
+    keys by construction. key_modsum folds each key mod 1000003
+    before summing, exact to ~9e12 rows per epoch in BIGINT.
+
+    Scale: keys are one codegen projection over q_mixture_apply's
+    scan-side explode (no extra pass); the per-epoch stats are one
+    map-side-combined groupBy over <= max-epoch groups; the head is
+    TakeOrderedAndProject. The production WRITER materializes the
+    order without any global rank:
+    ``repartitionByRange(key).sortWithinPartitions(key)`` writes
+    range-partitioned files whose concatenation IS the permutation —
+    positions never exist as data, so nothing here is corpus-global
+    except the 10-row head."""
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    idx = F.substring("source", 4, 10).cast("int")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn(
+            "w",
+            F.when(idx < 5, F.lit(MIX_W_HIGH))
+            .when(idx < 10, F.lit(MIX_W_MID))
+            .otherwise(F.lit(MIX_W_LOW)),
+        )
+    )
+    tot = w.agg(
+        (F.sum("n_avail") * MIX_BUDGET_X + MIX_APPLY_EXTRA).alias("t_total")
+    )
+    plan = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_rows",
+            F.expr("cast(w as decimal(38,0)) * t_total div 1000"),
+        )
+        .select(
+            "source",
+            F.expr("target_rows div n_avail").alias("full_epochs"),
+            F.expr(
+                "cast(target_rows % n_avail as decimal(38,0))"
+                " * 1000000 div n_avail"
+            ).alias("residual_ppm"),
+        )
+    )
+    resid = hash_bucket("doc_id", 1_000_000, seed=MIX_RESID_SEED)
+    copies = F.col("full_epochs") + F.when(
+        resid < F.col("residual_ppm"), F.lit(1)
+    ).otherwise(F.lit(0))
+    keyed = (
+        docs.join(F.broadcast(plan), "source")
+        .withColumn("copies", copies)
+        .filter(F.col("copies") >= 1)
+        .withColumn("e", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+        .select(
+            "e",
+            "doc_id",
+            hash_bucket(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("e").cast("string"),
+                ),
+                MIX_SHUFFLE_SPACE,
+                seed=MIX_SHUFFLE_SEED,
+            ).alias("k"),
+        )
+    )
+    head = (
+        keyed.orderBy(F.asc("k"), F.asc("e"), F.asc("doc_id"))
+        .limit(10)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("k", "e", "doc_id"))
+                    ),
+                    lambda s: F.concat(
+                        s["e"].cast("string"),
+                        F.lit(":"),
+                        s["doc_id"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("head10")
+        )
+    )
+    return (
+        keyed.groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("key_min"),
+            F.max("k").alias("key_max"),
+            F.sum(F.col("k") % 1000003).alias("key_modsum"),
+        )
+        .crossJoin(F.broadcast(head))
+        .select(
+            F.col("e").cast("long").alias("epoch"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("key_min").cast("long").alias("key_min"),
+            F.col("key_max").cast("long").alias("key_max"),
+            F.col("key_modsum").cast("long").alias("key_modsum"),
+            "head10",
+        )
+    )
