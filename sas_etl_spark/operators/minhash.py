@@ -209,3 +209,95 @@ def prefix_filtered_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_filtered_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT join: ordered pairs (a_id, b_id) with
+    C(A->B) = |sh(A) n sh(B)| / |sh(A)| >= threshold, a != b — the
+    asymmetric dedup relation Jaccard misses entirely: a short doc
+    pasted inside a much longer one has tiny Jaccard (union is
+    B-sized) but containment ~1. This is the quote/boilerplate/
+    subset-duplication detector of a curation pipeline.
+
+    Prefix filtering adapts to the asymmetry (PRETTI/PIEJoin family):
+    order A's shingles by a global total order (xxhash64) and keep
+    the prefix of length |A| - ceil(t*|A|) + 1 — if C >= t the
+    required ceil(t*|A|) overlapping elements cannot all hide in A's
+    suffix, so some prefix element of A appears SOMEWHERE in B.
+    Unlike the Jaccard case, B contributes ALL its shingles to the
+    candidate equi-join (the overlap may sit anywhere in B), and the
+    only size constraint is |B| >= t*|A| (B needs room for the
+    required overlap; no upper bound — that is the asymmetry).
+    Exact verify on candidates => recall is exactly 1, same
+    argument as prefix_filtered_pairs. Cost: candidates ~
+    (1-t)*|A|-prefix tokens x their global postings — strong pruning
+    at high thresholds; below ~0.5 prefer banding A's prefix through
+    MinHash.
+
+    The 1e-9 ceil nudge and 1e-6 size-filter slack carry over from
+    prefix_filtered_pairs (same representation-error reasoning).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_array(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    ordered = sh.select(
+        "_id",
+        "_sh",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+                )
+            ),
+            lambda st: st["h"],
+        ).alias("_hs"),
+    )
+    prefix_len = (
+        F.size(F.col("_hs"))
+        - F.ceil(F.size(F.col("_hs")) * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    a_prefix = ordered.select(
+        F.col("_id").alias("a_id"),
+        F.size(F.col("_hs")).alias("_na"),
+        F.explode(F.slice(F.col("_hs"), 1, prefix_len)).alias("_tok"),
+    )
+    b_all = ordered.select(
+        F.col("_id").alias("b_id"),
+        F.size(F.col("_hs")).alias("_nb"),
+        F.explode(F.col("_hs")).alias("_tok"),
+    )
+    cands = (
+        a_prefix.join(
+            b_all,
+            (a_prefix["_tok"] == b_all["_tok"])
+            & (a_prefix["a_id"] != b_all["b_id"])
+            & (b_all["_nb"] >= a_prefix["_na"] * F.lit(threshold - 1e-6)),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = ordered.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sa"))
+    vb = ordered.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sb"))
+    return (
+        cands.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+                / F.size(F.col("_sa")),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -148,6 +148,47 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_containment_pairs",
+    oracle="""
+    with sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                            (string_split(text, ' '))[i:i+2], ' '))) as s
+        from documents
+    )
+    select a.doc_id as a_id, b.doc_id as b_id,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+               as containment
+    from sh a, sh b
+    where a.doc_id <> b.doc_id
+      and round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) >= 0.8
+    """,
+    tags=("dedup", "text", "scale"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-CONTAINMENT dedup pairs — the asymmetric relation
+    Jaccard misses: C(A->B) = |sh(A) n sh(B)|/|sh(A)| >= 0.8 flags a
+    doc mostly reproduced inside another (quotes, boilerplate,
+    subset-duplication) even when the longer doc makes the union —
+    and thus Jaccard — tiny. Ordered pairs (a contained-in b), both
+    directions for exact dups.
+
+    Spark side is operators/minhash.containment_filtered_pairs: A's
+    xxhash-ordered shingle prefix (length |A|-ceil(t|A|)+1) equi-
+    joined against ALL of B's shingles with the |B| >= t|A| size
+    filter, then exact verify — recall provably 1, candidates from
+    postings collisions, never all-pairs. The DuckDB oracle is the
+    brute-force O(n^2) ground truth (test-SF verifiable form; at
+    100 TB candidates come from the prefix join only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from sas_etl_spark.operators.minhash import containment_filtered_pairs
+
+    return containment_filtered_pairs(docs, threshold=0.8)
+
+
+@query(
     "q_dup_clusters",
     oracle="""
     with recursive sh as (

@@ -1,5 +1,6 @@
-"""Intermediate-SF parity for the O(n²)-oracle trio (VERDICT r6 item
-8): q_jaccard_pairs / q_near_dup_minhash / q_dup_clusters are
+"""Intermediate-SF parity for the O(n²)-oracle family (VERDICT r6
+item 8): q_jaccard_pairs / q_near_dup_minhash / q_dup_clusters (and
+round 8's q_containment_pairs, same all-pairs oracle shape) are
 hash-exact at sf0.01 and protocol-skipped at sf0.1 (their DuckDB
 twins — all-pairs Jaccard and a recursive transitive closure — run
 50+ minutes there). This suite fills the gap in between: the SAME
@@ -25,7 +26,8 @@ from tests.parity import assert_parity
 queries_map()
 
 SF_SOURCE = "/root/testdata/sf0.1"
-TRIO = ("q_jaccard_pairs", "q_near_dup_minhash", "q_dup_clusters")
+TRIO = ("q_jaccard_pairs", "q_near_dup_minhash", "q_dup_clusters",
+        "q_containment_pairs")
 
 
 @pytest.fixture(scope="module")

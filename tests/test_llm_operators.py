@@ -601,3 +601,40 @@ def test_mixture_arithmetic_1e10_rows(spark):
         sdf.selectExpr(
             f"w * {t} * 1000000 div (1000 * n_avail) as wrapped"
         ).collect()
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The asymmetric dedup contract: a short doc fully pasted inside
+    a much longer one has containment 1.0 but Jaccard far below any
+    dedup threshold — containment_filtered_pairs must flag (short ->
+    long) only, and its prefix filter must lose nothing vs brute
+    force."""
+    from sas_etl_spark.operators.minhash import (
+        containment_filtered_pairs,
+        jaccard,
+        shingle_array,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + (
+        " one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_filtered_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}  # short-in-long only; never reversed
+
+    # the same pair's Jaccard is far below threshold — the relation
+    # containment exists to catch
+    j = docs.filter("doc_id = 1").crossJoin(
+        docs.filter("doc_id = 2").select(F.col("text").alias("t2"))
+    ).select(
+        jaccard(shingle_array(F.col("text")), shingle_array(F.col("t2"))).alias("j")
+    ).collect()[0].j
+    assert j < 0.35
