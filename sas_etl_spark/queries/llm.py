@@ -1255,3 +1255,56 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("neg_lp"), 6).alias("avg_neg_logprob"),
     )
+
+
+@query(
+    "q_ngram_diversity",
+    oracle="""
+    with grams as (
+        select source,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                            (string_split(text, ' '))[i:i+2], ' '))) as g
+        from documents
+    )
+    select source,
+           cast(count(*) as bigint) as n_grams,
+           cast(count(distinct g) as bigint) as n_distinct,
+           round(count(distinct g) * 1.0 / count(*), 6) as ttr,
+           round(1 - count(distinct g) * 1.0 / count(*), 6) as repetition
+    from grams
+    group by source
+    """,
+    tags=("text", "quality", "llm"),
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity (trigram type-token ratio) — the
+    corpus-level mode-collapse detector for synthetic/augmented data:
+    a source whose generator loops emits many total trigrams but few
+    DISTINCT ones, so its TTR collapses while per-doc quality rules
+    (repetition_ratio is the within-doc twin) still pass. distinct-n
+    over the corpus is the standard diversity readout for generated
+    text.
+
+    One explode pass (token split staged once — token_ngrams, not the
+    O(tokens^2) convenience form), then a single groupBy(source) with
+    count + count(distinct gram). Exact distinct here for oracle
+    parity; the 100 TB form swaps in approx_count_distinct (HLL++,
+    mergeable — the q_approx_distinct pattern) and keeps the same
+    shape: one shuffle keyed by (source, gram) for the expand, output
+    O(sources)."""
+    from sas_etl_spark.operators.text import token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.split("text", " ").alias("_toks")
+    ).select("source", F.explode(token_ngrams(F.col("_toks"), 3)).alias("g"))
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        F.round(F.countDistinct("g") / F.count(F.lit(1)), 6).alias("ttr"),
+        F.round(
+            F.lit(1) - F.countDistinct("g") / F.count(F.lit(1)), 6
+        ).alias("repetition"),
+    )

@@ -57,20 +57,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 6 + 18 + 11 + 15):
+    # reader change). Composition (50 = 7 + 18 + 11 + 14):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
     # retrieval pair (Okapi BM25 + RRF hybrid search, queries/
     # retrieval.py), q_epoch_shuffle (deterministic training order
     # over the mixed corpus — the third leg of the mixture lane), and
-    # q_containment_pairs (asymmetric short-in-long dedup)
+    # q_containment_pairs (asymmetric short-in-long dedup) +
+    # q_ngram_diversity (corpus-level mode-collapse readout)
     "q_mixture_apply",
     "q_knn_ivf_batch",
     "q_bm25",
     "q_rrf_hybrid",
     "q_epoch_shuffle",
     "q_containment_pairs",
+    "q_ngram_diversity",
     # -- (b) the 18 queries never inside a driver window after r7
     # (16 deferred from the r7 cap + the two domain-mixing ops
     # registered after r7's window was composed; the mixture pair
@@ -124,7 +126,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_doc_quality",
     "q_exact_dup",
     "q_grouping_sets",
-    "q_image_features",
     "q_knn_ivf_exactprobe",
 )
 
@@ -135,7 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: computes "changed since newest green row" from CORRECTNESS_r*.json
 #: + function-level git diff), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
-#: q_json_roundtrip, q_lang_id, q_left_join_null,
+#: q_image_features, q_json_roundtrip, q_lang_id, q_left_join_null,
 #: q_min_per_group_join, q_multi_split,
 #: q_near_dup_embedding, q_near_dup_simhash, q_orc_roundtrip,
 #: q_pack_sequences, q_partitioned_write, q_proc_sql,

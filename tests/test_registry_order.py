@@ -44,7 +44,7 @@ WINDOW_ROUND = 8
 
 #: Slots deliberately spent on already-attested queries this round:
 #: the 11 timestamp-flip re-attests (newest green row predates the
-#: round-6 native-TIMESTAMP reader) + 15 oldest-green (r4) sentinels.
+#: round-6 native-TIMESTAMP reader) + 14 oldest-green (r4) sentinels.
 RE_ATTESTS = {
     "q_sessionize", "q_asof_event", "q_gap_fill", "q_moving_avg",
     "q_dedup_firstlast", "q_tumbling_counts", "q_funnel",
@@ -55,8 +55,7 @@ SENTINELS = {
     "q_anti_join", "q_append_sink", "q_bucketed_join", "q_contamination",
     "q_cosine_pairs", "q_csv_roundtrip", "q_cube", "q_dataset_compare",
     "q_doc_embed_join", "q_doc_fingerprint", "q_doc_quality",
-    "q_exact_dup", "q_grouping_sets", "q_image_features",
-    "q_knn_ivf_exactprobe",
+    "q_exact_dup", "q_grouping_sets", "q_knn_ivf_exactprobe",
 }
 
 
@@ -80,12 +79,12 @@ def _attested_before_window_round() -> set[str]:
 
 
 def test_round8_rotation_targets_inside_window() -> None:
-    """Round-8 plan (VERDICT r7 items 2, 5-7): the six new operators,
+    """Round-8 plan (VERDICT r7 items 2, 5-7): the seven new operators,
     the DECIMAL-widened mixture pair, and the 11 timestamp-flip
     re-attests must all sit in slots 0-49."""
     must = {
         "q_mixture_apply", "q_knn_ivf_batch", "q_bm25", "q_rrf_hybrid",
-        "q_epoch_shuffle", "q_containment_pairs",
+        "q_epoch_shuffle", "q_containment_pairs", "q_ngram_diversity",
         "q_domain_mixture", "q_mixture_epochs",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
