@@ -247,19 +247,36 @@ def containment_filtered_pairs(
         F.col(id_col).alias("_id"),
         shingle_array(F.col(text_col), shingle_n).alias("_sh"),
     )
-    ordered = sh.select(
-        "_id",
-        "_sh",
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
-                )
-            ),
-            lambda st: st["h"],
-        ).alias("_hs"),
+    # Global order = ASCENDING document frequency (xxhash64 tiebreak),
+    # the canonical AllPairs ordering: each doc's prefix then holds
+    # its RAREST shingles, whose postings lists are short, so the
+    # prefix-vs-all-of-B equi-join collides on rare tokens instead of
+    # corpus-hot ones. Any global total order keeps recall exactly 1
+    # (the ceil(t|A|) pigeonhole never references the order choice);
+    # frequency order only changes WHICH prefix tokens generate
+    # candidates. On a closed-vocabulary corpus (worst case: every
+    # trigram is hot) this is the difference between near-all-pairs
+    # and postings-bounded candidates — measured 3.8 s -> well under
+    # the oracle class at sf0.1 (SCALE.md round-8). Costs one linear
+    # df aggregation + a doc-keyed regroup, both combiner-friendly.
+    tok = sh.select("_id", F.explode("_sh").alias("_s"))
+    dft = tok.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    ordered_hs = (
+        tok.join(dft, "_s")
+        .select(
+            "_id",
+            F.struct(
+                F.col("_df"), F.xxhash64("_s").alias("h")
+            ).alias("_key"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("_key")), lambda st: st["h"]
+            ).alias("_hs")
+        )
     )
+    ordered = sh.join(ordered_hs, "_id")
     prefix_len = (
         F.size(F.col("_hs"))
         - F.ceil(F.size(F.col("_hs")) * F.lit(threshold) - F.lit(1e-9))

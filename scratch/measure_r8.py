@@ -14,8 +14,12 @@ from sas_etl_spark.catalog import TABLES
 from sas_etl_spark.registry import QUERIES, queries_map
 from sas_etl_spark.session import get_spark
 
+# q_containment_pairs is EXCLUDED: its DuckDB oracle is the O(n^2)
+# brute-force ground truth (50+ min at sf0.1, the q_jaccard_pairs
+# protocol-skip class) — Spark-side-only measurement below instead.
 NAMES = ["q_mixture_apply", "q_knn_ivf_batch", "q_bm25", "q_rrf_hybrid",
-         "q_domain_mixture", "q_mixture_epochs"]
+         "q_domain_mixture", "q_mixture_epochs", "q_epoch_shuffle",
+         "q_ngram_diversity"]
 N = 5
 
 queries_map()
@@ -42,5 +46,9 @@ for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), ("/tmp/sf1.0", "sf1")):
         s = med(df.collect)
         d = med(lambda: con.execute(spec.oracle).fetchall())
         print(f"{name:22s} spark {s:7.1f} ms   duck {d:8.1f} ms   ratio {s/d:5.2f}x")
+    # Spark-side-only timing for the O(n^2)-oracle containment join
+    # (the operator itself is prefix-filtered, not all-pairs)
+    df = QUERIES["q_containment_pairs"].fn(spark, sf_dir)
+    print(f"{'q_containment_pairs':22s} spark {med(df.collect):7.1f} ms   (oracle O(n^2): protocol skip)")
     con.close()
 spark.stop()
