@@ -134,7 +134,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: predates the timestamp reader change. Compose future windows as:
 #: (1) anything new/changed in the round (the OPERATORS.md ledger
 #: computes "changed since newest green row" from CORRECTNESS_r*.json
-#: + function-level git diff), then (2) sentinels oldest-green-first
+#: + function-level git diff — NOTE the ledger tracks QUERY functions,
+#: not shared helpers: round 8 changed streaming/builders.stream_events
+#: (directory-layout source fix) without flagging the 8 q_stream_*
+#: queries, so give those re-attest slots in r9 even though their
+#: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
 #: q_image_features, q_json_roundtrip, q_lang_id, q_left_join_null,
 #: q_min_per_group_join, q_multi_split,

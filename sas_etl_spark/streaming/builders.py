@@ -11,6 +11,7 @@ bounded stand-in):
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,20 +23,32 @@ from sas_etl_spark.session import configure
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """The events fixture as a file stream (bounded stand-in for a
-    real source; swap .format for kafka in production). pathGlobFilter
-    restricts the directory listing to the events file; ``ts`` is
+    real source; swap .format for kafka in production). ``ts`` is
     normalized to canonical TimestampType by the SAME total helper the
     batch path uses (catalog.normalize_event_ts), so both lanes track
     fixture-encoding changes in one place.
+
+    Layout handling: ``{sf_dir}/events.parquet`` is a single FILE in
+    the driver's testdata but a DIRECTORY of part-files in any
+    Spark-written dataset (the sf1/sf10 bench fixtures, production
+    tables). readStream requires a directory, and a pathGlobFilter
+    naming the table entry matches ZERO part-files under the
+    directory layout — the stream then reads nothing and downstream
+    sinks stay empty (caught by the round-8 sf10 full-registry
+    sweep). So: stream the table directory itself when it is one
+    (object-store layouts always take this branch), else stream the
+    parent with the glob pinned to the single file.
     """
     configure(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    table_path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(table_path).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if os.path.isdir(table_path):
+        raw = reader.parquet(table_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_event_ts(raw)
 
 
