@@ -225,13 +225,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed within 5x its configured rsd of exact", which the oracle
     asserts as constant 1 — a hash-verified error-bound attestation,
     not just a row count. Production callers use the approx aggregate
-    alone; this registered form is its accuracy harness."""
+    alone; this registered form is its accuracy harness.
+
+    Round 8: the two aggregates run as SEPARATE plans joined on the
+    3-row group key instead of one mixed agg — Spark's mixed
+    distinct/non-distinct aggregation shuffles the raw key stream
+    alongside the sketch path, and the split form measured 12x faster
+    at sf10 (62.5 s -> 5.2 s, identical results; SCALE.md). The join
+    is 3 rows x 3 rows — free."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    agg = sketch.join(exact, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",

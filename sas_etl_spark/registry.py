@@ -57,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 7 + 18 + 11 + 14):
+    # reader change). Composition (50 = 7 + 18 + 12 + 13):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
@@ -96,9 +96,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bigram_logprob",
     "q_pmi_scores",
     "q_char_entropy",
-    # -- (c) timestamp-flip re-attests (VERDICT r7 item 2 / gap 2):
-    # newest driver-green row predates the round-6 native-TIMESTAMP
-    # scan change; locally green under the new reader, re-proven here
+    # -- (c) re-attests: the 11 timestamp-flip readers (VERDICT r7
+    # item 2 / gap 2 — newest driver-green row predates the round-6
+    # native-TIMESTAMP scan change) + q_approx_distinct (r8 code
+    # change: split mixed distinct/sketch agg, 12x at sf10)
+    "q_approx_distinct",
     "q_sessionize",
     "q_asof_event",
     "q_gap_fill",
@@ -125,7 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_doc_fingerprint",
     "q_doc_quality",
     "q_exact_dup",
-    "q_grouping_sets",
     "q_knn_ivf_exactprobe",
 )
 
@@ -140,7 +141,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: queries, so give those re-attest slots in r9 even though their
 #: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
-#: q_image_features, q_json_roundtrip, q_lang_id, q_left_join_null,
+#: q_grouping_sets, q_image_features, q_json_roundtrip, q_lang_id,
+#: q_left_join_null,
 #: q_min_per_group_join, q_multi_split,
 #: q_near_dup_embedding, q_near_dup_simhash, q_orc_roundtrip,
 #: q_pack_sequences, q_partitioned_write, q_proc_sql,
