@@ -57,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 7 + 18 + 12 + 13):
+    # reader change). Composition (50 = 7 + 18 + 14 + 11):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
@@ -98,9 +98,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_char_entropy",
     # -- (c) re-attests: the 11 timestamp-flip readers (VERDICT r7
     # item 2 / gap 2 — newest driver-green row predates the round-6
-    # native-TIMESTAMP scan change) + q_approx_distinct (r8 code
-    # change: split mixed distinct/sketch agg, 12x at sf10)
+    # native-TIMESTAMP scan change) + 3 r8 plan reworks measured at
+    # sf10 (q_approx_distinct: split mixed distinct/sketch agg, 12x;
+    # q_spearman_corr / q_weighted_median: histogram ranks instead of
+    # few-group row windows, 3.9x / 29x)
     "q_approx_distinct",
+    "q_spearman_corr",
+    "q_weighted_median",
     "q_sessionize",
     "q_asof_event",
     "q_gap_fill",
@@ -123,8 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_csv_roundtrip",
     "q_cube",
     "q_dataset_compare",
-    "q_doc_embed_join",
-    "q_doc_fingerprint",
     "q_doc_quality",
     "q_exact_dup",
     "q_knn_ivf_exactprobe",
@@ -141,7 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: queries, so give those re-attest slots in r9 even though their
 #: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
-#: q_grouping_sets, q_image_features, q_json_roundtrip, q_lang_id,
+#: q_doc_embed_join, q_doc_fingerprint, q_grouping_sets,
+#: q_image_features, q_json_roundtrip, q_lang_id,
 #: q_left_join_null,
 #: q_min_per_group_join, q_multi_split,
 #: q_near_dup_embedding, q_near_dup_simhash, q_orc_roundtrip,
