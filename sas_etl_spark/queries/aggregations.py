@@ -161,15 +161,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROC UNIVARIATE with QNTLDEF=4). SURVEY.md §2.4 #31.
 
     Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
-    interpolation — semantically identical. The 100 TB variant is
-    ``percentile_approx`` (t-digest-like sketch; q_approx_distinct's
-    sibling) — exact percentile requires collecting per-group values.
+    interpolation — semantically identical. Round 8: computed via
+    operators/quantiles.exact_percentiles_hist instead of the
+    ``percentile`` aggregate — the builtin BUFFERS every group value
+    in executor memory (the 100 TB OOM risk its own docs warn about),
+    while the histogram form needs O(distinct values) state, stays
+    map-side combined, and reproduces the same interpolated order
+    statistics exactly. ``percentile_approx`` remains the sketch
+    option when even the value domain is unbounded.
     """
+    from sas_etl_spark.operators.quantiles import exact_percentiles_hist
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+    return exact_percentiles_hist(
+        li, "l_returnflag", "l_quantity",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75}, round_dp=6,
     )
 
 

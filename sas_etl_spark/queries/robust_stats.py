@@ -588,14 +588,19 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4dp rounding covers only the mean summation order).
 
     Scale: the cuts table is O(groups) and broadcasts; the clamp is
-    scan-side; one map-side-combining agg. At 100 TB swap
-    percentile_approx for the cuts (same shape, constant state) —
-    winsorization tolerates sketch-grade cut placement by design.
+    scan-side; one map-side-combining agg. Round 8: the cuts come
+    from operators/quantiles.exact_percentiles_hist (value-histogram
+    order statistics, O(distinct values) state) instead of the
+    ``percentile`` aggregate, which buffers every group value in
+    executor memory. At 100 TB swap percentile_approx for the cuts
+    (same shape, constant state) — winsorization tolerates
+    sketch-grade cut placement by design.
     """
+    from sas_etl_spark.operators.quantiles import exact_percentiles_hist
+
     li = load_table(spark, sf_dir, "lineitem")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    cuts = exact_percentiles_hist(
+        li, "l_returnflag", "l_extendedprice", {"p01": 0.01, "p99": 0.99}
     )
     w = li.join(F.broadcast(cuts), "l_returnflag").select(
         "l_returnflag",

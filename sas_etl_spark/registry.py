@@ -57,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 7 + 18 + 14 + 11):
+    # reader change). Composition (50 = 7 + 18 + 16 + 9):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
@@ -101,10 +101,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # native-TIMESTAMP scan change) + 3 r8 plan reworks measured at
     # sf10 (q_approx_distinct: split mixed distinct/sketch agg, 12x;
     # q_spearman_corr / q_weighted_median: histogram ranks instead of
-    # few-group row windows, 3.9x / 29x)
+    # few-group row windows, 3.9x / 29x; q_percentiles / q_winsorize:
+    # histogram order statistics instead of value-buffering
+    # percentile(), killing the per-group OOM risk)
     "q_approx_distinct",
     "q_spearman_corr",
     "q_weighted_median",
+    "q_percentiles",
+    "q_winsorize",
     "q_sessionize",
     "q_asof_event",
     "q_gap_fill",
@@ -123,8 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_append_sink",
     "q_bucketed_join",
     "q_contamination",
-    "q_cosine_pairs",
-    "q_csv_roundtrip",
     "q_cube",
     "q_dataset_compare",
     "q_doc_quality",
@@ -143,7 +145,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: queries, so give those re-attest slots in r9 even though their
 #: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
-#: q_doc_embed_join, q_doc_fingerprint, q_grouping_sets,
+#: q_cosine_pairs, q_csv_roundtrip, q_doc_embed_join,
+#: q_doc_fingerprint, q_grouping_sets,
 #: q_image_features, q_json_roundtrip, q_lang_id,
 #: q_left_join_null,
 #: q_min_per_group_join, q_multi_split,
