@@ -79,3 +79,83 @@ def exact_percentiles_hist(
             out = F.round(out, round_dp)
         aggs.append(out.alias(name))
     return joined.groupBy(group_col).agg(*aggs)
+
+
+def order_statistics_bucketed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    positions: DataFrame,
+    n_buckets: int = 64,
+    out_col: str = "x",
+) -> DataFrame:
+    """Exact order statistics x(pos) per group for NEAR-UNIQUE value
+    domains — the two-level form of the histogram trick: when
+    distinct(value) ~ rows, a per-group prefix sum over the distinct
+    table serializes exactly like a row window, so rank TWO levels
+    instead:
+
+      1. sketch-guided range buckets: percentile_approx cut points
+         split each group's value range into ~n_buckets equal-mass
+         buckets (the sketch only PLACES boundaries — exactness never
+         depends on it);
+      2. per-(group, bucket) counts -> bucket offsets via a prefix sum
+         over the n_buckets-row table;
+      3. each requested position maps to the single bucket containing
+         it (offset < pos <= offset + count), with an in-bucket
+         residual rank;
+      4. ONLY the needed buckets' rows (a broadcast semi-join filter)
+         get a local row_number window partitioned by (group, bucket)
+         — parallelism = groups x buckets instead of groups, and the
+         sorted row count is (needed buckets) x (rows/bucket), not the
+         corpus.
+
+    ``positions`` must have columns (group_col, ``_pos``) — distinct
+    1-based global ranks to fetch, already clamped to [1, n]. Rows
+    with equal values never straddle a bucket (bucketing is by value),
+    and in-bucket order is (value, tiebreak), so bucket offset +
+    local rank reproduces the global (value, tiebreak) row_number
+    exactly. Returns (group_col, _pos, out_col).
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, fracs, 10_000).alias("_cuts")
+    )
+    bucketed = df.join(F.broadcast(cuts), group_col).withColumn(
+        "_bkt",
+        F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(value_col) >= c, 1).otherwise(0),
+        ),
+    )
+    bcounts = bucketed.groupBy(group_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+    )
+    located = positions.join(F.broadcast(offsets), group_col).filter(
+        (F.col("_pos") > F.col("_off"))
+        & (F.col("_pos") <= F.col("_off") + F.col("_bc"))
+    ).select(group_col, "_pos", "_bkt", (F.col("_pos") - F.col("_off")).alias("_local"))
+    needed = located.select(group_col, "_bkt").distinct()
+    w_local = Window.partitionBy(group_col, "_bkt").orderBy(
+        value_col, tiebreak_col
+    )
+    ranked = (
+        bucketed.join(F.broadcast(needed), [group_col, "_bkt"])
+        .withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    )
+    return (
+        ranked.join(F.broadcast(located), [group_col, "_bkt"])
+        .filter(F.col("_lrn") == F.col("_local"))
+        .select(group_col, "_pos", F.col(value_col).alias(out_col))
+    )

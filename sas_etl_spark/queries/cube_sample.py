@@ -383,25 +383,21 @@ def q_pctldef(spark: SparkSession, sf_dir: str) -> DataFrame:
     so j and g are engine-exact and every branch condition (g=0,
     g=1/2, parity of j) is deterministic on both engines.
 
-    Scale: one partitioned rank (no global sort), a 15-row
-    position table broadcast into five ranked-side lookups, each a
-    broadcast join selecting single rows. At 100 TB the exact ranked
-    lookup swaps for the percentile_approx sketch ONLY when PCTLDEF
-    fidelity is not contractual — which is exactly when a SAS audit
-    isn't watching.
+    Scale (round-8 rework): the former form ranked every row with a
+    window partitioned by the 5-value group key — one task sorting
+    ~n/5 rows (29 s at sf10, linear with no parallelism to recruit).
+    Order statistics now come from operators/quantiles.
+    order_statistics_bucketed: sketch-guided range buckets, bucket
+    prefix offsets, and a local row_number over ONLY the <=25 needed
+    buckets — parallelism = groups x buckets and the sorted rows are
+    (needed buckets) x (rows/bucket), not the corpus. The five
+    per-definition lookups then join the resolved (group, position)
+    -> x table instead of rescanning a ranked corpus five times.
     """
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    ranked = orders.select(
-        "o_orderpriority",
-        F.col("o_totalprice").alias("x"),
-        F.row_number().over(w).cast("long").alias("rn"),
-    )
-    stats = ranked.groupBy("o_orderpriority").agg(F.max("rn").alias("n"))
     pcts = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "p double")
     n, p = F.col("n"), F.col("p")
     gp = stats.crossJoin(F.broadcast(pcts)).select(
@@ -432,24 +428,32 @@ def q_pctldef(spark: SparkSession, sf_dir: str) -> DataFrame:
         clamp(j4 + 1).alias("hi4"),
     )
 
-    # five single-row lookups: join ranked against the broadcast
-    # position table on (group, rn == position)
+    # resolve the distinct needed positions ONCE via the bucketed
+    # order-statistics operator, then five tiny (group, p) lookups
+    # against the resolved table
+    from sas_etl_spark.operators.quantiles import order_statistics_bucketed
+
+    role_cols = ("lo", "hi", "i2", "lo4", "hi4")
+    needed = None
+    for rc in role_cols:
+        part = pos.select("o_orderpriority", F.col(rc).alias("_pos"))
+        needed = part if needed is None else needed.unionByName(part)
+    resolved = order_statistics_bucketed(
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        needed.distinct(),
+    )
+
     def lookup(pos_df: DataFrame, pos_col: str, out: str) -> DataFrame:
-        side = pos_df.select(
-            F.col("o_orderpriority").alias("gk"),
-            F.col("p").alias("pk"),
-            F.col(pos_col).alias("want"),
-        )
         return (
-            ranked.join(
-                F.broadcast(side),
-                (ranked.o_orderpriority == side.gk)
-                & (ranked.rn == side.want),
+            pos_df.select(
+                "o_orderpriority", "p", F.col(pos_col).alias("_pos")
             )
+            .join(F.broadcast(resolved), ["o_orderpriority", "_pos"])
             .select(
-                F.col("gk").alias("o_orderpriority"),
-                F.col("pk").alias("p"),
-                F.col("x").alias(out),
+                "o_orderpriority", "p", F.col("x").alias(out)
             )
         )
 

@@ -57,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 7 + 18 + 16 + 9):
+    # reader change). Composition (50 = 7 + 18 + 17 + 8):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
@@ -103,12 +103,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_spearman_corr / q_weighted_median: histogram ranks instead of
     # few-group row windows, 3.9x / 29x; q_percentiles / q_winsorize:
     # histogram order statistics instead of value-buffering
-    # percentile(), killing the per-group OOM risk)
+    # percentile(), killing the per-group OOM risk; q_pctldef:
+    # bucketed two-level exact rank, 2.5x and no corpus-wide window)
     "q_approx_distinct",
     "q_spearman_corr",
     "q_weighted_median",
     "q_percentiles",
     "q_winsorize",
+    "q_pctldef",
     "q_sessionize",
     "q_asof_event",
     "q_gap_fill",
@@ -126,7 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_anti_join",
     "q_append_sink",
     "q_bucketed_join",
-    "q_contamination",
     "q_cube",
     "q_dataset_compare",
     "q_doc_quality",
@@ -145,7 +146,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: queries, so give those re-attest slots in r9 even though their
 #: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
-#: q_cosine_pairs, q_csv_roundtrip, q_doc_embed_join,
+#: q_contamination, q_cosine_pairs, q_csv_roundtrip, q_doc_embed_join,
 #: q_doc_fingerprint, q_grouping_sets,
 #: q_image_features, q_json_roundtrip, q_lang_id,
 #: q_left_join_null,

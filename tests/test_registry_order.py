@@ -47,21 +47,23 @@ WINDOW_ROUND = 8
 #: round-6 native-TIMESTAMP reader), q_approx_distinct (r8 code
 #: change: split distinct/sketch agg) and the histogram reworks
 #: (q_spearman_corr / q_weighted_median ranks; q_percentiles /
-#: q_winsorize order statistics), + 9 oldest-green sentinels.
+#: q_winsorize order statistics; q_pctldef bucketed rank), + 8
+#: oldest-green sentinels.
 RE_ATTESTS = {
     "q_approx_distinct",
     "q_spearman_corr",
     "q_weighted_median",
     "q_percentiles",
     "q_winsorize",
+    "q_pctldef",
     "q_sessionize", "q_asof_event", "q_gap_fill", "q_moving_avg",
     "q_dedup_firstlast", "q_tumbling_counts", "q_funnel",
     "q_cohort_retention", "q_date_funcs", "q_date_format",
     "q_intnx_intck",
 }
 SENTINELS = {
-    "q_anti_join", "q_append_sink", "q_bucketed_join", "q_contamination",
-    "q_cube", "q_dataset_compare", "q_doc_quality", "q_exact_dup",
+    "q_anti_join", "q_append_sink", "q_bucketed_join", "q_cube",
+    "q_dataset_compare", "q_doc_quality", "q_exact_dup",
     "q_knn_ivf_exactprobe",
 }
 
