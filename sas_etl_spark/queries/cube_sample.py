@@ -3,7 +3,7 @@ TYPES/WAYS surface (SAS _TYPE_) and PROC SURVEYSELECT."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -588,6 +588,118 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+# -- deterministic per-group reservoir (bottom-k) --------------------
+
+RESERVOIR_K = 5
+RESERVOIR_SEED = 7
+#: Two-level candidate cut: top 8 bits of the 60-bit hash -> 256
+#: range buckets (the order_statistics_bucketed idea specialized to a
+#: UNIFORM key, so the bucket histogram needs no sketch pass).
+_RES_BUCKET_SHIFT = 52
+
+
+@query(
+    "q_reservoir_sample",
+    oracle=f"""
+    with h as (
+        select doc_id, source,
+               list_reduce(list_transform(range(1, 16),
+                 j -> strpos('0123456789abcdef',
+                             substr(sha256('{RESERVOIR_SEED}:'
+                                           || cast(doc_id as varchar)),
+                                    j, 1)) - 1),
+               (a, x) -> a * 16 + x) as h60
+        from documents
+    ),
+    rk as (
+        select *, row_number() over (partition by source
+                                     order by h60, doc_id) as rn
+        from h
+    )
+    select source, doc_id, cast(rn as bigint) as sample_rank
+    from rk where rn <= {RESERVOIR_K}
+    """,
+    tags=("sample", "llm"),
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per group — exactly k documents from
+    every source — as a DETERMINISTIC reservoir: rank rows by a seeded
+    60-bit key hash and keep the bottom k per group (the classic
+    bottom-k sketch; equivalent in distribution to reservoir sampling
+    but a pure function of (seed, key), so membership is stable across
+    engines, runs, and partitionings — PROC SURVEYSELECT N= per
+    stratum, reproducibly). Completes the sampling family: SRS draws a
+    RATE (q_sample), systematic an interval, PPS weights; this draws
+    an exact COUNT per group.
+
+    The ORACLE spells the textbook form (row_number over the hash per
+    source). The Spark side spells the scale form — ranking every row
+    with a window partitioned by ~20 sources serializes into 20 tasks
+    sorting n/20 rows each, so instead:
+
+      1. bucket each hash by its top 8 bits (uniform by construction,
+         no sketch needed), aggregate the tiny per-(source, bucket)
+         histogram (map-side combined),
+      2. prefix-sum it to find each source's cutoff bucket — the
+         first whose cumulative count reaches k (fallback: last
+         bucket, for groups with < k rows),
+      3. broadcast the 1-row-per-source cutoff, filter candidates at
+         the scan (expected ~n/256 rows per source), and run the
+         exact window over candidates only.
+
+    The oracle hash PROVES the two spellings select identical rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(f"{RESERVOIR_SEED}:"),
+                    F.col("doc_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = docs.select("doc_id", "source", h60.alias("h60"))
+    bucketed = hashed.withColumn(
+        "_bucket", F.shiftright("h60", _RES_BUCKET_SHIFT)
+    )
+    bhist = bucketed.groupBy("source", "_bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        bhist.select(
+            "source", "_bucket", F.sum("_c").over(w_cum).alias("_cum")
+        )
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("_cum") >= RESERVOIR_K, F.col("_bucket"))),
+                F.max("_bucket"),
+            ).alias("_cut")
+        )
+    )
+    cand = bucketed.join(F.broadcast(cut), "source").filter(
+        F.col("_bucket") <= F.col("_cut")
+    )
+    w_rank = Window.partitionBy("source").orderBy("h60", "doc_id")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "doc_id", "sample_rank")
     )
 
 

@@ -464,6 +464,110 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- span-dedup rewrite ----------------------------------------------
+
+#: Non-overlapping span width for the dedup REWRITE (distinct from the
+#: overlapping CHUNK_TOKENS/CHUNK_STRIDE report grid: rewriting needs a
+#: partition of the token stream so surviving spans reassemble without
+#: double-counting overlap). Width 6 repeats often enough in the
+#: fixtures that every SF exercises real drops.
+SPAN_TOKENS = 6
+
+
+@query(
+    "q_span_dedup",
+    oracle=f"""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    s as (
+        select doc_id,
+               unnest(generate_series(0, (len(toks) - 1) // {SPAN_TOKENS}))
+                   as cid,
+               toks
+        from t
+    ),
+    sp as (
+        select doc_id, cid,
+               array_to_string(list_slice(toks,
+                   cid * {SPAN_TOKENS} + 1,
+                   cid * {SPAN_TOKENS} + {SPAN_TOKENS}), ' ') as span
+        from s
+    ),
+    k as (
+        select doc_id, cid, span,
+               row_number() over (partition by span
+                                  order by doc_id, cid) = 1 as keep
+        from sp
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_spans,
+           cast(count(*) filter (where not keep) as bigint) as n_dropped,
+           sha256(coalesce(
+               string_agg(span, ' ' order by cid) filter (where keep),
+               '')) as kept_sha
+    from k group by doc_id
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span REMOVAL with text reassembly — the apply step of
+    exact substring dedup (Lee et al. 2022: drop later occurrences of
+    repeated spans, keep the corpus-first one). q_chunk_dedup REPORTS
+    repeated chunks; this operator produces the deduplicated corpus:
+    every later occurrence of a width-6 token span is cut, each
+    document's surviving spans are stitched back in order, and the
+    output pins the rewritten text by digest (doc_id, span counts,
+    sha256 of the reassembled text) so the oracle verifies every byte
+    without shipping the text twice.
+
+    "First occurrence" is the deterministic total order (doc_id,
+    span position) — stable across engines, runs, and partitionings,
+    the property a reproducible corpus build needs.
+
+    Scale: span fan-out is row-local (zero shuffle); the keep-first
+    decision shuffles on the 32-byte span DIGEST carrying only
+    (doc_id, cid, ~6-token span) — one exchange keyed by sha2, no
+    skew (spans are near-unique); reassembly is one groupBy(doc_id)
+    whose collect_list is bounded by the document's own span count —
+    the same per-doc memory the raw text already costs. No corpus-
+    wide window, no driver materialization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    fanned = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("toks") - 1) / SPAN_TOKENS).cast("int"),
+            )
+        ).alias("cid"),
+    )
+    spans = fanned.select(
+        "doc_id",
+        "cid",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("cid") * SPAN_TOKENS + 1, SPAN_TOKENS),
+            " ",
+        ).alias("span"),
+    ).withColumn("span_sha", F.sha2("span", 256))
+    w = Window.partitionBy("span_sha").orderBy("doc_id", "cid")
+    flagged = spans.withColumn("keep", F.row_number().over(w) == 1)
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("cid", "span")))
+    )
+    kept_text = F.array_join(
+        F.transform(kept_structs, lambda s: s["span"]), " "
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sha2(kept_text, 256).alias("kept_sha"),
+    )
+
+
 # -- log2 length histogram -------------------------------------------
 
 

@@ -57,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 7 + 18 + 17 + 8):
+    # reader change). Composition (50 = 11 + 18 + 17 + 4):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
@@ -73,6 +73,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_epoch_shuffle",
     "q_containment_pairs",
     "q_ngram_diversity",
+    # (a, continued) the quality-selection + sampling closers added
+    # later in round 8: the Gopher multi-rule gate, per-source quality
+    # pruning (the scoring lane's plan->apply step), the span-dedup
+    # REWRITE (q_chunk_dedup reports; this produces the deduped
+    # corpus), and the fixed-k deterministic reservoir
+    "q_gopher_rules",
+    "q_quality_prune",
+    "q_span_dedup",
+    "q_reservoir_sample",
     # -- (b) the 18 queries never inside a driver window after r7
     # (16 deferred from the r7 cap + the two domain-mixing ops
     # registered after r7's window was composed; the mixture pair
@@ -122,14 +131,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_date_funcs",
     "q_date_format",
     "q_intnx_intck",
-    # -- (d) regression sentinels: oldest driver-green rows (all r4),
-    # alphabetical — refresh the stalest attestations with the slots
-    # left over
-    "q_anti_join",
-    "q_append_sink",
+    # -- (d) regression sentinels: oldest driver-green rows (all r4) —
+    # refresh the stalest attestations with the slots left over. Four
+    # r4 sentinels (q_anti_join, q_append_sink, q_cube,
+    # q_dataset_compare) gave their slots to the block-(a) late
+    # additions; they rejoin the r9 stalest list below.
     "q_bucketed_join",
-    "q_cube",
-    "q_dataset_compare",
     "q_doc_quality",
     "q_exact_dup",
     "q_knn_ivf_exactprobe",
@@ -146,6 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: queries, so give those re-attest slots in r9 even though their
 #: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
+#: q_anti_join, q_append_sink, q_cube, q_dataset_compare,
 #: q_contamination, q_cosine_pairs, q_csv_roundtrip, q_doc_embed_join,
 #: q_doc_fingerprint, q_grouping_sets,
 #: q_image_features, q_json_roundtrip, q_lang_id,

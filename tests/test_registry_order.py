@@ -62,8 +62,7 @@ RE_ATTESTS = {
     "q_intnx_intck",
 }
 SENTINELS = {
-    "q_anti_join", "q_append_sink", "q_bucketed_join", "q_cube",
-    "q_dataset_compare", "q_doc_quality", "q_exact_dup",
+    "q_bucketed_join", "q_doc_quality", "q_exact_dup",
     "q_knn_ivf_exactprobe",
 }
 
@@ -95,6 +94,8 @@ def test_round8_rotation_targets_inside_window() -> None:
         "q_mixture_apply", "q_knn_ivf_batch", "q_bm25", "q_rrf_hybrid",
         "q_epoch_shuffle", "q_containment_pairs", "q_ngram_diversity",
         "q_domain_mixture", "q_mixture_epochs",
+        "q_gopher_rules", "q_quality_prune", "q_span_dedup",
+        "q_reservoir_sample",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
