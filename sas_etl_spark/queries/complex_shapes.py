@@ -266,6 +266,113 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_neardup_apply",
+    oracle="""
+    with recursive sh as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                            (string_split(text, ' '))[i:i+2], ' '))) as s
+        from documents
+    ),
+    pairs as (
+        select a.doc_id as a_id, b.doc_id as b_id
+        from sh a, sh b
+        where a.doc_id < b.doc_id
+          and round(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
+    ),
+    edges as (
+        select a_id as u, b_id as v from pairs
+        union all
+        select b_id as u, a_id as v from pairs
+    ),
+    reach(u, v) as (
+        select u, v from edges
+        union
+        select r.u, e.v from reach r join edges e on r.v = e.u
+    ),
+    dropped as (
+        select u as doc_id from reach
+        group by u having least(u, min(v)) <> u
+    )
+    select d.source,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(*) filter (where dr.doc_id is not null) as bigint)
+               as n_dropped,
+           cast(count(*) filter (where dr.doc_id is null) as bigint)
+               as n_kept,
+           bit_xor(case when dr.doc_id is null then
+               list_reduce(list_transform(range(1, 16),
+                 j -> strpos('0123456789abcdef',
+                             substr(sha256(cast(d.doc_id as varchar)),
+                                    j, 1)) - 1),
+               (a, x) -> a * 16 + x) else 0 end) as kept_digest
+    from documents d
+    left join dropped dr on dr.doc_id = d.doc_id
+    group by d.source
+    """,
+    tags=("dedup", "graph", "composite", "llm"),
+)
+def q_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster APPLY — materialize the deduplicated corpus
+    from the cluster decision (q_dup_clusters marks is_rep; this op
+    executes the drop): every non-representative cluster member is
+    removed, and the output audits the result per source (doc counts
+    kept/dropped plus an order-insensitive bit_xor digest of the
+    KEPT doc_id set — one wrongly kept or dropped document flips it).
+    Completes the dedup lane's plan->apply closure, same as
+    q_mixture_apply for mixing and q_span_dedup for substrings.
+
+    Edge stage: the exact all-pairs scorer (ground-truth form,
+    test-SF only — q_dup_clusters' contract); at 100 TB the edges
+    come from the LSH candidate generators instead and everything
+    downstream is unchanged. The drop set is O(duplicates) and joins
+    back LEFT onto the corpus scan by doc_id — an anti-join-with-
+    audit, one digest-keyed shuffle; connected components is the
+    iteration-bounded pointer-jumping operator (operators/graph.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), shingle_array(F.col("text")).alias("_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sb"))
+    pairs = (
+        a.join(b, a.a_id < b.b_id)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("_j"),
+        )
+        .filter(F.col("_j") >= 0.2)
+        .select("a_id", "b_id")
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("_drop")
+    )
+    digest = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    is_kept = F.col("_drop").isNull()
+    return (
+        docs.select("doc_id", "source")
+        .join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~is_kept).cast("long")).alias("n_dropped"),
+            F.sum(is_kept.cast("long")).alias("n_kept"),
+            F.bit_xor(F.when(is_kept, digest).otherwise(F.lit(0))).alias(
+                "kept_digest"
+            ),
+        )
+    )
+
+
+@query(
     "q_prefix_join",
     oracle="""
     with sh as (

@@ -838,6 +838,145 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- temperature-scaled mixture (alpha = 0.5) ------------------------
+
+#: isqrt precision scale: w = floor(sqrt(n * 1e6)) = floor(1000*sqrt(n))
+#: keeps ~3 significant sub-integer digits of the square root.
+_TEMP_SCALE = 1_000_000
+
+#: Engine-portable EXACT integer square root of a BIGINT expression:
+#: the double sqrt is only a seed (correctly rounded, but fed the
+#: ROUNDED double of x once x > 2^53), so the +-1 adjustment re-decides
+#: the floor against exact integer squares. Valid while (r+1)^2 fits
+#: BIGINT — x up to ~4e18, i.e. sources up to ~4e12 rows at this scale.
+def _isqrt_sql(x: str) -> str:
+    """floor(sqrt(x)) as portable SQL text (same text runs on Spark and
+    DuckDB): seed from the double sqrt, then correct the boundary."""
+    seed = f"cast(floor(sqrt(cast(({x}) as double))) as bigint)"
+    return (
+        f"(case when ({seed} + 1) * ({seed} + 1) <= ({x}) then {seed} + 1 "
+        f"when {seed} * {seed} <= ({x}) then {seed} "
+        f"else {seed} - 1 end)"
+    )
+
+
+@query(
+    "q_temperature_mixture",
+    oracle=f"""
+    with w as (
+        select source, count(*) as n_avail,
+               {_isqrt_sql(f"count(*) * {_TEMP_SCALE}")} as w_sqrt
+        from documents group by source
+    ),
+    tot as (select sum(cast(w_sqrt as hugeint)) as sw from w),
+    budget as (
+        select min(cast(n_avail as hugeint) * sw // w_sqrt) as t
+        from w cross join tot
+    ),
+    rates as (
+        select source, n_avail, w_sqrt,
+               least(1000000,
+                     cast(w_sqrt as hugeint) * t * 1000000
+                         // (sw * cast(n_avail as hugeint))) as rate_ppm
+        from w cross join tot cross join budget
+    ),
+    kept as (
+        select d.source, count(*) as n_kept
+        from documents d
+        join rates r on r.source = d.source
+        where list_reduce(
+                list_transform(range(1,16),
+                  j -> strpos('0123456789abcdef',
+                              substr(sha256('11:' || cast(d.doc_id as varchar)),
+                                     j, 1)) - 1),
+                (a,x) -> a*16+x) % 1000000 < r.rate_ppm
+        group by d.source
+    )
+    select r.source,
+           cast(r.n_avail as bigint) as n_avail,
+           cast(r.w_sqrt as bigint) as w_sqrt,
+           cast(r.rate_ppm as bigint) as rate_ppm,
+           cast(coalesce(k.n_kept, 0) as bigint) as n_kept
+    from rates r left join kept k on k.source = r.source
+    """,
+    tags=("sample", "llm", "governance"),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling at alpha = 1/2 — the
+    smoothed domain-balancing rule of multilingual pretraining (mBERT
+    / XLM-R exponentiated-share sampling; T5's temperature mixing):
+    target share of source s is n_s^alpha / sum n^alpha, flattening
+    head sources and boosting tails without q_domain_mixture's
+    hand-set weight table.
+
+    alpha = 1/2 keeps the arithmetic ENGINE-EXACT where general
+    pow() would drift (libm pow is not correctly rounded; sqrt is):
+    w_s = isqrt(n_s * 1e6) — an exact integer square root whose
+    double-sqrt seed is boundary-corrected against exact integer
+    squares (valid to ~4e12-row sources), so both engines derive
+    bit-identical weights even past 2^53 where the double itself
+    rounds. Budget and rates then follow the q_domain_mixture int128
+    protocol: T = min_s floor(n_s * W / w_s) (W = sum of weights),
+    rate_ppm = floor(w_s * T * 1e6 / (W * n_s)) capped at 1e6,
+    membership = seeded sha256 per-million bucket (seed 11 — a fresh
+    independent draw vs the other sampling ops). Oracle reproduces
+    the exact kept-row multiset.
+
+    Scale: identical to q_domain_mixture — two O(sources) aggs, a
+    broadcast rate table, a codegen membership filter, and one
+    map-side-combined kept count. HUGEINT / DECIMAL(38,0) keeps
+    n_s * W ~ 1e10 * 2e9 = 2e19 exact past the BIGINT wrap.
+    """
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn(
+            "w_sqrt", F.expr(_isqrt_sql(f"n_avail * {_TEMP_SCALE}"))
+        )
+    )
+    tot = w.agg(F.sum(F.col("w_sqrt").cast("decimal(38,0)")).alias("sw"))
+    budget = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.expr("cast(n_avail as decimal(38,0)) * sw div w_sqrt")
+            ).alias("t")
+        )
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "n_avail",
+            "w_sqrt",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    "cast(w_sqrt as decimal(38,0)) * t * 1000000"
+                    " div (sw * cast(n_avail as decimal(38,0)))"
+                ).cast("long"),
+            ).alias("rate_ppm"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket("doc_id", 1_000_000, seed=11) < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n_avail").cast("long").alias("n_avail"),
+        F.col("w_sqrt").cast("long").alias("w_sqrt"),
+        "rate_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 #: Epoch-planning total budget: 2x the corpus (typical multi-epoch
 #: pretraining mix — scarce overweighted sources repeat).
 MIX_BUDGET_X = 2

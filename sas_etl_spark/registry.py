@@ -57,7 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
     # this window every registered query has been driver-proven at
     # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 11 + 18 + 17 + 4):
+    # reader change). Composition (50 = 13 + 18 + 17 + 2):
     # -- (a) NEW this round, never attested by construction:
     # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
     # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
@@ -82,6 +82,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quality_prune",
     "q_span_dedup",
     "q_reservoir_sample",
+    # (a, continued) the alpha=1/2 temperature mixture (isqrt-exact
+    # smoothed domain balancing) and the near-dup cluster APPLY (the
+    # dedup lane's plan->apply closure)
+    "q_temperature_mixture",
+    "q_neardup_apply",
     # -- (b) the 18 queries never inside a driver window after r7
     # (16 deferred from the r7 cap + the two domain-mixing ops
     # registered after r7's window was composed; the mixture pair
@@ -132,14 +137,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_date_format",
     "q_intnx_intck",
     # -- (d) regression sentinels: oldest driver-green rows (all r4) —
-    # refresh the stalest attestations with the slots left over. Four
+    # refresh the stalest attestations with the slots left over. Six
     # r4 sentinels (q_anti_join, q_append_sink, q_cube,
-    # q_dataset_compare) gave their slots to the block-(a) late
-    # additions; they rejoin the r9 stalest list below.
+    # q_dataset_compare, q_doc_quality, q_knn_ivf_exactprobe) gave
+    # their slots to the block-(a) late additions; they rejoin the r9
+    # stalest list below.
     "q_bucketed_join",
-    "q_doc_quality",
     "q_exact_dup",
-    "q_knn_ivf_exactprobe",
 )
 
 #: ROUND 9 window plan — after r8 lands, the never-attested backlog is
@@ -154,6 +158,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: ledger rows read "clean"), then (2) sentinels oldest-green-first
 #: (after r8 the stalest rows are the r4 queries not refreshed here:
 #: q_anti_join, q_append_sink, q_cube, q_dataset_compare,
+#: q_doc_quality, q_knn_ivf_exactprobe,
 #: q_contamination, q_cosine_pairs, q_csv_roundtrip, q_doc_embed_join,
 #: q_doc_fingerprint, q_grouping_sets,
 #: q_image_features, q_json_roundtrip, q_lang_id,

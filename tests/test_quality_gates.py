@@ -204,3 +204,40 @@ def test_span_dedup_conservation_and_first_occurrence(spark):
     )
     assert mismatch == 0
     assert untouched.count() > 0
+
+
+def test_isqrt_sql_exact_on_both_engines(spark):
+    """The portable isqrt (q_temperature_mixture's weight kernel) must
+    be the EXACT integer square root on both engines — including past
+    2^53 where the double seed is fed a rounded input — and identical
+    between them. Adversarial values: perfect squares and their
+    neighbors across the whole supported range (to ~4e18)."""
+    import duckdb
+
+    from sas_etl_spark.queries.cube_sample import _isqrt_sql
+
+    roots = [1, 2, 3, 10, 999, 10**6, 94906265, 10**9, 1999999999]
+    xs = sorted(
+        {r * r + d for r in roots for d in (-1, 0, 1) if r * r + d > 0}
+        | {2**53 - 1, 2**53, 2**53 + 1, 4 * 10**18}
+    )
+    expr = _isqrt_sql("x")
+    sdf = spark.createDataFrame([(x,) for x in xs], "x long").selectExpr(
+        "x", f"{expr} as r"
+    )
+    got_spark = {r.x: r.r for r in sdf.collect()}
+    con = duckdb.connect()
+    got_duck = {
+        x: r
+        for x, r in con.execute(
+            f"select x, {expr} as r from (select unnest(?::bigint[]) as x)",
+            [xs],
+        ).fetchall()
+    }
+    con.close()
+    import math
+
+    for x in xs:
+        exact = math.isqrt(x)
+        assert got_spark[x] == exact, (x, got_spark[x], exact)
+        assert got_duck[x] == exact, (x, got_duck[x], exact)

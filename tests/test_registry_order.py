@@ -61,10 +61,7 @@ RE_ATTESTS = {
     "q_cohort_retention", "q_date_funcs", "q_date_format",
     "q_intnx_intck",
 }
-SENTINELS = {
-    "q_bucketed_join", "q_doc_quality", "q_exact_dup",
-    "q_knn_ivf_exactprobe",
-}
+SENTINELS = {"q_bucketed_join", "q_exact_dup"}
 
 
 def _attested_before_window_round() -> set[str]:
@@ -95,7 +92,7 @@ def test_round8_rotation_targets_inside_window() -> None:
         "q_epoch_shuffle", "q_containment_pairs", "q_ngram_diversity",
         "q_domain_mixture", "q_mixture_epochs",
         "q_gopher_rules", "q_quality_prune", "q_span_dedup",
-        "q_reservoir_sample",
+        "q_reservoir_sample", "q_temperature_mixture", "q_neardup_apply",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
