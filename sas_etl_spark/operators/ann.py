@@ -167,7 +167,35 @@ def srp_bucket_candidates(
     100 TB band signatures shuffle-partition evenly (they are
     hashes), and exact cosine verification runs on candidates only,
     mirroring the MinHash verify stage."""
-    bands = emb.select(
+    bands = srp_band_signatures(
+        emb, id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+        bits_per_band=bits_per_band, dim=dim, seed=seed,
+    )
+    a = bands.select("band", "sig", F.col("_id").alias("a_id"))
+    b = bands.select("band", "sig", F.col("_id").alias("b_id"))
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def srp_band_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, sig) rows — one scan-side Project + explode, n_bands
+    rows per vector. Shared by the symmetric (self-join) and
+    asymmetric (two-set) candidate generators; both sides of a
+    cross-set join MUST use the same (seed, n_bands, bits_per_band)
+    for collisions to be meaningful."""
+    return emb.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
@@ -183,12 +211,46 @@ def srp_bucket_candidates(
             )
         ).alias("bs"),
     ).select("_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = bands.select("band", "sig", F.col("_id").alias("a_id"))
-    b = bands.select("band", "sig", F.col("_id").alias("b_id"))
+
+
+def srp_bucket_candidates_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate pairs ACROSS two vector sets sharing any SRP band
+    bucket — the asymmetric twin of srp_bucket_candidates, for
+    corpus-vs-reference problems (semantic decontamination: 100 TB
+    train side vs a fixed-size eval side; cross-corpus near-dup).
+
+    Same banded OR-of-ANDs amplification and recall math as the
+    symmetric form; only the pairing changes: left ids join right ids,
+    no a<b ordering (the sets are disjoint by construction of the
+    caller). The right side is the one to keep small — its band rows
+    broadcast when provably bounded (eval sets are fixed-size
+    regardless of corpus SF), making the candidate step a map-side
+    lookup over the big side: ZERO shuffle of the corpus at any SF.
+    """
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+
+    kw = dict(
+        id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+        bits_per_band=bits_per_band, dim=dim, seed=seed,
+    )
+    lb = srp_band_signatures(left, **kw).select(
+        "band", "sig", F.col("_id").alias("left_id")
+    )
+    rb = srp_band_signatures(right, **kw).select(
+        "band", "sig", F.col("_id").alias("right_id")
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        lb.join(broadcast_if_small(rb), ["band", "sig"])
+        .select("left_id", "right_id")
         .distinct()
     )
 

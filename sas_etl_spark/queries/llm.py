@@ -1111,6 +1111,114 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: _SPLIT_BUCKET_SQL keyed on vec_id instead of doc_id (embeddings
+#: table) — same engine-portable sha256 bucket arithmetic.
+_VEC_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "vec_id")
+
+
+@query(
+    "q_semantic_decontam",
+    oracle=f"""
+    with labeled as (
+        select vec_id, embedding,
+               case when {_VEC_BUCKET_SQL} < 80 then 'train'
+                    when {_VEC_BUCKET_SQL} < 90 then 'valid'
+                    else 'test' end as split
+        from embeddings
+    ),
+    train_side as (
+        select vec_id, embedding from labeled where split = 'train'
+        union all
+        select vec_id + 1000000 as vec_id,
+               list_transform(embedding, x -> cast(x * 2 as float))
+                   as embedding
+        from labeled where split <> 'train' and vec_id % 10 = 0
+    ),
+    eval_side as (
+        select vec_id, embedding, split from labeled
+        where split <> 'train'
+    )
+    select t.vec_id as train_id, e.vec_id as eval_id,
+           e.split as eval_split,
+           round(cast(list_cosine_similarity(t.embedding, e.embedding)
+                      as double), 6) as sim
+    from train_side t, eval_side e
+    where round(cast(list_cosine_similarity(t.embedding, e.embedding)
+                     as double), 6) >= 0.99
+    """,
+    tags=("llm", "dedup", "similarity", "ann", "governance"),
+)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the third leg of the contamination
+    triple (q_contamination: exact text; q_ngram_contamination:
+    13-gram overlap; this: embedding cosine). Paraphrased or lightly
+    edited eval items share no exact n-grams with their train-side
+    leak but sit at high embedding cosine; every frontier-model data
+    pipeline runs this pass before freezing an eval set.
+
+    Fixture construction mirrors q_near_dup_embedding: random
+    embeddings have no natural cross-split pairs above ~0.51 cosine,
+    so the query plants leaks deterministically — every eval-side
+    vec_id % 10 == 0 vector gets a train-side copy at vec_id +
+    1_000_000 scaled by exactly 2x (power-of-two scaling is IEEE-exact
+    and preserves every SRP hyperplane bit, so candidate recall for
+    the planted pairs is deterministically 1 and the LSH pipeline is
+    hash-attestable against the brute-force oracle).
+
+    Plan shape (the 100 TB path): this is the ASYMMETRIC variant of
+    banded SRP LSH — srp_bucket_candidates_between joins the corpus
+    side's (band, sig) rows against the EVAL side's, and the eval side
+    is fixed-size regardless of corpus SF, so its band rows broadcast
+    (size-gated) and the candidate step is a map-side lookup over the
+    train side: ZERO shuffle of the 100 TB corpus. Exact cosine runs
+    on candidates only. The all-pairs form exists only in the oracle.
+    """
+    from sas_etl_spark.operators.ann import srp_bucket_candidates_between
+    from sas_etl_spark.operators.sampling import deterministic_split
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lab = deterministic_split(emb, "vec_id")
+    eval_side = lab.filter(F.col("split") != "train").select(
+        "vec_id", "embedding", "split"
+    )
+    planted = eval_side.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    train_side = (
+        lab.filter(F.col("split") == "train")
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    cand = srp_bucket_candidates_between(
+        train_side, eval_side.select("vec_id", "embedding"),
+        n_bands=8, bits_per_band=8, dim=64,
+    ).select(
+        F.col("left_id").alias("train_id"), F.col("right_id").alias("eval_id")
+    )
+    tv = train_side.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("_tv")
+    )
+    ev = eval_side.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("_ev"),
+        F.col("split").alias("eval_split"),
+    )
+    return (
+        cand.join(tv, "train_id")
+        .join(ev, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "eval_split",
+            F.round(cosine("_tv", "_ev"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+    )
+
+
 @query(
     "q_curation_pipeline",
     oracle="""

@@ -27,6 +27,10 @@ SKIP = {
     "q_near_dup_embedding", "q_dup_clusters", "q_containment_pairs",
     "q_prefix_join", "q_cosine_pairs", "q_chunk_dedup", "q_fuzzy_match",
     "q_cross_source_dups", "q_simhash_fingerprints",
+    # q_neardup_apply's EDGE stage is the exact all-pairs scorer
+    # (same class as q_dup_clusters); its scale lane swaps in LSH
+    # candidate edges — the downstream apply is linear.
+    "q_neardup_apply",
 }
 
 SF_DIR = "/tmp/sf10"
