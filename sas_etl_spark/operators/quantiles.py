@@ -50,8 +50,13 @@ def exact_percentiles_hist(
     constant-memory. Interpolation arithmetic happens on the two
     order statistics only.
     """
-    hist = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    # NULLs are excluded up front, matching Spark percentile() and
+    # DuckDB quantile_cont: a NULL row must not shift cumulative ranks
+    # (the conditional min below would skip its value but count it).
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     w = (
         Window.partitionBy(group_col)

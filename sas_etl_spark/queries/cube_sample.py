@@ -887,7 +887,7 @@ def _isqrt_sql(x: str) -> str:
         where list_reduce(
                 list_transform(range(1,16),
                   j -> strpos('0123456789abcdef',
-                              substr(sha256('11:' || cast(d.doc_id as varchar)),
+                              substr(sha256('19:' || cast(d.doc_id as varchar)),
                                      j, 1)) - 1),
                 (a,x) -> a*16+x) % 1000000 < r.rate_ppm
         group by d.source
@@ -918,9 +918,11 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds. Budget and rates then follow the q_domain_mixture int128
     protocol: T = min_s floor(n_s * W / w_s) (W = sum of weights),
     rate_ppm = floor(w_s * T * 1e6 / (W * n_s)) capped at 1e6,
-    membership = seeded sha256 per-million bucket (seed 11 — a fresh
-    independent draw vs the other sampling ops). Oracle reproduces
-    the exact kept-row multiset.
+    membership = seeded sha256 per-million bucket (seed 19 — a fresh
+    independent draw: 7 is q_domain_mixture's rate draw and 11/13 are
+    the mixture-apply residual/hash seeds, so no other registered op
+    shares this key+modulus+seed triple). Oracle reproduces the exact
+    kept-row multiset.
 
     Scale: identical to q_domain_mixture — two O(sources) aggs, a
     broadcast rate table, a codegen membership filter, and one
@@ -964,7 +966,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         docs.join(F.broadcast(rates), "source")
-        .filter(hash_bucket("doc_id", 1_000_000, seed=11) < F.col("rate_ppm"))
+        .filter(hash_bucket("doc_id", 1_000_000, seed=19) < F.col("rate_ppm"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -1244,27 +1246,30 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        exploded.groupBy("source", "n_avail", "full_epochs", "residual_ppm")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.when(F.col("e") == F.col("full_epochs") + 1, 1).otherwise(0)
-            ).alias("_n_resid"),
-            F.sum("h").alias("content_hash"),
-        )
-        .select(
-            "source",
-            F.col("n_avail").cast("long").alias("n_avail"),
-            F.col("full_epochs").cast("long").alias("full_epochs"),
-            F.col("residual_ppm").cast("long").alias("residual_ppm"),
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.when(F.col("full_epochs") >= 1, F.col("n_avail"))
-            .otherwise(F.col("_n_resid"))
-            .cast("long")
-            .alias("n_docs"),
-            F.col("content_hash").cast("long").alias("content_hash"),
-        )
+    # Output shape = plan LEFT JOIN aggregated copies (the
+    # q_temperature_mixture pattern): a source whose every document
+    # draws 0 copies still emits a zeroed row, exactly as the oracle's
+    # unfiltered perdoc grouping does. Unreachable at the current
+    # 2x+extra budget (full_epochs >= 1 everywhere) but keeps the two
+    # engines aligned if budget or weights shrink.
+    counts = exploded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("e") == F.col("full_epochs") + 1, 1).otherwise(0)
+        ).alias("_n_resid"),
+        F.sum("h").alias("content_hash"),
+    )
+    return plan.join(counts, "source", "left").select(
+        "source",
+        F.col("n_avail").cast("long").alias("n_avail"),
+        F.col("full_epochs").cast("long").alias("full_epochs"),
+        F.col("residual_ppm").cast("long").alias("residual_ppm"),
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        F.when(F.col("full_epochs") >= 1, F.col("n_avail"))
+        .otherwise(F.coalesce("_n_resid", F.lit(0)))
+        .cast("long")
+        .alias("n_docs"),
+        F.coalesce("content_hash", F.lit(0)).cast("long").alias("content_hash"),
     )
 
 

@@ -54,119 +54,99 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 8 window (VERDICT r7 item 2: FINISH attestation — after
-    # this window every registered query has been driver-proven at
-    # least once and nothing is stale across the round-6 timestamp
-    # reader change). Composition (50 = 13 + 18 + 17 + 2):
-    # -- (a) NEW this round, never attested by construction:
-    # q_mixture_apply (executes the mixture plan as rows, VERDICT r7
-    # item 5), q_knn_ivf_batch (Q=100 batched ANN, item 7), the
-    # retrieval pair (Okapi BM25 + RRF hybrid search, queries/
-    # retrieval.py), q_epoch_shuffle (deterministic training order
-    # over the mixed corpus — the third leg of the mixture lane), and
-    # q_containment_pairs (asymmetric short-in-long dedup) +
-    # q_ngram_diversity (corpus-level mode-collapse readout)
-    "q_mixture_apply",
-    "q_knn_ivf_batch",
-    "q_bm25",
-    "q_rrf_hybrid",
-    "q_epoch_shuffle",
-    "q_containment_pairs",
-    "q_ngram_diversity",
-    # (a, continued) the quality-selection + sampling closers added
-    # later in round 8: the Gopher multi-rule gate, per-source quality
-    # pruning (the scoring lane's plan->apply step), the span-dedup
-    # REWRITE (q_chunk_dedup reports; this produces the deduped
-    # corpus), and the fixed-k deterministic reservoir
-    "q_gopher_rules",
-    "q_quality_prune",
-    "q_span_dedup",
-    "q_reservoir_sample",
-    # (a, continued) the alpha=1/2 temperature mixture (isqrt-exact
-    # smoothed domain balancing) and the near-dup cluster APPLY (the
-    # dedup lane's plan->apply closure)
+    # ROUND 9 window (VERDICT r8 items 1-2). Composition (50 = 1 + 8 +
+    # 4 + 37):
+    # -- (a) the one never-attested query: registered in round 8's
+    # final snapshot commit after the window ran (locally parity-proven
+    # by test_oracle_parity every suite run; needs its driver row).
+    "q_semantic_decontam",
+    # -- (b) the 8 streaming queries whose shared source helper
+    # (streaming/builders.stream_events, directory-layout fix, r8
+    # commit d8d09d6) changed AFTER their newest green rows — the
+    # ledger's old query-function-only hash was blind to helpers
+    # (fixed this round: transitive-callee hashing), so these rows
+    # read "clean" while attesting stale code.
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_stream_stateful_totals",
+    "q_stream_exactly_once_sink",
+    "q_stream_cdc_upsert",
+    # -- (c) code changed THIS round (ADVICE r8): q_temperature_mixture
+    # re-seeded 11->19 (its membership draw was bit-identical to the
+    # MIX_RESID_SEED residual draw), q_mixture_apply rebuilt as
+    # plan-LEFT-JOIN-counts (zero-copy sources now emit zeroed rows,
+    # matching the oracle), and the exact_percentiles_hist helper now
+    # filters NULL values (its two callers re-attest).
     "q_temperature_mixture",
-    "q_neardup_apply",
-    # -- (b) the 18 queries never inside a driver window after r7
-    # (16 deferred from the r7 cap + the two domain-mixing ops
-    # registered after r7's window was composed; the mixture pair
-    # also changed code this round — DECIMAL(38) widening — making
-    # them doubly due). All locally hash-green every pytest run.
-    "q_domain_mixture",
-    "q_mixture_epochs",
-    "q_impute_group_mean",
-    "q_cramers_v",
-    "q_json_nested",
-    "q_sliding_distinct_users",
-    "q_kfold_assign",
-    "q_date_dim",
-    "q_latency_percentiles",
-    "q_max_concurrency",
-    "q_golden_record",
-    "q_hierarchy_flatten",
-    "q_systematic_sample",
-    "q_new_vs_returning",
-    "q_mom_growth",
-    "q_bigram_logprob",
-    "q_pmi_scores",
-    "q_char_entropy",
-    # -- (c) re-attests: the 11 timestamp-flip readers (VERDICT r7
-    # item 2 / gap 2 — newest driver-green row predates the round-6
-    # native-TIMESTAMP scan change) + 3 r8 plan reworks measured at
-    # sf10 (q_approx_distinct: split mixed distinct/sketch agg, 12x;
-    # q_spearman_corr / q_weighted_median: histogram ranks instead of
-    # few-group row windows, 3.9x / 29x; q_percentiles / q_winsorize:
-    # histogram order statistics instead of value-buffering
-    # percentile(), killing the per-group OOM risk; q_pctldef:
-    # bucketed two-level exact rank, 2.5x and no corpus-wide window)
-    "q_approx_distinct",
-    "q_spearman_corr",
-    "q_weighted_median",
+    "q_mixture_apply",
     "q_percentiles",
     "q_winsorize",
-    "q_pctldef",
-    "q_sessionize",
-    "q_asof_event",
-    "q_gap_fill",
-    "q_moving_avg",
-    "q_dedup_firstlast",
-    "q_tumbling_counts",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_date_funcs",
-    "q_date_format",
-    "q_intnx_intck",
-    # -- (d) regression sentinels: oldest driver-green rows (all r4) —
-    # refresh the stalest attestations with the slots left over. Six
-    # r4 sentinels (q_anti_join, q_append_sink, q_cube,
-    # q_dataset_compare, q_doc_quality, q_knn_ivf_exactprobe) gave
-    # their slots to the block-(a) late additions; they rejoin the r9
-    # stalest list below.
-    "q_bucketed_join",
-    "q_exact_dup",
+    # -- (d) regression sentinels, oldest-green-first: all 37 queries
+    # whose newest driver row is still round 4 (pre-r5 code vintage) —
+    # this window retires the entire r4 cohort, leaving r5 rows as the
+    # oldest in the ledger.
+    "q_anti_join",
+    "q_append_sink",
+    "q_contamination",
+    "q_cosine_pairs",
+    "q_csv_roundtrip",
+    "q_cube",
+    "q_dataset_compare",
+    "q_doc_embed_join",
+    "q_doc_fingerprint",
+    "q_doc_quality",
+    "q_grouping_sets",
+    "q_image_features",
+    "q_json_roundtrip",
+    "q_knn_ivf_exactprobe",
+    "q_lang_id",
+    "q_left_join_null",
+    "q_min_per_group_join",
+    "q_multi_split",
+    "q_near_dup_embedding",
+    "q_near_dup_simhash",
+    "q_orc_roundtrip",
+    "q_pack_sequences",
+    "q_partitioned_write",
+    "q_proc_sql",
+    "q_remerge_share",
+    "q_scd2_merge",
+    "q_semi_join",
+    "q_simhash_fingerprints",
+    "q_skew_salted_agg",
+    "q_skew_salted_join",
+    "q_split_hash",
+    "q_stratified_sample",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_tfidf",
+    "q_token_count",
+    "q_update_master",
 )
 
-#: ROUND 9 window plan — after r8 lands, the never-attested backlog is
-#: EMPTY: every registered query has a driver-green row and none
-#: predates the timestamp reader change. Compose future windows as:
-#: (1) anything new/changed in the round (the OPERATORS.md ledger
-#: computes "changed since newest green row" from CORRECTNESS_r*.json
-#: + function-level git diff — NOTE the ledger tracks QUERY functions,
-#: not shared helpers: round 8 changed streaming/builders.stream_events
-#: (directory-layout source fix) without flagging the 8 q_stream_*
-#: queries, so give those re-attest slots in r9 even though their
-#: ledger rows read "clean"), then (2) sentinels oldest-green-first
-#: (after r8 the stalest rows are the r4 queries not refreshed here:
-#: q_anti_join, q_append_sink, q_cube, q_dataset_compare,
-#: q_doc_quality, q_knn_ivf_exactprobe,
-#: q_contamination, q_cosine_pairs, q_csv_roundtrip, q_doc_embed_join,
-#: q_doc_fingerprint, q_grouping_sets,
-#: q_image_features, q_json_roundtrip, q_lang_id,
-#: q_left_join_null,
-#: q_min_per_group_join, q_multi_split,
-#: q_near_dup_embedding, q_near_dup_simhash, q_orc_roundtrip,
-#: q_pack_sequences, q_partitioned_write, q_proc_sql,
-#: q_remerge_share, q_scd2_merge, q_semi_join, ...).
+#: ROUND 9 window bookkeeping rule (learned twice, r7 and r8): NO
+#: @query registration lands without, in the SAME commit, (1) a
+#: DRIVER_PRIORITY slot — displace the LAST block-(d) sentinel to keep
+#: the 50-slot cap, (2) the matching update to
+#: tests/test_registry_order.py's must-set, (3) `python
+#: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
+#: settled tree. Queries registered this round so far: (none yet).
+#:
+#: ROUND 10 window plan — after r9 lands, every registered query has a
+#: driver-green row, none predating code it depends on (the ledger now
+#: hashes transitive repo-local callees, so helper edits flag their
+#: dependents). Compose as: (1) new/changed queries per the ledger's
+#: "changed since newest green row" column, then (2) sentinels
+#: oldest-green-first (after r9 the stalest rows are the r5 cohort:
+#: q_ab_test, q_array_ops, q_audio_features, q_curation_pipeline,
+#: q_distinct_count, q_dup_clusters, q_event_transitions, q_except,
+#: q_histogram, q_image_resize, q_json_extract, q_merge_in_flags,
+#: q_missing_semantics, q_multimodal_features, q_near_dup_minhash,
+#: q_pipeline_spec, q_pivot_status, q_prefix_join, q_rollup,
+#: q_session_window, q_sliding_window, q_snapshot_upsert, ...).
 
 
 def query(

@@ -40,28 +40,35 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 8
+WINDOW_ROUND = 9
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the 11 timestamp-flip re-attests (newest green row predates the
-#: round-6 native-TIMESTAMP reader), q_approx_distinct (r8 code
-#: change: split distinct/sketch agg) and the histogram reworks
-#: (q_spearman_corr / q_weighted_median ranks; q_percentiles /
-#: q_winsorize order statistics; q_pctldef bucketed rank), + 8
-#: oldest-green sentinels.
+#: the 8 q_stream_* re-attests (their shared source helper
+#: streaming/builders.stream_events changed in r8 AFTER their newest
+#: green rows — the pre-r9 ledger hashed only query functions), the 4
+#: queries whose code changed this round (ADVICE r8: temperature-
+#: mixture re-seed, mixture-apply left-join shape, the percentile
+#: helper's NULL filter), and the full 37-query r4 sentinel cohort.
 RE_ATTESTS = {
-    "q_approx_distinct",
-    "q_spearman_corr",
-    "q_weighted_median",
-    "q_percentiles",
-    "q_winsorize",
-    "q_pctldef",
-    "q_sessionize", "q_asof_event", "q_gap_fill", "q_moving_avg",
-    "q_dedup_firstlast", "q_tumbling_counts", "q_funnel",
-    "q_cohort_retention", "q_date_funcs", "q_date_format",
-    "q_intnx_intck",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_join", "q_stream_stateful_totals",
+    "q_stream_exactly_once_sink", "q_stream_cdc_upsert",
+    "q_temperature_mixture", "q_mixture_apply",
+    "q_percentiles", "q_winsorize",
 }
-SENTINELS = {"q_bucketed_join", "q_exact_dup"}
+SENTINELS = {
+    "q_anti_join", "q_append_sink", "q_contamination", "q_cosine_pairs",
+    "q_csv_roundtrip", "q_cube", "q_dataset_compare", "q_doc_embed_join",
+    "q_doc_fingerprint", "q_doc_quality", "q_grouping_sets",
+    "q_image_features", "q_json_roundtrip", "q_knn_ivf_exactprobe",
+    "q_lang_id", "q_left_join_null", "q_min_per_group_join",
+    "q_multi_split", "q_near_dup_embedding", "q_near_dup_simhash",
+    "q_orc_roundtrip", "q_pack_sequences", "q_partitioned_write",
+    "q_proc_sql", "q_remerge_share", "q_scd2_merge", "q_semi_join",
+    "q_simhash_fingerprints", "q_skew_salted_agg", "q_skew_salted_join",
+    "q_split_hash", "q_stratified_sample", "q_text_stats",
+    "q_text_tokens", "q_tfidf", "q_token_count", "q_update_master",
+}
 
 
 def _attested_before_window_round() -> set[str]:
@@ -83,26 +90,20 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round8_rotation_targets_inside_window() -> None:
-    """Round-8 plan (VERDICT r7 items 2, 5-7): the seven new operators,
-    the DECIMAL-widened mixture pair, and the 11 timestamp-flip
-    re-attests must all sit in slots 0-49."""
-    must = {
-        "q_mixture_apply", "q_knn_ivf_batch", "q_bm25", "q_rrf_hybrid",
-        "q_epoch_shuffle", "q_containment_pairs", "q_ngram_diversity",
-        "q_domain_mixture", "q_mixture_epochs",
-        "q_gopher_rules", "q_quality_prune", "q_span_dedup",
-        "q_reservoir_sample", "q_temperature_mixture", "q_neardup_apply",
-    } | RE_ATTESTS
+def test_round9_rotation_targets_inside_window() -> None:
+    """Round-9 plan (VERDICT r8 items 1-2): the one never-attested
+    query, the 8 stream re-attests, and this round's changed-code
+    queries must all sit in slots 0-49."""
+    must = {"q_semantic_decontam"} | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round8_window_finishes_attestation() -> None:
-    """The r8 window must drain the ENTIRE never-attested backlog
-    (recomputed from pre-r8 CORRECTNESS artifacts, no hand list) and
-    spend every remaining slot only on declared re-attests/sentinels —
-    after this round no registered query lacks a driver-green row."""
+def test_round9_window_finishes_attestation() -> None:
+    """The r9 window must drain the never-attested backlog (recomputed
+    from pre-r9 CORRECTNESS artifacts, no hand list) and spend every
+    remaining slot only on declared re-attests/sentinels — after this
+    round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
     registry._load_all()
     window = set(list(registry.queries_map())[:WINDOW])
