@@ -29,6 +29,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 import inspect
 
+from sas_etl_spark.plans.deps import closure_sites
 from sas_etl_spark.registry import QUERIES, queries_map
 
 REPO = pathlib.Path("/root/repo")
@@ -79,9 +80,10 @@ def defining_file(spec) -> str:
 
 
 def function_segments(source: str) -> dict[str, str]:
-    """name -> whitespace-normalized source of each top-level function,
-    INCLUDING its decorators (the @query(...) call carries the oracle
-    SQL, so an oracle edit counts as a code change)."""
+    """name -> whitespace-normalized source of each top-level function
+    OR class, INCLUDING decorators (the @query(...) call carries the
+    oracle SQL, so an oracle edit counts as a code change; classes are
+    whole-body so helper dataclasses/operators diff too)."""
     import ast
 
     out: dict[str, str] = {}
@@ -91,7 +93,7 @@ def function_segments(source: str) -> dict[str, str]:
         return out
     lines = source.splitlines()
     for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             start = min(
                 [node.lineno] + [d.lineno for d in node.decorator_list]
             )
@@ -132,6 +134,8 @@ def main() -> None:
         "Last attested: newest driver round with a fully green row (never =",
         "locally parity-proven, awaiting a driver window slot). Code since:",
         "function-level diff of the decorated source (incl. oracle SQL)",
+        "AND of every transitive repo-local callee (plans/deps.py; added",
+        "after a round-8 helper edit slipped past the function-only diff)",
         "between the attestation commit and HEAD — changed/moved rows",
         "belong in the next driver window.",
         "",
@@ -158,8 +162,23 @@ def main() -> None:
                 now = segments_at("HEAD", f).get(fname)
                 if then is None or now is None:
                     since = "moved"
+                elif then != now:
+                    since = "changed"
                 else:
-                    since = "clean" if then == now else "changed"
+                    # The query's own segment is clean — diff its
+                    # transitive repo-local callees too (VERDICT r8
+                    # item 3: the r8 stream_events helper edit slipped
+                    # past the function-only diff, silently staling 8
+                    # q_stream_* attestations).
+                    since = "clean"
+                    for dep_f, dep_name in sorted(closure_sites(spec.fn)):
+                        d_then = segments_at(base, dep_f).get(dep_name)
+                        d_now = segments_at("HEAD", dep_f).get(dep_name)
+                        if d_now is None:
+                            continue  # nested/dynamic def; not diffable
+                        if d_then != d_now:
+                            since = f"changed (helper {dep_name})"
+                            break
             n_green += 1
             n_touched += since != "clean"
         lines.append(
