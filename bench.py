@@ -59,6 +59,14 @@ def main() -> None:
 
     queries_map()
     bench_specs = {n: s for n, s in sorted(QUERIES.items()) if "bench" in s.tags}
+    # Second bench group (VERDICT r8 item 4): the LLM-pipeline lane.
+    # Measured in the same round-robin under the same floor control,
+    # but reported under separate keys so "value" stays the headline
+    # sum BASELINE.md prices (its DuckDB twins were measured on the
+    # relational ten only).
+    llm_specs = {
+        n: s for n, s in sorted(QUERIES.items()) if "bench_llm" in s.tags
+    }
 
     # AQE on (engine default; see module docstring for the round-6
     # bimodality data). SPARK_GRAFT_AQE=off is a manual A/B override.
@@ -68,11 +76,14 @@ def main() -> None:
 
     # Prepare plans once; warm codegen/broadcast/IO/JIT with two passes.
     plans = {name: spec.fn(spark, sf_dir) for name, spec in bench_specs.items()}
+    llm_plans = {name: spec.fn(spark, sf_dir) for name, spec in llm_specs.items()}
     # Set after plan construction: query builders call configure(),
     # which re-asserts the session default (AQE on).
     spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
     for _ in range(WARMUP_PASSES):
         for df in plans.values():
+            df.toPandas()
+        for df in llm_plans.values():
             df.toPandas()
 
     # Round-robin measurement: pass p runs every query once, so a
@@ -88,6 +99,7 @@ def main() -> None:
     floor_df = spark.range(10)
     floor_df.toPandas()  # warm the control path too
     samples: dict[str, list[float]] = {name: [] for name in plans}
+    llm_samples: dict[str, list[float]] = {name: [] for name in llm_plans}
     floor_samples: list[float] = []
     for _ in range(BENCH_RUNS):
         t0 = time.perf_counter()
@@ -97,8 +109,16 @@ def main() -> None:
             t0 = time.perf_counter()
             df.toPandas()
             samples[name].append(time.perf_counter() - t0)
+        for name, df in llm_plans.items():
+            t0 = time.perf_counter()
+            df.toPandas()
+            llm_samples[name].append(time.perf_counter() - t0)
     per_query = {
         name: round(statistics.median(times), 4) for name, times in samples.items()
+    }
+    llm_per_query = {
+        name: round(statistics.median(times), 4)
+        for name, times in llm_samples.items()
     }
 
     total = round(sum(per_query.values()), 4)
@@ -111,6 +131,8 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "floor_ms": round(statistics.median(floor_samples) * 1000, 2),
+                "llm_queries": llm_per_query,
+                "llm_value": round(sum(llm_per_query.values()), 4),
             }
         )
     )

@@ -1158,7 +1158,7 @@ _SQL_EPOCH_HASH = f"""list_reduce(list_transform(range(1,16),
     from exploded
     group by source, n_avail, full_epochs, residual_ppm
     """,
-    tags=("sample", "llm", "governance"),
+    tags=("sample", "llm", "governance", "bench_llm"),
 )
 def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTE the epoch-weighted mixture plan — materialize

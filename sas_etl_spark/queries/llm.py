@@ -661,7 +661,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranked where rank <= 10
     group by qid
     """,
-    tags=("similarity", "ann", "scale"),
+    tags=("similarity", "ann", "scale", "bench_llm"),
 )
 def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query ANN — q_knn_ivf serves ONE vector; a real
@@ -1384,7 +1384,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grams
     group by source
     """,
-    tags=("text", "quality", "llm"),
+    tags=("text", "quality", "llm", "bench_llm"),
 )
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source n-gram diversity (trigram type-token ratio) — the

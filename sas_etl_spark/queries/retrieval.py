@@ -126,7 +126,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by bm25 desc, doc_id
     limit 20
     """,
-    tags=("text", "retrieval", "llm"),
+    tags=("text", "retrieval", "llm", "bench_llm"),
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 for a fixed term query — the lexical
@@ -193,7 +193,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by rrf desc, doc_id
     limit 10
     """,
-    tags=("retrieval", "similarity", "llm"),
+    tags=("retrieval", "similarity", "llm", "bench_llm"),
 )
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion — the standard way

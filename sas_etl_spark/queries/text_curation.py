@@ -508,7 +508,7 @@ SPAN_TOKENS = 6
                '')) as kept_sha
     from k group by doc_id
     """,
-    tags=("text", "dedup", "llm"),
+    tags=("text", "dedup", "llm", "bench_llm"),
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span REMOVAL with text reassembly — the apply step of

@@ -79,11 +79,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # MIX_RESID_SEED residual draw), q_mixture_apply rebuilt as
     # plan-LEFT-JOIN-counts (zero-copy sources now emit zeroed rows,
     # matching the oracle), and the exact_percentiles_hist helper now
-    # filters NULL values (its two callers re-attest).
+    # filters NULL values (its two callers re-attest). The five
+    # bench_llm-tagged queries join them: adding the tag edits the
+    # decorated segment, and the ledger (rightly) can't distinguish a
+    # benign tag edit from a semantic one — the rule is textual.
     "q_temperature_mixture",
     "q_mixture_apply",
     "q_percentiles",
     "q_winsorize",
+    "q_bm25",
+    "q_rrf_hybrid",
+    "q_knn_ivf_batch",
+    "q_ngram_diversity",
+    "q_span_dedup",
     # -- (d) regression sentinels, oldest-green-first: all 37 queries
     # whose newest driver row is still round 4 (pre-r5 code vintage) —
     # this window retires the entire r4 cohort, leaving r5 rows as the
@@ -120,11 +128,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_skew_salted_join",
     "q_split_hash",
     "q_stratified_sample",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_tfidf",
-    "q_token_count",
-    "q_update_master",
+    # (q_text_stats, q_text_tokens, q_tfidf, q_token_count,
+    # q_update_master gave their slots to the bench_llm re-attests;
+    # they lead the r10 stalest list.)
 )
 
 #: ROUND 9 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -140,7 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: hashes transitive repo-local callees, so helper edits flag their
 #: dependents). Compose as: (1) new/changed queries per the ledger's
 #: "changed since newest green row" column, then (2) sentinels
-#: oldest-green-first (after r9 the stalest rows are the r5 cohort:
+#: oldest-green-first (after r9 the stalest rows are the five r4
+#: holdovers q_text_stats, q_text_tokens, q_tfidf, q_token_count,
+#: q_update_master, then the r5 cohort:
 #: q_ab_test, q_array_ops, q_audio_features, q_curation_pipeline,
 #: q_distinct_count, q_dup_clusters, q_event_transitions, q_except,
 #: q_histogram, q_image_resize, q_json_extract, q_merge_in_flags,

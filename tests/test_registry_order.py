@@ -55,6 +55,8 @@ RE_ATTESTS = {
     "q_stream_exactly_once_sink", "q_stream_cdc_upsert",
     "q_temperature_mixture", "q_mixture_apply",
     "q_percentiles", "q_winsorize",
+    "q_bm25", "q_rrf_hybrid", "q_knn_ivf_batch",
+    "q_ngram_diversity", "q_span_dedup",
 }
 SENTINELS = {
     "q_anti_join", "q_append_sink", "q_contamination", "q_cosine_pairs",
@@ -66,8 +68,7 @@ SENTINELS = {
     "q_orc_roundtrip", "q_pack_sequences", "q_partitioned_write",
     "q_proc_sql", "q_remerge_share", "q_scd2_merge", "q_semi_join",
     "q_simhash_fingerprints", "q_skew_salted_agg", "q_skew_salted_join",
-    "q_split_hash", "q_stratified_sample", "q_text_stats",
-    "q_text_tokens", "q_tfidf", "q_token_count", "q_update_master",
+    "q_split_hash", "q_stratified_sample",
 }
 
 
