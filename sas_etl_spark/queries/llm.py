@@ -1126,6 +1126,34 @@ _VEC_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "vec_id")
                     else 'test' end as split
         from embeddings
     ),
+    noisy_src as (
+        select vec_id, embedding,
+               list_reduce(list_transform(embedding,
+                   x -> cast(x as double) * cast(x as double)),
+                   (a, b) -> a + b) as n2
+        from labeled where split <> 'train' and vec_id % 10 = 5
+    ),
+    noisy as (
+        select vec_id + 2000000 as vec_id,
+               list_concat(
+                   [cast((cast(embedding[1] as double)
+                          + 0.484 * sqrt(n2)) * 2.0 as float)],
+                   list_transform(embedding[2:],
+                       x -> cast(cast(x as double) * 2.0 as float)))
+                   as embedding
+        from noisy_src
+    ),
+    audit as (
+        select cast(count(*) as bigint) as n_audit
+        from noisy_src
+        where round((n2 + 0.484 * sqrt(n2) * cast(embedding[1] as double))
+                    / (sqrt(n2)
+                       * sqrt(n2
+                              + 2.0 * (0.484 * sqrt(n2))
+                                    * cast(embedding[1] as double)
+                              + (0.484 * sqrt(n2)) * (0.484 * sqrt(n2)))),
+                    6) >= 0.9
+    ),
     train_side as (
         select vec_id, embedding from labeled where split = 'train'
         union all
@@ -1133,6 +1161,8 @@ _VEC_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "vec_id")
                list_transform(embedding, x -> cast(x * 2 as float))
                    as embedding
         from labeled where split <> 'train' and vec_id % 10 = 0
+        union all
+        select vec_id, embedding from noisy
     ),
     eval_side as (
         select vec_id, embedding, split from labeled
@@ -1141,8 +1171,10 @@ _VEC_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "vec_id")
     select t.vec_id as train_id, e.vec_id as eval_id,
            e.split as eval_split,
            round(cast(list_cosine_similarity(t.embedding, e.embedding)
-                      as double), 6) as sim
-    from train_side t, eval_side e
+                      as double), 6) as sim,
+           a.n_audit as n_audit,
+           cast(1 as int) as lsh_recall_ok
+    from train_side t, eval_side e, audit a
     where round(cast(list_cosine_similarity(t.embedding, e.embedding)
                      as double), 6) >= 0.99
     """,
@@ -1172,6 +1204,22 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size-gated) and the candidate step is a map-side lookup over the
     train side: ZERO shuffle of the 100 TB corpus. Exact cosine runs
     on candidates only. The all-pairs form exists only in the oracle.
+
+    RECALL AUDIT (VERDICT r8 item 6): the exact-2x plants prove the
+    pipeline at cosine 1.0 by construction, not that the 8x8 band
+    parameters catch NON-identical leaks. A second plant tier —
+    v' = 2 * (v + 0.484*||v||*e0), cosine ~0.85-0.95 to its source,
+    always far below the 0.99 output cut — goes into the train side,
+    and the query measures CANDIDATE recall over the truth subset with
+    closed-form cosine >= 0.9 (the closed form (n2 + c*v0) /
+    (sqrt(n2)*sqrt(n2 + 2c*v0 + c^2)) uses identical double expression
+    trees on both engines, so the truth-set count ``n_audit`` is
+    hash-attested cross-engine). ``lsh_recall_ok`` = measured recall
+    >= 0.8 — Spark computes it from the live SRP parameters (seeded
+    hyperplanes make it deterministic); the oracle asserts it as the
+    contract constant, exactly the q_knn_ivf recall_ok pattern.
+    Expected recall at sim 0.9 with 8 bands x 8 bits is
+    1-(1-(1-acos(0.9)/pi)^8)^8 ~ 0.93.
     """
     from sas_etl_spark.operators.ann import srp_bucket_candidates_between
     from sas_etl_spark.operators.sampling import deterministic_split
@@ -1187,16 +1235,66 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    # Noisy plant tier: same expression trees as the oracle's noisy_src
+    # CTE so the truth set (closed-form cosine >= 0.9) is bit-identical.
+    n2 = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    v0 = F.element_at("embedding", 1).cast("double")
+    c = F.lit(0.484) * F.sqrt(n2)
+    cos_truth = F.round(
+        (n2 + c * v0)
+        / (F.sqrt(n2) * F.sqrt(n2 + F.lit(2.0) * c * v0 + c * c)),
+        6,
+    )
+    noisy_src = eval_side.filter(F.col("vec_id") % 10 == 5).select(
+        "vec_id",
+        cos_truth.alias("_cos"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                (x.cast("double") + F.when(i == 0, c).otherwise(F.lit(0.0)))
+                * F.lit(2.0)
+            ).cast("float"),
+        ).alias("_pv"),
+    )
+    noisy_plants = noisy_src.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.col("_pv").alias("embedding"),
+    )
     train_side = (
         lab.filter(F.col("split") == "train")
         .select("vec_id", "embedding")
         .unionByName(planted)
+        .unionByName(noisy_plants)
     )
     cand = srp_bucket_candidates_between(
         train_side, eval_side.select("vec_id", "embedding"),
         n_bands=8, bits_per_band=8, dim=64,
     ).select(
         F.col("left_id").alias("train_id"), F.col("right_id").alias("eval_id")
+    )
+    truth = noisy_src.filter(F.col("_cos") >= 0.9).select("vec_id")
+    found = (
+        cand.filter(F.col("train_id") == F.col("eval_id") + 2_000_000)
+        .select(F.col("eval_id").alias("vec_id"))
+        .distinct()
+        .join(truth, "vec_id", "semi")
+    )
+    audit = (
+        truth.agg(F.count(F.lit(1)).alias("n_audit"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("_n_found")))
+        .select(
+            F.col("n_audit").cast("long").alias("n_audit"),
+            # integer form of recall >= 0.8 (no float boundary)
+            (F.col("_n_found") * 10 >= F.col("n_audit") * 8)
+            .cast("int")
+            .alias("lsh_recall_ok"),
+        )
     )
     tv = train_side.select(
         F.col("vec_id").alias("train_id"), F.col("embedding").alias("_tv")
@@ -1216,6 +1314,7 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine("_tv", "_ev"), 6).alias("sim"),
         )
         .filter(F.col("sim") >= 0.99)
+        .crossJoin(F.broadcast(audit))
     )
 
 

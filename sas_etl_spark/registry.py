@@ -92,6 +92,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_knn_ivf_batch",
     "q_ngram_diversity",
     "q_span_dedup",
+    # -- (c2) NEW this round: the containment join's production
+    # posture (exact dedup first, containment on distinct texts —
+    # VERDICT r8 item 5).
+    "q_dedup_containment",
     # -- (d) regression sentinels, oldest-green-first: all 37 queries
     # whose newest driver row is still round 4 (pre-r5 code vintage) —
     # this window retires the entire r4 cohort, leaving r5 rows as the
@@ -127,7 +131,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_skew_salted_agg",
     "q_skew_salted_join",
     "q_split_hash",
-    "q_stratified_sample",
+    # (q_stratified_sample gave its slot to q_dedup_containment; it
+    # joins the r10 stalest list with the other five r4 holdovers.)
     # (q_text_stats, q_text_tokens, q_tfidf, q_token_count,
     # q_update_master gave their slots to the bench_llm re-attests;
     # they lead the r10 stalest list.)
@@ -148,7 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: "changed since newest green row" column, then (2) sentinels
 #: oldest-green-first (after r9 the stalest rows are the five r4
 #: holdovers q_text_stats, q_text_tokens, q_tfidf, q_token_count,
-#: q_update_master, then the r5 cohort:
+#: q_update_master, q_stratified_sample, then the r5 cohort:
 #: q_ab_test, q_array_ops, q_audio_features, q_curation_pipeline,
 #: q_distinct_count, q_dup_clusters, q_event_transitions, q_except,
 #: q_histogram, q_image_resize, q_json_extract, q_merge_in_flags,

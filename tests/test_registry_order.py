@@ -68,7 +68,7 @@ SENTINELS = {
     "q_orc_roundtrip", "q_pack_sequences", "q_partitioned_write",
     "q_proc_sql", "q_remerge_share", "q_scd2_merge", "q_semi_join",
     "q_simhash_fingerprints", "q_skew_salted_agg", "q_skew_salted_join",
-    "q_split_hash", "q_stratified_sample",
+    "q_split_hash",
 }
 
 
@@ -95,7 +95,7 @@ def test_round9_rotation_targets_inside_window() -> None:
     """Round-9 plan (VERDICT r8 items 1-2): the one never-attested
     query, the 8 stream re-attests, and this round's changed-code
     queries must all sit in slots 0-49."""
-    must = {"q_semantic_decontam"} | RE_ATTESTS
+    must = {"q_semantic_decontam", "q_dedup_containment"} | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
