@@ -41,12 +41,29 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature: element i = min over shingles of
-    xxhash64(i, shingle). One expression, evaluated JVM-side."""
+def hashed_shingles(shingles: Column) -> Column:
+    """Each shingle string hashed ONCE to a long. Stage this as a
+    NAMED COLUMN before building signatures: interpreted HOFs get no
+    common-subexpression elimination, so an inline string-hash array
+    nested under the 128-function signature transform re-hashes every
+    string 128 times (the round-9 profile: 155 s for 5000 sf0.1 docs,
+    single-task; staged + long-mixed it is ~1 s)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashed: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature over PRE-HASHED shingles (``hashed_shingles``
+    staged as its own column): element i = min over shingles of
+    xxhash64(i, h). Seeding xxhash64 by i gives an independent hash of
+    the 64-bit key per function — the same min-wise family argument as
+    hashing the strings 128 times, at 8 bytes per element instead of
+    string-length bytes. Signatures feed LSH candidate generation
+    only; every candidate is exact-verified, so the hash-family change
+    leaves results identical up to the (~1 - 5e-8 at j >= 0.8) recall
+    term."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+        lambda i: F.array_min(F.transform(hashed, lambda h: F.xxhash64(i, h))),
     )
 
 
@@ -74,13 +91,24 @@ def near_dup_pairs(
     num_bands: int = NUM_BANDS,
 ) -> DataFrame:
     """Near-duplicate id pairs (a_id < b_id) with exact Jaccard >=
-    threshold, found via MinHash-LSH candidates."""
-    sh = df.select(
+    threshold, found via MinHash-LSH candidates.
+
+    The input is re-bucketed by id before the signature Project: the
+    128-function signature is the compute-bound stage (interpreted
+    HOF), so one shuffle of the raw text buys full-cluster parallelism
+    for it — decisive when the source collapses to few scan partitions
+    (the sf0.1 fixture is ONE 5 MiB file = one task; round-9 profile
+    216 s -> ~3 s) and negligible next to the signature work when the
+    scan is already wide. It also co-locates the shingle re-join for
+    verification."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("_id"), shingle_array(F.col(text_col), shingle_n).alias("_sh")
     )
-    banded = sh.select(
+    staged = sh.select("_id", hashed_shingles(F.col("_sh")).alias("_hs"))
+    banded = staged.select(
         "_id",
-        F.posexplode(band_hashes(minhash_signature(F.col("_sh"), num_hashes), num_bands, num_hashes)).alias(
+        F.posexplode(band_hashes(minhash_signature(F.col("_hs"), num_hashes), num_bands, num_hashes)).alias(
             "_band", "_h"
         ),
     )
@@ -317,4 +345,75 @@ def containment_filtered_pairs(
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def near_dup_pairs_between(
+    batch: DataFrame,
+    master: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Cross-set near-duplicate pairs (batch_id, master_id, jaccard >=
+    threshold) — the INCREMENTAL dedup shape: a new ingest batch
+    checked against the historical master without ever comparing
+    master docs to each other. The asymmetric twin of near_dup_pairs,
+    exactly as srp_bucket_candidates_between is to
+    srp_bucket_candidates.
+
+    Scale posture: the master side is the 100 TB one — its band rows
+    are computed scan-side (in production they would be PRECOMPUTED
+    once and stored with the corpus; the expression is identical) and
+    are never shuffled: the batch side is bounded (one ingest
+    snapshot), so its band rows broadcast via the size gate and the
+    candidate step is a map-side lookup over the master. Exact
+    Jaccard verification re-joins shingles for candidate ids only.
+    Recall follows the banded OR-of-ANDs math of near_dup_pairs
+    (~1 - 5e-8 at j >= 0.8 with 32x4)."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        sh = df.repartition(par, F.col(id_col)).select(
+            F.col(id_col).alias(out_id),
+            shingle_array(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        staged = sh.select(out_id, hashed_shingles(F.col("_sh")).alias("_hs"))
+        return sh, staged.select(
+            out_id,
+            F.posexplode(
+                band_hashes(
+                    minhash_signature(F.col("_hs"), num_hashes),
+                    num_bands,
+                    num_hashes,
+                )
+            ).alias("_band", "_h"),
+        )
+
+    sh_b, banded_b = banded(batch, "batch_id")
+    sh_m, banded_m = banded(master, "master_id")
+    candidates = (
+        banded_m.join(broadcast_if_small(banded_b), ["_band", "_h"])
+        .select("batch_id", "master_id")
+        .distinct()
+    )
+    return (
+        candidates.join(
+            sh_b.select("batch_id", F.col("_sh").alias("_sh_b")), "batch_id"
+        )
+        .join(
+            sh_m.select("master_id", F.col("_sh").alias("_sh_m")), "master_id"
+        )
+        .select(
+            "batch_id",
+            "master_id",
+            F.round(jaccard(F.col("_sh_b"), F.col("_sh_m")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

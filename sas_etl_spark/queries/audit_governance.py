@@ -503,3 +503,143 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphan_count(cust, "c_nationkey", nation, "n_nationkey",
                          "customer.c_nationkey -> nation"))
     )
+
+
+# -- k-anonymity audit -------------------------------------------------
+
+#: Privacy threshold: a quasi-identifier combination shared by fewer
+#: than K individuals is re-identification-risky.
+K_ANON = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    with qi as (
+        select c_nationkey,
+               c_mktsegment,
+               cast(floor(c_acctbal / 1000) as bigint) as bal_band,
+               count(*) as n
+        from customer
+        group by 1, 2, 3
+    )
+    select cast(c_nationkey as bigint) as nationkey,
+           cast(count(*) as bigint) as n_combos,
+           cast(sum(case when n < {K_ANON} then 1 else 0 end) as bigint)
+               as risky_combos,
+           cast(sum(case when n < {K_ANON} then n else 0 end) as bigint)
+               as exposed_rows,
+           cast(min(n) as bigint) as k_anonymity
+    from qi
+    group by c_nationkey
+    """,
+    tags=("governance", "privacy", "quality"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy
+    counterpart of the PII scrubber (q_pii_redact removes direct
+    identifiers; this measures whether the REMAINING attribute
+    combination still singles people out). Quasi-identifier =
+    (nation, market segment, account-balance band); a combination
+    shared by fewer than K_ANON=5 individuals is re-identification-
+    risky (Sweeney's k-anonymity; the release rule behind census/
+    medical microdata and the same audit an LLM-training pipeline runs
+    before shipping user-derived metadata). Per nation: distinct
+    combos, risky combos, exposed individuals, and the dataset's k
+    (min combo size — the publishable anonymity level).
+
+    Plan: one map-side-combined groupBy on the quasi-identifier tuple
+    (bounded domain: nations x segments x bands), then a second
+    O(combos) rollup to nations. Shuffle rows = distinct combos, not
+    customers; no window, no join — the shape holds at any corpus
+    size."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky = F.when(F.col("n") < K_ANON, 1).otherwise(0)
+    exposed = F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+    return qi.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_combos"),
+        F.sum(risky).cast("long").alias("risky_combos"),
+        F.sum(exposed).cast("long").alias("exposed_rows"),
+        F.min("n").cast("long").alias("k_anonymity"),
+    )
+
+
+# -- incremental NEAR-dup vs historical master -------------------------
+
+
+@query(
+    "q_incremental_neardup",
+    oracle="""
+    with batch as (
+        select doc_id, text from documents where doc_id % 3 = 0
+    ),
+    master as (
+        select doc_id, text from documents where doc_id % 3 <> 0
+        union all
+        select doc_id + 1000000 as doc_id, text || ' zzz' as text
+        from batch where doc_id % 5 = 0
+    ),
+    shb as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                            (string_split(text, ' '))[i:i+2], ' '))) as s
+        from batch
+    ),
+    shm as (
+        select doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                            (string_split(text, ' '))[i:i+2], ' '))) as s
+        from master
+    )
+    select b.doc_id as batch_id, m.doc_id as master_id,
+           round(len(list_intersect(b.s, m.s)) * 1.0
+                 / len(list_distinct(list_concat(b.s, m.s))), 6) as jaccard
+    from shb b, shm m
+    where round(len(list_intersect(b.s, m.s)) * 1.0
+                / len(list_distinct(list_concat(b.s, m.s))), 6) >= 0.8
+    """,
+    tags=("dedup", "llm", "governance", "scale"),
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against the historical master — the
+    production per-snapshot dedup shape (FineWeb/CCNet dedupe each
+    crawl against everything already kept): q_incremental_dedup is
+    the exact-hash form; this is its fuzzy twin, flagging new-batch
+    docs whose 3-gram Jaccard against ANY master doc reaches 0.8,
+    via operators/minhash.near_dup_pairs_between. Master docs are
+    never compared to each other — the cost a naive full-corpus
+    re-dedup pays on every ingest.
+
+    Fixture: batch = doc_id % 3 == 0; master = the rest PLUS planted
+    one-token-appended variants of every 15th doc (appending one token
+    adds exactly one trailing 3-gram shingle and keeps every original
+    one, so the planted pair's Jaccard is s/(s+1) for a doc with s
+    distinct shingles — >= 0.8 whenever s >= 4, computed identically
+    by both engines; the oracle is the brute-force batch x master
+    ground truth).
+
+    Scale: master band rows are scan-side expressions (production
+    stores them with the corpus) and never shuffle; the bounded batch
+    side broadcasts through the size gate, making candidates a
+    map-side lookup over the master, then exact verification re-joins
+    shingles for candidate ids only. LSH recall at j >= 0.8 with 32x4
+    banding is ~1 - 5e-8 (the attested q_near_dup_minhash math)."""
+    from sas_etl_spark.operators.minhash import near_dup_pairs_between
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    planted = batch.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    master = docs.filter(F.col("doc_id") % 3 != 0).unionByName(planted)
+    return near_dup_pairs_between(batch, master, threshold=0.8)

@@ -347,3 +347,62 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_chars"),
         F.round(F.sum(-p * F.log(p)), 6).alias("entropy"),
     )
+
+
+# -- BPE merge-candidate counting -------------------------------------
+
+
+@query(
+    "q_bpe_merges",
+    oracle="""
+    with tok as (
+        select unnest(string_split(text, ' ')) as w from documents
+    ),
+    pairs as (
+        select unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) as pair
+        from tok
+        where length(w) >= 2
+    )
+    select pair, cast(count(*) as bigint) as c
+    from pairs
+    group by pair
+    order by c desc, pair
+    limit 20
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction pair counting — the scoring pass of one BPE
+    merge iteration (Sennrich et al.: repeatedly merge the most
+    frequent adjacent symbol pair). At the character stage every
+    word's adjacent char pairs vote weighted by the word's corpus
+    frequency; the top pair becomes the next merge rule. Training a
+    real vocab runs this loop ~30k times against the merged symbol
+    stream — the per-iteration shape is exactly this query, so its
+    cost and plan are what a distributed BPE trainer amortizes.
+
+    Plan: explode words at the scan, explode each word's adjacent-pair
+    array (sequence + substring inside one codegen Project — pairs
+    never materialize per-doc), one map-side-combined count keyed by
+    the 2-char pair (vocab-bounded domain: |alphabet|^2 keys), then
+    TakeOrderedAndProject for the deterministic top-20. Shuffle rows =
+    distinct pairs per partition, NOT corpus tokens. No window, no
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(20)
+    )

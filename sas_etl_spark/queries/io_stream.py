@@ -922,3 +922,89 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@query(
+    "q_stream_quality_gate",
+    oracle="""
+    with t as (select source, string_split(text, ' ') as toks, text
+               from documents),
+    m as (select source,
+                 cast(len(toks) as bigint) as n_tokens,
+                 length(replace(text, ' ', '')) * 1.0 / len(toks)
+                     as mean_wlen,
+                 cast(len(list_filter(toks,
+                      x -> list_contains(['the', 'a', 'of', 'and', 'to'], x)))
+                     as bigint) as n_stop,
+                 1 - len(list_distinct(toks)) * 1.0 / len(toks) as dup_frac
+          from t)
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when n_tokens between 20 and 90
+                          and mean_wlen between 4.0 and 5.0
+                          and n_stop >= 2
+                          and dup_frac <= 0.6
+                    then 1 else 0 end) as bigint) as n_pass
+    from m
+    group by source
+    """,
+    tags=("streaming", "quality", "llm"),
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate AS A STREAM — per-source pass counts
+    computed BY A STRUCTURED STREAMING QUERY over the documents
+    fixture streamed file-by-file, then hash-checked against the
+    batch DuckDB oracle. This is the ingest-time posture of the
+    curation pipeline: documents are gated as they ARRIVE (the rules
+    are the same scan-side column expressions as q_gopher_rules, same
+    module constants), and the running per-source scoreboard is the
+    pipeline's admission telemetry. Complete-mode keyed aggregation:
+    state is one (source, counts) row per source — O(sources), not
+    O(documents) — so the unbounded form never grows state with the
+    stream.
+
+    With q_stream_tumbling..q_stream_cdc_upsert this extends the
+    batch/stream equivalence contract (SURVEY.md §2.10) from event
+    analytics to the text-curation lane."""
+    from sas_etl_spark.queries.quality_gates import (
+        _STOPWORDS,
+        GOPHER_MAX_DUP_FRAC,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_WLEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_WLEN,
+    )
+    from sas_etl_spark.streaming import run_bounded_to_memory, stream_table
+
+    docs = stream_table(spark, sf_dir, "documents", max_files_per_trigger=1)
+    staged = docs.select(
+        "source",
+        "text",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.length(F.translate("text", " ", ""))
+            * F.lit(1.0)
+            / F.size("toks")
+        ).alias("mean_wlen"),
+        F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        (
+            1 - F.size(F.array_distinct("toks")) * F.lit(1.0) / F.size("toks")
+        ).alias("dup_frac"),
+    )
+    pass_all = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_wlen").between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+        & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+        & (F.col("dup_frac") <= GOPHER_MAX_DUP_FRAC)
+    )
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pass_all.cast("int")).cast("long").alias("n_pass"),
+    )
+    return run_bounded_to_memory(agg, spark)

@@ -1515,3 +1515,89 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - F.countDistinct("g") / F.count(F.lit(1)), 6
         ).alias("repetition"),
     )
+
+
+@query(
+    "q_ppl_buckets",
+    oracle="""
+    with tok as (
+        select doc_id, lang, unnest(string_split(text, ' ')) as word
+        from documents
+    ), tf as (
+        select word, cast(count(*) as double) as c from tok group by word
+    ), n as (
+        select cast(count(*) as double) as total from tok
+    ), score as (
+        select doc_id, lang, round(avg(-ln(c / total)), 6) as s
+        from tok join tf using (word) cross join n
+        group by doc_id, lang
+    ), cuts as (
+        select lang,
+               round(quantile_cont(s, 0.25), 6) as c25,
+               round(quantile_cont(s, 0.75), 6) as c75
+        from score group by lang
+    )
+    select score.lang as lang,
+           case when s < c25 then 'head'
+                when s < c75 then 'middle'
+                else 'tail' end as bucket,
+           cast(count(*) as bigint) as n_docs,
+           round(avg(s), 6) as avg_score
+    from score join cuts on cuts.lang = score.lang
+    group by 1, 2
+    """,
+    tags=("llm", "quality", "text"),
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: split each language's corpus
+    into head/middle/tail by LM score (CCNet keeps per-language
+    perplexity terciles so downstream mixing can favor the fluent
+    head without discarding the tail outright). Score = the attested
+    q_unigram_logprob quality signal; cut points here are P25/P75 per
+    language, the exact interpolated percentiles.
+
+    Plan (the 100 TB path): scoring is the q_unigram_logprob shape
+    (vocab-bounded broadcast join, no window); the per-language cuts
+    come from operators/quantiles.exact_percentiles_hist — value
+    HISTOGRAM order statistics, NOT a per-language row window, so no
+    single task ever sorts a language's whole corpus (the few-group
+    window trap); the O(languages) cut table broadcasts back onto the
+    scores and the final rollup is one map-side-combined groupBy on
+    (lang, bucket). Boundary determinism: scores and cuts are both
+    rounded to 6dp with identical expression trees on both engines
+    (the q_percentiles-attested quantile_cont parity), so bucket
+    membership is bit-stable cross-engine."""
+    from sas_etl_spark.operators.quantiles import exact_percentiles_hist
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tok.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    score = (
+        tok.join(F.broadcast(tf), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6).alias("s")
+        )
+    )
+    cuts = exact_percentiles_hist(
+        score, "lang", "s", {"c25": 0.25, "c75": 0.75}, round_dp=6
+    )
+    bucket = (
+        F.when(F.col("s") < F.col("c25"), F.lit("head"))
+        .when(F.col("s") < F.col("c75"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        score.join(F.broadcast(cuts), "lang")
+        .groupBy(F.col("lang"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("s"), 6).alias("avg_score"),
+        )
+    )

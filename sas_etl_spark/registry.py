@@ -94,8 +94,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_span_dedup",
     # -- (c2) NEW this round: the containment join's production
     # posture (exact dedup first, containment on distinct texts —
-    # VERDICT r8 item 5).
+    # VERDICT r8 item 5), plus three surface-widening operators: BPE
+    # merge-candidate counting (tokenizer induction's per-iteration
+    # shape), CCNet-style per-language perplexity terciles, and a
+    # k-anonymity privacy audit.
     "q_dedup_containment",
+    "q_bpe_merges",
+    "q_ppl_buckets",
+    "q_k_anonymity",
+    # (c2, continued) incremental NEAR-dup vs the historical master
+    # (the per-snapshot production dedup shape) and the Gopher gate
+    # as a structured stream (ingest-time curation telemetry); the
+    # minhash signature stage was also rebuilt this round (two-stage
+    # hashing + staged hash column + id re-bucketing: 216 s -> 7.7 s
+    # at sf0.1), so q_near_dup_minhash's sentinel slot doubles as the
+    # re-attest for that helper change.
+    "q_incremental_neardup",
+    "q_stream_quality_gate",
     # -- (d) regression sentinels, oldest-green-first: all 37 queries
     # whose newest driver row is still round 4 (pre-r5 code vintage) —
     # this window retires the entire r4 cohort, leaving r5 rows as the
@@ -126,11 +141,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_proc_sql",
     "q_remerge_share",
     "q_scd2_merge",
-    "q_semi_join",
-    "q_simhash_fingerprints",
-    "q_skew_salted_agg",
-    "q_skew_salted_join",
-    "q_split_hash",
+    # (q_semi_join and q_simhash_fingerprints gave their slots to the
+    # two late round-9 additions; r10 stalest list.)
+    # (q_skew_salted_agg, q_skew_salted_join, q_split_hash gave their
+    # slots to the three new round-9 operators; r10 stalest list.)
     # (q_stratified_sample gave its slot to q_dedup_containment; it
     # joins the r10 stalest list with the other five r4 holdovers.)
     # (q_text_stats, q_text_tokens, q_tfidf, q_token_count,
@@ -153,7 +167,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: "changed since newest green row" column, then (2) sentinels
 #: oldest-green-first (after r9 the stalest rows are the five r4
 #: holdovers q_text_stats, q_text_tokens, q_tfidf, q_token_count,
-#: q_update_master, q_stratified_sample, then the r5 cohort:
+#: q_update_master, q_stratified_sample, q_skew_salted_agg,
+#: q_skew_salted_join, q_split_hash, q_semi_join,
+#: q_simhash_fingerprints, then the r5 cohort:
 #: q_ab_test, q_array_ops, q_audio_features, q_curation_pipeline,
 #: q_distinct_count, q_dup_clusters, q_event_transitions, q_except,
 #: q_histogram, q_image_resize, q_json_extract, q_merge_in_flags,

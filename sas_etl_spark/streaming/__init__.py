@@ -16,11 +16,13 @@ from sas_etl_spark.streaming.builders import (
     session_window_agg,
     sliding_agg,
     stream_events,
+    stream_table,
     tumbling_agg,
 )
 
 __all__ = [
     "stream_events",
+    "stream_table",
     "tumbling_agg",
     "sliding_agg",
     "session_window_agg",

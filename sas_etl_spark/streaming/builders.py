@@ -21,14 +21,16 @@ from sas_etl_spark.catalog import normalize_event_ts
 from sas_etl_spark.session import configure
 
 
-def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """The events fixture as a file stream (bounded stand-in for a
-    real source; swap .format for kafka in production). ``ts`` is
-    normalized to canonical TimestampType by the SAME total helper the
-    batch path uses (catalog.normalize_event_ts), so both lanes track
-    fixture-encoding changes in one place.
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Any fixture table as a file stream (bounded stand-in for a real
+    source; swap .format for kafka in production).
 
-    Layout handling: ``{sf_dir}/events.parquet`` is a single FILE in
+    Layout handling: ``{sf_dir}/{table}.parquet`` is a single FILE in
     the driver's testdata but a DIRECTORY of part-files in any
     Spark-written dataset (the sf1/sf10 bench fixtures, production
     tables). readStream requires a directory, and a pathGlobFilter
@@ -40,16 +42,24 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     parent with the glob pinned to the single file.
     """
     configure(spark)
-    table_path = f"{sf_dir}/events.parquet"
+    table_path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(table_path).schema
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if os.path.isdir(table_path):
-        raw = reader.parquet(table_path)
-    else:
-        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return normalize_event_ts(raw)
+        return reader.parquet(table_path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """The events fixture as a file stream. ``ts`` is normalized to
+    canonical TimestampType by the SAME total helper the batch path
+    uses (catalog.normalize_event_ts), so both lanes track
+    fixture-encoding changes in one place."""
+    return normalize_event_ts(
+        stream_table(spark, sf_dir, "events", max_files_per_trigger)
+    )
 
 
 def tumbling_agg(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:

@@ -75,8 +75,9 @@ def test_synthetic_helper_edit_flags_dependents() -> None:
 
     # a one-token body edit inside stream_events (keeps the file
     # parseable; the segment is whitespace-normalized so only real
-    # token changes count)
-    edited = src.replace("maxFilesPerTrigger", "maxFilesPerTriggerX", 1)
+    # token changes count). '"events"' appears only in stream_events'
+    # body — the shared machinery lives in stream_table since round 9.
+    edited = src.replace('"events"', '"eventsX"', 1)
     after = gen.function_segments(edited)
     assert after["stream_events"] != before["stream_events"]
     # and an untouched sibling stays clean

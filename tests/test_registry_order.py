@@ -66,9 +66,7 @@ SENTINELS = {
     "q_lang_id", "q_left_join_null", "q_min_per_group_join",
     "q_multi_split", "q_near_dup_embedding", "q_near_dup_simhash",
     "q_orc_roundtrip", "q_pack_sequences", "q_partitioned_write",
-    "q_proc_sql", "q_remerge_share", "q_scd2_merge", "q_semi_join",
-    "q_simhash_fingerprints", "q_skew_salted_agg", "q_skew_salted_join",
-    "q_split_hash",
+    "q_proc_sql", "q_remerge_share", "q_scd2_merge",
 }
 
 
@@ -95,7 +93,11 @@ def test_round9_rotation_targets_inside_window() -> None:
     """Round-9 plan (VERDICT r8 items 1-2): the one never-attested
     query, the 8 stream re-attests, and this round's changed-code
     queries must all sit in slots 0-49."""
-    must = {"q_semantic_decontam", "q_dedup_containment"} | RE_ATTESTS
+    must = {
+        "q_semantic_decontam", "q_dedup_containment",
+        "q_bpe_merges", "q_ppl_buckets", "q_k_anonymity",
+        "q_incremental_neardup", "q_stream_quality_gate",
+    } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
