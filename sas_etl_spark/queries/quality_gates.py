@@ -259,3 +259,120 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score_ppm"), 6).alias("avg_kept_ppm"),
         F.bit_xor(digest).alias("id_digest"),
     )
+
+
+# -- DSIR importance weights ------------------------------------------
+
+#: The target domain whose distribution DSIR selects toward.
+DSIR_TARGET = "src0"
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    with tok as (
+        select doc_id, source, unnest(string_split(text, ' ')) as term
+        from documents
+    ),
+    raw as (select term, count(*) as cr from tok group by term),
+    rawstats as (
+        select cast(sum(cr) as double) as nr,
+               cast(count(*) as double) as v
+        from raw
+    ),
+    tgt as (
+        select term, count(*) as ct from tok
+        where source = '{DSIR_TARGET}' group by term
+    ),
+    tgtstats as (
+        select cast(count(*) as double) as nt from tok
+        where source = '{DSIR_TARGET}'
+    ),
+    lr as (
+        select raw.term,
+               ln((coalesce(ct, 0) + 1) / (nt + v))
+               - ln((cr + 1) / (nr + v)) as lr
+        from raw left join tgt using (term)
+        cross join rawstats cross join tgtstats
+    ),
+    perdoc as (
+        select doc_id, source, round(sum(lr), 6) as w
+        from tok join lr using (term)
+        group by doc_id, source
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           round(avg(w), 6) as avg_weight,
+           cast(sum(case when w > 0 then 1 else 0 end) as bigint)
+               as n_selected
+    from perdoc
+    group by source
+    """,
+    tags=("llm", "quality", "sample"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by the log-likelihood ratio of a target-domain unigram LM
+    to the raw-corpus unigram LM, then resample toward the target
+    distribution. Here the target is the DSIR_TARGET ('src0') source, both
+    LMs are add-one-smoothed over the raw vocabulary, and per-doc
+    weight w = sum over tokens of ln(p_target(t)) - ln(p_raw(t)),
+    rounded 6dp. The per-source readout (mean weight + count with
+    w > 0, i.e. docs the resampler favors) is the selection audit: the
+    target source must dominate, and sources lexically near it score
+    next — exactly the paper's "proxy for the target" behavior. DSIR
+    hashes n-grams into a bounded feature space to cap the LM tables;
+    the fixture's closed vocabulary IS that bounded space, so exact
+    unigram features here have the same table-size posture.
+
+    Scale: both LM tables are vocab-bounded aggregates (map-side
+    combined; DSIR's feature hashing caps them at any corpus size) and
+    broadcast back onto the token stream; the only corpus-sized
+    shuffles are the per-doc weight groupBy and the final per-source
+    rollup. No window, no all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    raw = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cr"))
+    rawstats = raw.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    in_target = F.col("source") == DSIR_TARGET
+    tgt = (
+        tok.filter(in_target)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tgtstats = tok.filter(in_target).agg(
+        F.count(F.lit(1)).cast("double").alias("nt")
+    )
+    lr = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(rawstats))
+        .crossJoin(F.broadcast(tgtstats))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1)
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    perdoc = (
+        tok.join(F.broadcast(lr), "term")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("lr"), 6).alias("w"))
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 6).alias("avg_weight"),
+        F.sum((F.col("w") > 0).cast("long")).alias("n_selected"),
+    )

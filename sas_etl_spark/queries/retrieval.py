@@ -270,3 +270,156 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+#: Retrieval-eval knobs: ranking depth, graded-relevance source (how
+#: many distinct query terms a doc contains, 0-3), binary-relevance
+#: threshold for MRR/recall, and the metric cutoffs.
+EVAL_DEPTH = 20
+EVAL_REL_GRADE = 2
+EVAL_KS = (5, 10, 20)
+
+_KS_SQL = ", ".join(str(k) for k in EVAL_KS)
+
+
+@query(
+    "q_retrieval_eval",
+    oracle=f"""
+    with {_BM25_ORACLE_CTES},
+    grades as (
+        select doc_id, cast(least(tf, 3) as int) as g
+        from tf where term = '{BM25_TERMS[0]}'
+    ),
+    ranked as (
+        -- inner join: a ranked doc without the graded term simply has
+        -- gain 0 and is not binary-relevant, so dropping its row is
+        -- value-identical to keeping it at g = 0 for every metric.
+        select b.r, g.g
+        from (select doc_id,
+                     row_number() over (order by bm25 desc, doc_id) as r
+              from bm25) b
+        join grades g using (doc_id)
+        where b.r <= {EVAL_DEPTH}
+    ),
+    ideal as (
+        select row_number() over (order by g desc, doc_id) as r, g
+        from grades
+        order by g desc, doc_id
+        limit {EVAL_DEPTH}
+    ),
+    nrel as (
+        select count(*) as n_rel from grades where g >= {EVAL_REL_GRADE}
+    ),
+    ks as (select unnest([{_KS_SQL}]) as k),
+    got as (
+        select k,
+               sum((power(2, g) - 1) / log2(r + 1)) as dcg,
+               min(case when g >= {EVAL_REL_GRADE} then r end) as first_rel,
+               count(*) filter (where g >= {EVAL_REL_GRADE}) as rel_at_k
+        from ranked, ks where r <= k group by k
+    ),
+    best as (
+        select k, sum((power(2, g) - 1) / log2(r + 1)) as idcg
+        from ideal, ks where r <= k group by k
+    )
+    select cast(got.k as bigint) as k,
+           round(dcg / idcg, 6) as ndcg,
+           round(coalesce(1.0 / first_rel, 0), 6) as mrr,
+           round(rel_at_k * 1.0 / n_rel, 6) as recall
+    from got join best using (k) cross join nrel
+    """,
+    tags=("retrieval", "llm", "quality"),
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking — nDCG@k,
+    MRR@k, and recall@k at k in {5, 10, 20}, the standard IR readout
+    (Järvelin & Kekäläinen's graded nDCG; TREC's MRR/recall) that
+    closes the retrieval lane: q_bm25 ranks, q_rrf_hybrid fuses, this
+    op MEASURES. Relevance is derived deterministically from the
+    corpus itself — and INDEPENDENTLY of the ranker, so the metrics
+    are discriminative, not tautological: grade = occurrences of the
+    FIRST query term capped at 3 (the user's core intent; the other
+    terms are query expansion the grade ignores), binary-relevant =
+    grade >= 2. Gains follow the graded formula
+    (2^g - 1) / log2(rank + 1); IDCG re-ranks by grade.
+
+    Both engines produce identical ranks (6dp-rounded BM25 + doc_id
+    tiebreak, the registry LIMIT rule) and round each final metric to
+    6dp, so the three-row (k, ndcg, mrr, recall) readout hash-matches.
+
+    Scale: the ranking cut is TakeOrderedAndProject (per-partition
+    heap, never a corpus-wide window — the q_rrf_hybrid pattern); the
+    grade relation aggregates only postings for the |terms| query
+    terms; the ideal ranking cuts the same way on grade; every join
+    after the cuts touches <= EVAL_DEPTH rows with the DEPTH side
+    broadcast. Metric arithmetic happens on <= 20-row relations."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grades = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") == BM25_TERMS[0])
+        .groupBy("doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(3)).cast("int").alias("g"))
+    )
+    # inner join (vs left-outer, which would force the corpus-sized
+    # grades side to build): a ranked doc without the graded term has
+    # gain 0 and is not binary-relevant, so dropping its row is
+    # value-identical for every metric, and the 20-row side broadcasts.
+    ranked = grades.join(
+        F.broadcast(
+            _bm25_scores(spark, sf_dir)
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(EVAL_DEPTH)
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+                ),
+            )
+        ),
+        "doc_id",
+    ).select("r", "g")
+    ideal = (
+        grades.orderBy(F.desc("g"), F.asc("doc_id"))
+        .limit(EVAL_DEPTH)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("g"), F.asc("doc_id"))),
+        )
+        .select("r", "g")
+    )
+    nrel = grades.filter(F.col("g") >= EVAL_REL_GRADE).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in EVAL_KS])).alias("k")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("g")) - 1) / F.log2(F.col("r") + 1)
+    rel = F.col("g") >= EVAL_REL_GRADE
+    got = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(gain).alias("dcg"),
+            F.min(F.when(rel, F.col("r"))).alias("first_rel"),
+            F.sum(rel.cast("long")).alias("rel_at_k"),
+        )
+    )
+    best = (
+        ideal.crossJoin(F.broadcast(ks))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    return (
+        got.join(best, "k")
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("rel_at_k") / F.col("n_rel"), 6).alias("recall"),
+        )
+    )

@@ -612,3 +612,182 @@ def q_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# -- Luhn-validated card-number redaction ------------------------------
+
+#: Luhn contribution of the digit at position ``i`` FROM THE RIGHT of
+#: a 16-char candidate ``c``: digits at even i double (subtracting 9
+#: when the doubled value exceeds 9). Shared Spark-SQL / DuckDB text —
+#: both engines fold the same integer arithmetic, so validity parity
+#: is exact (no floats anywhere).
+_LUHN_DIGIT = "cast({substr}(c, 17 - i, 1) as int)"
+_LUHN_CONTRIB = (
+    "case when i % 2 = 0 then 2 * {d} - case when {d} > 4 then 9 "
+    "else 0 end else {d} end"
+)
+
+#: Check-digit contribution for the PLANTING side: position k FROM THE
+#: LEFT of the 15-digit base (final position from the right is 17-k,
+#: which is even exactly when k is odd).
+_PLANT_DIGIT = "cast({substr}(base, k, 1) as int)"
+_PLANT_CONTRIB = (
+    "case when k % 2 = 1 then 2 * {d} - case when {d} > 4 then 9 "
+    "else 0 end else {d} end"
+)
+
+
+def _luhn_sql(dialect: str) -> dict[str, str]:
+    """The four Luhn expressions for one engine. dialect: 'spark' uses
+    substring/aggregate-transform; 'duckdb' uses substr/list_sum."""
+    substr = "substring" if dialect == "spark" else "substr"
+    d = _LUHN_DIGIT.format(substr=substr)
+    contrib = _LUHN_CONTRIB.format(d=d)
+    pd_ = _PLANT_DIGIT.format(substr=substr)
+    plant_contrib = _PLANT_CONTRIB.format(d=pd_)
+    if dialect == "spark":
+        valid_sum = (
+            "aggregate(transform(sequence(1, 16), i -> "
+            f"{contrib}), 0, (a, x) -> a + x)"
+        )
+        plant_sum = (
+            "aggregate(transform(sequence(1, 15), k -> "
+            f"{plant_contrib}), 0, (a, x) -> a + x)"
+        )
+    else:
+        valid_sum = f"list_sum(list_transform(range(1, 17), i -> {contrib}))"
+        plant_sum = (
+            f"list_sum(list_transform(range(1, 16), k -> {plant_contrib}))"
+        )
+    return {"valid_sum": valid_sum, "plant_sum": plant_sum}
+
+
+_SPARK_LUHN = _luhn_sql("spark")
+_DUCK_LUHN = _luhn_sql("duckdb")
+
+
+@query(
+    "q_pii_luhn",
+    oracle=f"""
+    with planted as (
+        select doc_id, source,
+               lpad(cast((doc_id * 7919 + 11) % 1000000000000000
+                         as varchar), 15, '0') as base,
+               text
+        from documents
+    ),
+    built as (
+        select doc_id, source,
+               cast((10 - {_DUCK_LUHN["plant_sum"]} % 10) % 10
+                    as varchar) as chk,
+               base, text
+        from planted
+    ),
+    salted as (
+        select doc_id, source,
+               substring(text, 1, 30) || ' pay ' || base || chk
+                   || ' ref ' || base
+                   || cast((cast(chk as int) + 5) % 10 as varchar)
+                   as text2
+        from built
+    ),
+    scanned as (
+        select doc_id, source, text2,
+               regexp_extract_all(text2, '[0-9]{{16}}') as cands
+        from salted
+    ),
+    checked as (
+        select doc_id, source, text2,
+               cands,
+               list_filter(cands, c -> {_DUCK_LUHN["valid_sum"]} % 10 = 0)
+                   as valid
+        from scanned
+    )
+    select doc_id,
+           cast(len(cands) as bigint) as n_candidates,
+           cast(len(valid) as bigint) as n_valid,
+           sha256(list_reduce(list_prepend(text2, valid),
+                              (a, x) -> replace(a, x, '[CARD]')))
+               as redacted_sha
+    from checked
+    """,
+    tags=("text", "llm", "governance"),
+)
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card-number redaction — the checksum-gated PII
+    scrub (q_pii_redact's regexes catch emails/phones; payment-card
+    numbers need VALIDATION, because any 16-digit run matches the
+    pattern but only Luhn-valid ones are plausible PANs — redacting
+    every digit run would destroy ids/timestamps). The fixture has no
+    real PII, so each doc plants two deterministic 16-digit
+    candidates derived from doc_id — one with the correct Luhn check
+    digit, one with the check digit shifted +5 (never valid) — then
+    the query re-discovers candidates by regex, validates each with
+    the standard fold (double every second digit from the right,
+    subtract 9 above 9, sum % 10 == 0), and redacts ONLY the valid
+    one. Asserted end-to-end: candidate count, valid count, and the
+    sha-256 of the redacted text all match DuckDB running the same
+    integer folds (tests/test_pii_luhn.py additionally pins the
+    validator against published Luhn vectors, de-circularizing
+    plant-vs-detect).
+
+    Scale: row-local regex + integer HOF folds in one codegen
+    Project; zero shuffles, zero joins, no floats."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.lpad(
+            ((F.col("doc_id") * 7919 + 11) % F.lit(10**15)).cast("string"),
+            15,
+            "0",
+        ).alias("base"),
+    )
+    built = planted.select(
+        "doc_id",
+        "source",
+        "text",
+        "base",
+        F.expr(f"cast((10 - {_SPARK_LUHN['plant_sum']} % 10) % 10 as string)")
+        .alias("chk"),
+    )
+    salted = built.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.lit(" pay "),
+            F.col("base"),
+            F.col("chk"),
+            F.lit(" ref "),
+            F.col("base"),
+            ((F.col("chk").cast("int") + 5) % 10).cast("string"),
+        ).alias("text2"),
+    )
+    scanned = salted.select(
+        "doc_id",
+        "text2",
+        F.expr("regexp_extract_all(text2, '[0-9]{16}', 0)").alias("cands"),
+    )
+    checked = scanned.select(
+        "doc_id",
+        "text2",
+        "cands",
+        F.expr(
+            f"filter(cands, c -> {_SPARK_LUHN['valid_sum']} % 10 = 0)"
+        ).alias("valid"),
+    )
+    return checked.select(
+        "doc_id",
+        F.size("cands").cast("long").alias("n_candidates"),
+        F.size("valid").cast("long").alias("n_valid"),
+        F.sha2(
+            F.aggregate(
+                F.col("valid"),
+                F.col("text2"),
+                lambda a, x: F.replace(a, x, F.lit("[CARD]")),
+            ),
+            256,
+        ).alias("redacted_sha"),
+    )

@@ -55,7 +55,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 9 window (VERDICT r8 items 1-2). Composition (50 = 1 + 8 +
-    # 4 + 37):
+    # 9 + 12 + 20):
     # -- (a) the one never-attested query: registered in round 8's
     # final snapshot commit after the window ran (locally parity-proven
     # by test_oracle_parity every suite run; needs its driver row).
@@ -111,10 +111,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # re-attest for that helper change.
     "q_incremental_neardup",
     "q_stream_quality_gate",
-    # -- (d) regression sentinels, oldest-green-first: all 37 queries
-    # whose newest driver row is still round 4 (pre-r5 code vintage) —
-    # this window retires the entire r4 cohort, leaving r5 rows as the
-    # oldest in the ledger.
+    # (c2, continued) the retrieval lane's evaluation op (nDCG/MRR/
+    # recall of the BM25 ranking), DSIR importance weights (the
+    # importance-resampling data-selection readout), and the
+    # Luhn-validated card redaction (checksum-gated PII).
+    "q_retrieval_eval",
+    "q_dsir_weights",
+    "q_pii_luhn",
+    # (c3) q_near_dup_minhash re-attest: its r5 green row predates the
+    # round-9 signature-stage rebuild (hashed_shingles staging + id
+    # re-bucketing in operators/minhash.py) — the ledger flags it
+    # changed; this slot refreshes it against the rebuilt helpers.
+    "q_near_dup_minhash",
+    # -- (d) regression sentinels, oldest-green-first: the r4 cohort
+    # (pre-r5 code vintage), minus the tail that ceded slots to this
+    # round's registrations (see the trailing comments) — those join
+    # the r10 stalest list.
     "q_anti_join",
     "q_append_sink",
     "q_contamination",
@@ -137,10 +149,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_near_dup_simhash",
     "q_orc_roundtrip",
     "q_pack_sequences",
-    "q_partitioned_write",
-    "q_proc_sql",
-    "q_remerge_share",
-    "q_scd2_merge",
+    # (q_partitioned_write, q_proc_sql, q_remerge_share, q_scd2_merge
+    # gave their slots to q_retrieval_eval/q_dsir_weights/q_pii_luhn
+    # and the q_near_dup_minhash re-attest; r10 stalest list.)
     # (q_semi_join and q_simhash_fingerprints gave their slots to the
     # two late round-9 additions; r10 stalest list.)
     # (q_skew_salted_agg, q_skew_salted_join, q_split_hash gave their
@@ -158,7 +169,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: the 50-slot cap, (2) the matching update to
 #: tests/test_registry_order.py's must-set, (3) `python
 #: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
-#: settled tree. Queries registered this round so far: (none yet).
+#: settled tree. Queries registered this round so far: q_dedup_containment,
+#: q_bpe_merges, q_ppl_buckets, q_k_anonymity, q_incremental_neardup,
+#: q_stream_quality_gate, q_retrieval_eval, q_dsir_weights, q_pii_luhn
+#: (all windowed).
 #:
 #: ROUND 10 window plan — after r9 lands, every registered query has a
 #: driver-green row, none predating code it depends on (the ledger now
@@ -169,7 +183,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: holdovers q_text_stats, q_text_tokens, q_tfidf, q_token_count,
 #: q_update_master, q_stratified_sample, q_skew_salted_agg,
 #: q_skew_salted_join, q_split_hash, q_semi_join,
-#: q_simhash_fingerprints, then the r5 cohort:
+#: q_simhash_fingerprints, q_partitioned_write, q_proc_sql,
+#: q_remerge_share, q_scd2_merge, then the r5 cohort:
 #: q_ab_test, q_array_ops, q_audio_features, q_curation_pipeline,
 #: q_distinct_count, q_dup_clusters, q_event_transitions, q_except,
 #: q_histogram, q_image_resize, q_json_extract, q_merge_in_flags,
