@@ -17,7 +17,7 @@ task counts, not plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -643,3 +643,140 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     master = docs.filter(F.col("doc_id") % 3 != 0).unionByName(planted)
     return near_dup_pairs_between(batch, master, threshold=0.8)
+
+
+# -- two-sample Kolmogorov-Smirnov drift --------------------------------
+
+#: Reference source for the KS comparison and the alpha=0.05 two-sample
+#: critical coefficient (Smirnov's c(alpha) = sqrt(-ln(alpha/2)/2)).
+KS_REF_SOURCE = "src0"
+KS_COEFF = 1.358
+
+
+@query(
+    "q_ks_drift",
+    oracle=f"""
+    with corpus as (
+        select source, n_chars from documents
+        union all
+        select 'src_drift' as source, n_chars + 150 as n_chars
+        from documents where source = 'src1'
+    ),
+    vals as (select distinct n_chars from corpus),
+    srcs as (select distinct source from corpus),
+    hist as (
+        select source, n_chars, count(*) as c
+        from corpus group by source, n_chars
+    ),
+    grid as (
+        select s.source, v.n_chars, coalesce(h.c, 0) as c
+        from srcs s cross join vals v
+        left join hist h on h.source = s.source and h.n_chars = v.n_chars
+    ),
+    ecdf as (
+        select source, n_chars,
+               sum(c) over (partition by source order by n_chars
+                            rows between unbounded preceding
+                            and current row) * 1.0
+               / sum(c) over (partition by source) as e,
+               sum(c) over (partition by source) as n
+        from grid
+    ),
+    ref as (
+        select n_chars, e as e0, n as n0 from ecdf
+        where source = '{KS_REF_SOURCE}'
+    )
+    select ecdf.source,
+           cast(any_value(ecdf.n) as bigint) as n_docs,
+           round(max(abs(e - e0)), 6) as ks_d,
+           round({KS_COEFF} * sqrt(1.0 / any_value(ecdf.n)
+                                   + 1.0 / any_value(n0)), 6) as ks_crit,
+           max(abs(e - e0)) > {KS_COEFF}
+               * sqrt(1.0 / any_value(ecdf.n) + 1.0 / any_value(n0))
+               as drifted
+    from ecdf join ref using (n_chars)
+    where ecdf.source <> '{KS_REF_SOURCE}'
+    group by ecdf.source
+    """,
+    tags=("governance", "quality", "stats"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per source — the
+    distribution-shape complement of q_psi_drift (PSI bins and sums;
+    KS takes the sup-norm of the ECDF gap, catching shifts PSI's
+    binning smears). Each non-reference source's document-length
+    distribution is tested against the KS_REF_SOURCE ('src0')
+    reference: D = max over the value grid of |ECDF_s - ECDF_ref|,
+    flagged against the alpha=0.05 two-sample critical value
+    1.358 * sqrt((n1+n2)/(n1*n2)) — the training-corpus drift monitor
+    run per ingest snapshot (did this crawl's length profile move?).
+    The uniform fixture genuinely drifts nowhere, so a planted
+    'src_drift' source (src1's lengths shifted +150, the established
+    planted-fixture pattern) exercises the drifted=true branch while
+    the real sources attest the false branch.
+
+    Cross-engine determinism: every ECDF value is a ratio of exact
+    integer counts evaluated on the same grid, so the max and the
+    flag compare identical doubles; only the two output statistics
+    round (6dp).
+
+    Scale: the corpus collapses to a (source x distinct-value)
+    HISTOGRAM at the scan-side groupBy (map-side combined); the ECDF
+    windows walk grid rows — |sources| x |distinct lengths|, domain-
+    bounded, never the corpus (the operators/quantiles.py posture).
+    The reference column re-joins by value on the grid relation and
+    broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("source", "n_chars").unionByName(
+        docs.filter(F.col("source") == "src1").select(
+            F.lit("src_drift").alias("source"),
+            (F.col("n_chars") + 150).alias("n_chars"),
+        )
+    )
+    vals = corpus.select("n_chars").distinct()
+    srcs = corpus.select("source").distinct()
+    hist = corpus.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        srcs.crossJoin(vals)
+        .join(hist, ["source", "n_chars"], "left")
+        .select("source", "n_chars", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ecdf = grid.select(
+        "source",
+        "n_chars",
+        (F.sum("c").over(w_cum) * 1.0 / F.sum("c").over(w_all)).alias("e"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    ref = ecdf.filter(F.col("source") == KS_REF_SOURCE).select(
+        "n_chars", F.col("e").alias("e0"), F.col("n").alias("n0")
+    )
+    # sqrt(1/n1 + 1/n2), not sqrt((n1+n2)/(n1*n2)): same value, but the
+    # int product n1*n2 would overflow long at 1e10-doc sources — and
+    # the floating-point results of the two forms differ in the last
+    # ulps, so both engines must use THIS form.
+    crit = KS_COEFF * F.sqrt(
+        1.0 / F.any_value("n") + 1.0 / F.any_value("n0")
+    )
+    return (
+        ecdf.filter(F.col("source") != KS_REF_SOURCE)
+        .join(F.broadcast(ref), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.any_value("n").cast("long").alias("n_docs"),
+            F.round(F.max(F.abs(F.col("e") - F.col("e0"))), 6).alias(
+                "ks_d"
+            ),
+            F.round(crit, 6).alias("ks_crit"),
+            (F.max(F.abs(F.col("e") - F.col("e0"))) > crit).alias(
+                "drifted"
+            ),
+        )
+    )

@@ -11,7 +11,7 @@ shapes that hold at corpus scale (notes per query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -405,4 +405,104 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("pair"))
         .limit(20)
+    )
+
+
+# -- Zipf law fit -------------------------------------------------------
+
+#: How many top-frequency terms feed each source's log-log OLS fit.
+ZIPF_TOP = 100
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    with tok as (
+        select source, unnest(string_split(text, ' ')) as term
+        from documents
+    ),
+    tf as (
+        select source, term, count(*) as c
+        from tok group by source, term
+    ),
+    ranked as (
+        select source,
+               ln(row_number() over (partition by source
+                                     order by c desc, term)) as x,
+               ln(c) as y
+        from tf
+        qualify row_number() over (partition by source
+                                   order by c desc, term) <= {ZIPF_TOP}
+    ),
+    sums as (
+        select source,
+               cast(count(*) as double) as n,
+               sum(x) as sx, sum(y) as sy,
+               sum(x * y) as sxy, sum(x * x) as sxx
+        from ranked group by source
+    )
+    select source,
+           cast(n as bigint) as n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) as intercept
+    from sums
+    """,
+    tags=("text", "llm", "quality", "stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source — OLS slope of ln(frequency) on
+    ln(rank) over each source's top-100 terms. Natural language sits
+    near slope -1 (Zipf); a corpus whose slope collapses toward 0 is
+    template/boilerplate-heavy and one that steepens sharply is
+    mode-collapsed — the corpus-health readout that complements
+    q_ngram_diversity (type/token ratios) with a distribution-SHAPE
+    statistic, standard in corpus-linguistics QA of training data.
+
+    Determinism: ranks are integers (count desc, term tiebreak, both
+    engines), ln of exact integers, and the closed-form OLS runs on
+    per-source sums of <= ZIPF_TOP doubles — slope and intercept round
+    6dp far above the accumulation error.
+
+    Scale: the corpus collapses at the (source, term) count (map-side
+    combined, vocab-bounded output); the rank window walks each
+    source's VOCABULARY (sublinear in corpus size; at true web scale
+    the same cut comes from a per-source count-histogram prefix, the
+    operators/quantiles.py trick, since only the top-100 survive).
+    Everything after the cut is O(sources x 100)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc("term")
+    )
+    ranked = (
+        tf.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "source",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
     )

@@ -118,6 +118,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_retrieval_eval",
     "q_dsir_weights",
     "q_pii_luhn",
+    # (c2, continued) two-sample Kolmogorov-Smirnov drift per source
+    # (the ECDF-sup-norm complement of q_psi_drift) and the per-source
+    # Zipf-law fit (distribution-shape corpus health).
+    "q_ks_drift",
+    "q_zipf_fit",
     # (c3) q_near_dup_minhash re-attest: its r5 green row predates the
     # round-9 signature-stage rebuild (hashed_shingles staging + id
     # re-bucketing in operators/minhash.py) — the ledger flags it
@@ -147,8 +152,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multi_split",
     "q_near_dup_embedding",
     "q_near_dup_simhash",
-    "q_orc_roundtrip",
-    "q_pack_sequences",
+    # (q_orc_roundtrip and q_pack_sequences gave their slots to
+    # q_ks_drift/q_zipf_fit; r10 stalest list.)
     # (q_partitioned_write, q_proc_sql, q_remerge_share, q_scd2_merge
     # gave their slots to q_retrieval_eval/q_dsir_weights/q_pii_luhn
     # and the q_near_dup_minhash re-attest; r10 stalest list.)
@@ -171,8 +176,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
 #: settled tree. Queries registered this round so far: q_dedup_containment,
 #: q_bpe_merges, q_ppl_buckets, q_k_anonymity, q_incremental_neardup,
-#: q_stream_quality_gate, q_retrieval_eval, q_dsir_weights, q_pii_luhn
-#: (all windowed).
+#: q_stream_quality_gate, q_retrieval_eval, q_dsir_weights, q_pii_luhn,
+#: q_ks_drift, q_zipf_fit (all windowed).
 #:
 #: ROUND 10 window plan — after r9 lands, every registered query has a
 #: driver-green row, none predating code it depends on (the ledger now
@@ -184,7 +189,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: q_update_master, q_stratified_sample, q_skew_salted_agg,
 #: q_skew_salted_join, q_split_hash, q_semi_join,
 #: q_simhash_fingerprints, q_partitioned_write, q_proc_sql,
-#: q_remerge_share, q_scd2_merge, then the r5 cohort:
+#: q_remerge_share, q_scd2_merge, q_orc_roundtrip, q_pack_sequences,
+#: then the r5 cohort:
 #: q_ab_test, q_array_ops, q_audio_features, q_curation_pipeline,
 #: q_distinct_count, q_dup_clusters, q_event_transitions, q_except,
 #: q_histogram, q_image_resize, q_json_extract, q_merge_in_flags,

@@ -68,7 +68,6 @@ SENTINELS = {
     "q_image_features", "q_json_roundtrip", "q_knn_ivf_exactprobe",
     "q_lang_id", "q_left_join_null", "q_min_per_group_join",
     "q_multi_split", "q_near_dup_embedding", "q_near_dup_simhash",
-    "q_orc_roundtrip", "q_pack_sequences",
 }
 
 
@@ -100,6 +99,7 @@ def test_round9_rotation_targets_inside_window() -> None:
         "q_bpe_merges", "q_ppl_buckets", "q_k_anonymity",
         "q_incremental_neardup", "q_stream_quality_gate",
         "q_retrieval_eval", "q_dsir_weights", "q_pii_luhn",
+        "q_ks_drift", "q_zipf_fit",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
