@@ -3,15 +3,19 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line with per-query median latency.
 
-Protocol (comparable to BASELINE.md's warm DuckDB median-of-N):
+Protocol (comparable to BENCH_r1-r8; see the round-9 correction in
+SCALE.md for what it does and does not measure):
 - Warm session; JVM startup and first-action warmup excluded.
-- Each query's logical plan is built once (the prepared-statement
-  analog of DuckDB holding the SQL string); every timed run still
-  performs Catalyst optimization, physical planning, scheduling,
-  execution, and full result materialization to pandas via Arrow.
-  Plan *construction* is excluded because it is Py4J client overhead
-  (hundreds of driver round-trips), not engine work — DuckDB's analog
-  (parsing a SQL string) costs ~1 ms.
+- Each query's logical plan is built once and re-collected per run.
+  IMPORTANT (round-9 finding): a re-collected DataFrame REUSES its
+  shuffle map outputs, so warm runs re-execute only the final stage +
+  result fetch — this is a RESIDENT-PLAN re-serve measurement, not a
+  one-shot batch cost. At the default sf0.1 every query sits at the
+  job floor either way, and the protocol is kept for round-over-round
+  comparability. For one-shot cost, set SPARK_GRAFT_COLD=1: each
+  sample then builds a FRESH plan inside the timer (no shuffle reuse;
+  includes Catalyst analysis, as DuckDB's per-run parse+plan does) —
+  the scratch/measure_cold_spark.py protocol.
 - Median of BENCH_RUNS runs per query, measured in ROUND-ROBIN order
   (run pass 1 of every query, then pass 2, ...): box-level noise
   bursts (GC, background load) then land across all queries instead
@@ -98,6 +102,7 @@ def main() -> None:
     # comparable between the readings (protocol in SCALE.md).
     floor_df = spark.range(10)
     floor_df.toPandas()  # warm the control path too
+    cold = bool(os.environ.get("SPARK_GRAFT_COLD"))
     samples: dict[str, list[float]] = {name: [] for name in plans}
     llm_samples: dict[str, list[float]] = {name: [] for name in llm_plans}
     floor_samples: list[float] = []
@@ -107,11 +112,17 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
         for name, df in plans.items():
             t0 = time.perf_counter()
-            df.toPandas()
+            if cold:
+                bench_specs[name].fn(spark, sf_dir).toPandas()
+            else:
+                df.toPandas()
             samples[name].append(time.perf_counter() - t0)
         for name, df in llm_plans.items():
             t0 = time.perf_counter()
-            df.toPandas()
+            if cold:
+                llm_specs[name].fn(spark, sf_dir).toPandas()
+            else:
+                df.toPandas()
             llm_samples[name].append(time.perf_counter() - t0)
     per_query = {
         name: round(statistics.median(times), 4) for name, times in samples.items()
@@ -133,6 +144,9 @@ def main() -> None:
                 "floor_ms": round(statistics.median(floor_samples) * 1000, 2),
                 "llm_queries": llm_per_query,
                 "llm_value": round(sum(llm_per_query.values()), 4),
+                # flag cold-mode readings so they are never compared
+                # against the resident-plan BENCH_r{N} series
+                **({"cold": True} if cold else {}),
             }
         )
     )
