@@ -94,3 +94,30 @@ def test_planted_check_digit_is_luhn_valid(spark, doc_id: int) -> None:
     invalid = row["base"] + str((int(row["chk"]) + 5) % 10)
     assert _luhn_ref(valid), valid
     assert not _luhn_ref(invalid), invalid
+
+
+def test_spark_validator_matches_reference_in_bulk(spark) -> None:
+    """200 seeded pseudo-random 16-digit candidates (deterministic:
+    derived from a counter via a fixed multiplier, same construction
+    the query uses for planting) — the Spark fold must agree with the
+    pure-Python reference on every one, valid and invalid alike."""
+    nums = [
+        str(1_000_000_000_000_0000 + (i * 48271 + 7) % 9_000_000_000_000_000)[
+            -16:
+        ]
+        for i in range(200)
+    ]
+    df = spark.createDataFrame([(n,) for n in nums], ["c"])
+    got = {
+        r["c"]: r["ok"]
+        for r in df.select(
+            "c",
+            F.expr(
+                f"exists(array(c), c -> {_SPARK_LUHN['valid_sum']} % 10 = 0)"
+            ).alias("ok"),
+        ).collect()
+    }
+    expected = {n: _luhn_ref(n) for n in nums}
+    assert got == expected
+    # sanity: the sample must exercise both branches
+    assert any(expected.values()) and not all(expected.values())
