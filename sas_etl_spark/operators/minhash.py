@@ -47,7 +47,14 @@ def hashed_shingles(shingles: Column) -> Column:
     common-subexpression elimination, so an inline string-hash array
     nested under the 128-function signature transform re-hashes every
     string 128 times (the round-9 profile: 155 s for 5000 sf0.1 docs,
-    single-task; staged + long-mixed it is ~1 s)."""
+    single-task; staged + long-mixed it is ~1 s).
+
+    Collision note: distinct shingles that collide under the single
+    64-bit xxhash64 pre-hash are collapsed BEFORE the signature min,
+    adding a ~n²/2⁶⁵ per-doc term (n = shingles/doc; ~5e-13 at
+    n = 10⁴) on top of the banding recall term documented in
+    ``minhash_signature``. It affects candidate recall only — every
+    candidate pair is exact-Jaccard verified downstream."""
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
@@ -376,7 +383,7 @@ def near_dup_pairs_between(
     (~1 - 5e-8 at j >= 0.8 with 32x4)."""
     from sas_etl_spark.operators.broadcast import broadcast_if_small
 
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
+    def banded(df: DataFrame, out_id: str) -> tuple[DataFrame, DataFrame]:
         par = df.sparkSession.sparkContext.defaultParallelism
         sh = df.repartition(par, F.col(id_col)).select(
             F.col(id_col).alias(out_id),

@@ -83,8 +83,18 @@ def _local_import_bindings(imports: list) -> dict[str, object]:
                 for alias in node.names:
                     if not alias.name.startswith(_PKG):
                         continue
-                    mod = importlib.import_module(alias.name)
-                    bound[alias.asname or alias.name.split(".")[0]] = mod
+                    leaf = importlib.import_module(alias.name)
+                    if alias.asname:
+                        # ``import a.b.c as m`` binds m to the LEAF module.
+                        bound[alias.asname] = leaf
+                    else:
+                        # ``import a.b.c`` binds only the ROOT package name
+                        # (Python semantics). Binding the leaf under the
+                        # root name would make ``a.b.c.helper`` chains
+                        # resolve attributes against the wrong module and
+                        # silently drop the callee from the closure.
+                        root = alias.name.split(".")[0]
+                        bound[root] = sys.modules[root]
         except ImportError:
             continue
     return bound

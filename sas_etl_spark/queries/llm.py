@@ -661,7 +661,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranked where rank <= 10
     group by qid
     """,
-    tags=("similarity", "ann", "scale", "bench_llm"),
+    tags=("similarity", "ann", "scale"),
 )
 def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query ANN — q_knn_ivf serves ONE vector; a real
@@ -732,6 +732,261 @@ def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_ids",
         (F.col("n_hits") >= 1).cast("int").alias("recall_ok"),
         (F.col("_mean_hits") >= 3.0).cast("int").alias("batch_recall_ok"),
+    )
+
+
+# -- persisted IVF index: build once / serve many (VERDICT r9 item 1) --
+
+#: index hyperparameters shared by q_ivf_build / q_ivf_serve and their
+#: oracles (the oracle SQL is GENERATED from these — change here,
+#: change everywhere)
+_IVF_N = 16  # centroids
+_IVF_ITERS = 2  # Lloyd refinement iterations
+_IVF_NPROBE = 4  # probed lists per query at serve time
+_IVF_SIM_DP = 4  # assignment/routing/scoring cosine rounding (dp)
+_IVF_MEAN_DP = 6  # Lloyd mean element rounding (dp)
+
+#: (applicationId, sf_dir) -> persisted index table_dir. The index is
+#: built ONCE per session per corpus and every later consumer —
+#: q_ivf_build's attestation read-back, q_ivf_serve, repeated bench
+#: fn() calls in cold mode — reads the SAME published artifact, which
+#: is the point of the regime split.
+_IVF_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent: returns the session's persisted-index dir for
+    this corpus, building + publishing it on first use."""
+    import os
+
+    from sas_etl_spark.operators.ann import build_ivf_index
+    from sas_etl_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVF_INDEX_DIRS.get(key)
+    if cached is not None and os.path.isdir(os.path.join(cached, "centroids")):
+        return cached
+    table_dir = scratch_dir(spark, "ivf_index")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 100)
+    build_ivf_index(
+        emb, table_dir, n_centroids=_IVF_N, refine_iters=_IVF_ITERS,
+        sim_round_dp=_IVF_SIM_DP, mean_round_dp=_IVF_MEAN_DP,
+    )
+    _IVF_INDEX_DIRS[key] = table_dir
+    return table_dir
+
+
+def _ivf_index_ctes(
+    n_centroids: int = _IVF_N,
+    iters: int = _IVF_ITERS,
+    sim_dp: int = _IVF_SIM_DP,
+    mean_dp: int = _IVF_MEAN_DP,
+) -> str:
+    """DuckDB CTE chain recomputing the persisted IVF index from the
+    corpus — the q_pagerank unroll pattern: seeds = n lowest ids cast
+    to double, each Lloyd iteration = rounded-cosine argmax assignment
+    (lower-id tiebreak) + per-position rounded mean (empty cells keep
+    their previous vector), then the final assignment ``afinal`` under
+    the last centroids ``c{iters}``. Every rounding knob matches
+    operators/ann.py::build_ivf_index, so the artifact is the same
+    deterministic function of the corpus in both engines."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} as (
+        select vec_id, centroid_id from (
+            select e.vec_id, c.centroid_id,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round(cast(list_cosine_similarity(
+                                          e.embedding, c.cvec) as double),
+                                      {sim_dp}) desc,
+                                c.centroid_id
+                   ) as rn
+            from corpus e cross join {cents} c
+        ) t where rn = 1
+    )"""
+
+    parts = [
+        f"""
+    corpus as (
+        select vec_id, embedding from embeddings where vec_id >= 100
+    ),
+    c0 as (
+        select vec_id as centroid_id,
+               list_transform(embedding, x -> cast(x as double)) as cvec
+        from corpus order by vec_id limit {n_centroids}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(
+            f"""
+    m{i} as (
+        select centroid_id, array_agg(mv order by pos) as mvec
+        from (
+            select centroid_id, pos, round(avg(val), {mean_dp}) as mv
+            from (
+                select a.centroid_id,
+                       unnest(e.embedding) as val,
+                       generate_subscripts(e.embedding, 1) as pos
+                from a{i} a join corpus e using (vec_id)
+            ) u
+            group by centroid_id, pos
+        ) t group by centroid_id
+    ),
+    c{i} as (
+        select p.centroid_id, coalesce(n.mvec, p.cvec) as cvec
+        from c{i - 1} p left join m{i} n using (centroid_id)
+    )"""
+        )
+    parts.append(assign("afinal", f"c{iters}"))
+    return ",".join(parts)
+
+
+@query(
+    "q_ivf_build",
+    oracle=f"""
+    with {_ivf_index_ctes()},
+    agg as (
+        select centroid_id,
+               cast(count(*) as bigint) as n_vecs,
+               cast(sum(vec_id) as bigint) as sum_vec_id,
+               cast(bit_xor(vec_id) as bigint) as xor_vec_id
+        from afinal group by centroid_id
+    )
+    select c.centroid_id,
+           coalesce(a.n_vecs, cast(0 as bigint)) as n_vecs,
+           a.sum_vec_id,
+           a.xor_vec_id,
+           round(list_reduce(list_prepend(0.0, c.cvec),
+                             (acc, v) -> acc + v),
+                 {_IVF_SIM_DP}) as centroid_checksum
+    from c{_IVF_ITERS} c left join agg a using (centroid_id)
+    """,
+    tags=("similarity", "ann", "scale", "index"),
+)
+def q_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD + PUBLISH, content-attested (VERDICT r9 item 1:
+    the one weak component — q_knn_ivf_batch re-trained k-means inside
+    every serving plan; a production pipeline builds once, persists,
+    and serves many). build_ivf_index (operators/ann.py) runs the
+    seeded k-means (16 centroids, 2 Lloyd iterations, rounded-cosine
+    assignments) and publishes (centroids, inverted lists) as
+    versioned snapshot tables (sources/snapshots.py — atomic pointer
+    swing, time travel); this query READS THE PUBLISHED ARTIFACT BACK
+    and emits its content fingerprint per centroid: list size, sum +
+    bit_xor of member ids (together a strong digest of the exact
+    assignment map), and the centroid-vector checksum (left-fold
+    element sum, the F.aggregate/list_reduce bit-parity idiom). The
+    oracle recomputes the whole build from the raw corpus in unrolled
+    CTEs — so a green row attests build AND publish AND read-back,
+    not an in-memory transform. Serving is q_ivf_serve."""
+    from sas_etl_spark.operators.ann import read_ivf_index
+
+    table_dir = _ensure_ivf_index(spark, sf_dir)
+    centroids, lists = read_ivf_index(spark, table_dir)
+    agg = lists.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        F.bit_xor("vec_id").cast("long").alias("xor_vec_id"),
+    )
+    return centroids.join(agg, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs"),
+        "sum_vec_id",
+        "xor_vec_id",
+        F.round(
+            F.aggregate("centroid_vec", F.lit(0.0), lambda acc, v: acc + v),
+            _IVF_SIM_DP,
+        ).alias("centroid_checksum"),
+    )
+
+
+@query(
+    "q_ivf_serve",
+    oracle=f"""
+    with {_ivf_index_ctes()},
+    q as (
+        select vec_id as qid, embedding as qv
+        from embeddings where vec_id < 100
+    ),
+    probes as (
+        select qid, centroid_id, qv from (
+            select q.qid, c.centroid_id, q.qv,
+                   row_number() over (
+                       partition by q.qid
+                       order by round(cast(list_cosine_similarity(
+                                          c.cvec, q.qv) as double),
+                                      {_IVF_SIM_DP}) desc,
+                                c.centroid_id
+                   ) as rn
+            from q cross join c{_IVF_ITERS} c
+        ) t where rn <= {_IVF_NPROBE}
+    ),
+    scored as (
+        -- cast ONE side to double: float[]-vs-float[] picks DuckDB's
+        -- float32 distance path whose ~1e-7 accumulation error can
+        -- flip a 4dp rounding boundary vs Spark's double fold
+        -- (observed once at sf0.001: 0.34785 -> 0.3478/0.3479);
+        -- float-vs-double coerces both to the double path, leaving
+        -- only ulp-level (~1e-15) summation-order drift.
+        select p.qid, f.vec_id,
+               round(cast(list_cosine_similarity(
+                          list_transform(e.embedding,
+                                         x -> cast(x as double)),
+                          p.qv) as double), {_IVF_SIM_DP}) as sim
+        from probes p
+        join afinal f using (centroid_id)
+        join corpus e using (vec_id)
+    ),
+    ranked as (
+        select qid, vec_id, sim,
+               row_number() over (partition by qid
+                                  order by sim desc, vec_id) as rank
+        from scored
+    )
+    select cast(qid as bigint) as qid,
+           cast(vec_id as bigint) as vec_id,
+           sim,
+           cast(rank as bigint) as rank
+    from ranked where rank <= 10
+    """,
+    tags=("similarity", "ann", "scale", "index", "bench_llm"),
+)
+def q_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY batched ANN from the PERSISTED index — the
+    many-batches half of the build/serve regime split (VERDICT r9
+    item 1; build + artifact attestation in q_ivf_build). The plan
+    reads back the published (centroids, lists) snapshot tables and
+    runs ivf_topk_batch_from (operators/ann.py): Q=100 query vectors
+    routed on the broadcast probe grid (top-{_IVF_NPROBE} rounded-
+    cosine centroids each), candidate scoring fans each inverted list
+    only to the queries that probe it, per-query top-10 cut — NO
+    k-means pass, NO corpus scan, exchange count independent of both
+    corpus size and Q. This entry (not q_knn_ivf_batch, whose
+    registered form is the recall-attestation harness) is the bench
+    LLM lane's ANN representative, so the measured number is the
+    serving cost a production batch pays.
+
+    The attested payload is the ACTUAL served neighbor ids — the
+    oracle replays index build AND routing AND scoring in unrolled
+    CTEs — strictly stronger than the recall-flag attestation:
+    a wrong probed list, a wrong inverted list, or a wrong cut
+    changes the hash. Determinism comes from the rounded-cosine +
+    lower-id tiebreak rule at every rank boundary (registry LIMIT
+    rule)."""
+    from sas_etl_spark.operators.ann import ivf_topk_batch_from, read_ivf_index
+
+    table_dir = _ensure_ivf_index(spark, sf_dir)
+    centroids, lists = read_ivf_index(spark, table_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk_batch_from(
+        centroids, lists, queries, k=10,
+        nprobe=_IVF_NPROBE, round_dp=_IVF_SIM_DP, probe_round_dp=_IVF_SIM_DP,
     )
 
 

@@ -98,6 +98,27 @@ def test_synthetic_helper_edit_flags_dependents() -> None:
     }
 
 
+def _plain_import_style_fn():
+    # Deliberately uses `import pkg.sub.mod` + full dotted chains — the
+    # style the repo avoids but the closure walker must still resolve.
+    import sas_etl_spark.operators.quantiles
+
+    return sas_etl_spark.operators.quantiles.exact_percentiles_hist
+
+
+def test_closure_resolves_plain_dotted_imports() -> None:
+    """ADVICE r9: ``import a.b.c`` binds the ROOT package name in real
+    Python; binding the leaf module under the root name made chains
+    like ``a.b.c.helper`` resolve against the wrong namespace and
+    silently drop the callee — the exact silent-staleness class this
+    module exists to close."""
+    sites = closure_sites(_plain_import_style_fn)
+    assert (
+        "sas_etl_spark/operators/quantiles.py",
+        "exact_percentiles_hist",
+    ) in sites
+
+
 def test_closure_excludes_self_and_externals() -> None:
     fn = registry.QUERIES["q_pricing_summary"].fn
     clo = callee_closure(fn)

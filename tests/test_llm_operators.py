@@ -638,3 +638,112 @@ def test_containment_catches_what_jaccard_misses(spark):
         jaccard(shingle_array(F.col("text")), shingle_array(F.col("t2"))).alias("j")
     ).collect()[0].j
     assert j < 0.35
+
+
+# -- persisted IVF index: build once / serve many (round 10) ----------
+
+
+def test_ivf_index_build_serve_roundtrip(spark, tmp_path):
+    """The persisted-index serve path must reproduce the in-memory
+    batched path exactly when built with the same hyperparameters:
+    build_ivf_index publishes (centroids, lists) as snapshot tables,
+    read_ivf_index + ivf_topk_batch_from serves from the artifact."""
+    from sas_etl_spark.operators.ann import (
+        build_ivf_index,
+        ivf_lists,
+        ivf_topk_batch,
+        ivf_topk_batch_from,
+        kmeans_refine,
+        read_ivf_index,
+        seed_centroids,
+    )
+
+    emb = _emb(spark)
+    cand = emb.filter(F.col("vec_id") >= 100)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    table_dir = str(tmp_path / "ivf")
+    versions = build_ivf_index(
+        cand, table_dir, n_centroids=8, refine_iters=1,
+        sim_round_dp=4, mean_round_dp=6,
+    )
+    assert versions == {"centroids": 1, "lists": 1}
+    centroids, lists = read_ivf_index(spark, table_dir)
+    assert centroids.count() == 8
+    assert lists.count() == cand.count()  # every vector in exactly one list
+
+    served = ivf_topk_batch_from(
+        centroids, lists, queries, k=5, nprobe=3, round_dp=4,
+    ).collect()
+    # in-memory twin with the SAME deterministic build
+    mem_centroids = kmeans_refine(
+        cand,
+        seed_centroids(cand, 8).select(
+            "centroid_id",
+            F.transform("centroid_vec", lambda x: x.cast("double")).alias(
+                "centroid_vec"
+            ),
+        ),
+        1,
+        sim_round_dp=4,
+        mean_round_dp=6,
+    )
+    mem = ivf_topk_batch_from(
+        mem_centroids, ivf_lists(cand, mem_centroids, sim_round_dp=4),
+        queries, k=5, nprobe=3, round_dp=4,
+    ).collect()
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    assert sorted(((r.qid, r.rank, r.vec_id) for r in served)) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in mem
+    )
+    assert {r.qid for r in served} == {r.vec_id for r in queries.select("qid").withColumnRenamed("qid", "vec_id").collect()}
+
+
+def test_ivf_index_rebuild_versions_and_time_travel(spark, tmp_path):
+    """Rebuilding publishes v2; v1 stays readable (snapshot-store time
+    travel carries over to the index artifact)."""
+    from sas_etl_spark.operators.ann import build_ivf_index
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    emb = _emb(spark)
+    cand = emb.filter(F.col("vec_id") >= 100)
+    table_dir = str(tmp_path / "ivf")
+    build_ivf_index(cand, table_dir, n_centroids=4, refine_iters=0)
+    v2 = build_ivf_index(cand.limit(50), table_dir, n_centroids=4, refine_iters=0)
+    assert v2 == {"centroids": 2, "lists": 2}
+    assert read_snapshot(spark, f"{table_dir}/lists", version=1).count() == cand.count()
+    assert read_snapshot(spark, f"{table_dir}/lists", version=2).count() == 50
+
+
+def test_ivf_batch_refactor_matches_exact_when_probing_everything(spark):
+    """ivf_topk_batch (now composed from ivf_lists +
+    ivf_topk_batch_from) keeps its exactness-equivalence property:
+    nprobe = n_centroids degrades to exact batched search."""
+    from pyspark.sql import Window
+
+    from sas_etl_spark.operators.ann import ivf_topk_batch
+    from sas_etl_spark.operators.similarity import cosine
+
+    emb = _emb(spark)
+    cand = emb.filter(F.col("vec_id") >= 100)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    approx = ivf_topk_batch(
+        cand, queries, k=5, n_centroids=8, nprobe=8, round_dp=4
+    ).collect()
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact = (
+        cand.crossJoin(F.broadcast(queries))
+        .select(
+            "qid", "vec_id",
+            F.round(cosine("embedding", "qv"), 4).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert sorted((r.qid, r.rank, r.vec_id) for r in approx) == sorted(
+        (r.qid, r.rank, r.vec_id) for r in exact
+    )

@@ -55,6 +55,5 @@ def test_scale_md_newest_closing_count_matches_registry() -> None:
 def test_operators_ledger_count_matches_registry() -> None:
     n = _registry_count()
     text = (REPO / "OPERATORS.md").read_text()
-    m = re.search(r"wrote (\d+) entries|(\d+) entries:", text)
     rows = len(re.findall(r"^\| `q_", text, flags=re.M))
     assert rows == n, f"OPERATORS.md has {rows} query rows, registry has {n}"

@@ -40,34 +40,32 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the 8 q_stream_* re-attests (their shared source helper
-#: streaming/builders.stream_events changed in r8 AFTER their newest
-#: green rows — the pre-r9 ledger hashed only query functions), the 4
-#: queries whose code changed this round (ADVICE r8: temperature-
-#: mixture re-seed, mixture-apply left-join shape, the percentile
-#: helper's NULL filter), and the full 37-query r4 sentinel cohort.
+#: the 5 queries whose code changed this round (the IVF-family
+#: helpers grew determinism knobs + the ivf_lists/ivf_topk_batch_from
+#: refactor; minhash.py's docstring/annotation edits flag its two
+#: dependents), plus the oldest-green sentinel cohorts (all 17 r4
+#: holdovers and 26 of the 27 r5 rows).
 RE_ATTESTS = {
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup", "q_stream_join", "q_stream_stateful_totals",
-    "q_stream_exactly_once_sink", "q_stream_cdc_upsert",
-    "q_temperature_mixture", "q_mixture_apply",
-    "q_percentiles", "q_winsorize",
-    "q_bm25", "q_rrf_hybrid", "q_knn_ivf_batch",
-    "q_ngram_diversity", "q_span_dedup",
-    # the MinHash signature stage was rebuilt this round (staged
-    # shingle hashing + id re-bucketing); its r5 row predates that.
-    "q_near_dup_minhash",
+    "q_knn_ivf_exactprobe", "q_knn_ivf", "q_knn_ivf_batch",
+    "q_near_dup_minhash", "q_incremental_neardup",
 }
 SENTINELS = {
-    "q_anti_join", "q_append_sink", "q_contamination", "q_cosine_pairs",
-    "q_csv_roundtrip", "q_cube", "q_dataset_compare", "q_doc_embed_join",
-    "q_doc_fingerprint", "q_doc_quality", "q_grouping_sets",
-    "q_image_features", "q_json_roundtrip", "q_knn_ivf_exactprobe",
-    "q_lang_id", "q_left_join_null", "q_min_per_group_join",
-    "q_multi_split", "q_near_dup_embedding", "q_near_dup_simhash",
+    "q_orc_roundtrip", "q_pack_sequences", "q_partitioned_write",
+    "q_proc_sql", "q_remerge_share", "q_scd2_merge", "q_semi_join",
+    "q_simhash_fingerprints", "q_skew_salted_agg", "q_skew_salted_join",
+    "q_split_hash", "q_stratified_sample", "q_text_stats",
+    "q_text_tokens", "q_tfidf", "q_token_count", "q_update_master",
+    "q_ab_test", "q_array_ops", "q_audio_features",
+    "q_curation_pipeline", "q_distinct_count", "q_dup_clusters",
+    "q_event_transitions", "q_except", "q_histogram", "q_image_resize",
+    "q_json_extract", "q_merge_in_flags", "q_missing_semantics",
+    "q_multimodal_features", "q_pipeline_spec", "q_pivot_status",
+    "q_prefix_join", "q_rollup", "q_session_window", "q_sliding_window",
+    "q_snapshot_upsert", "q_string_distance", "q_surrogate_key",
+    "q_topn_sort", "q_udtf_tokens", "q_union_all",
 }
 
 
@@ -90,24 +88,18 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round9_rotation_targets_inside_window() -> None:
-    """Round-9 plan (VERDICT r8 items 1-2): the one never-attested
-    query, the 8 stream re-attests, and this round's changed-code
-    queries must all sit in slots 0-49."""
-    must = {
-        "q_semantic_decontam", "q_dedup_containment",
-        "q_bpe_merges", "q_ppl_buckets", "q_k_anonymity",
-        "q_incremental_neardup", "q_stream_quality_gate",
-        "q_retrieval_eval", "q_dsir_weights", "q_pii_luhn",
-        "q_ks_drift", "q_zipf_fit",
-    } | RE_ATTESTS
+def test_round10_rotation_targets_inside_window() -> None:
+    """Round-10 plan (VERDICT r9 items 1/3): the two new
+    persisted-IVF-index queries and this round's changed-code queries
+    must all sit in slots 0-49."""
+    must = {"q_ivf_build", "q_ivf_serve"} | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round9_window_finishes_attestation() -> None:
-    """The r9 window must drain the never-attested backlog (recomputed
-    from pre-r9 CORRECTNESS artifacts, no hand list) and spend every
+def test_round10_window_finishes_attestation() -> None:
+    """The r10 window must drain the never-attested backlog (recomputed
+    from pre-r10 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
