@@ -408,6 +408,158 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE merge-table APPLY (greedy encode) -----------------------------
+
+#: Rendered-symbol markers for the BPE apply fold. Each symbol is
+#: rendered as chr(1)||sym||chr(2), so a merge rule's search pattern
+#: (two adjacent rendered symbols) shares no characters with its
+#: neighbors — plain left-to-right replace() then merges EVERY
+#: occurrence in one pass (a bare-separator rendering loses alternate
+#: occurrences because the match consumes the shared junction char)
+#: and cannot match inside a multi-char symbol (the markers only ever
+#: align with symbol boundaries).
+_BPE_SOH = "\x01"
+_BPE_STX = "\x02"
+
+
+@query(
+    "q_bpe_encode",
+    oracle="""
+    with tok as (
+        select unnest(string_split(text, ' ')) as w from documents
+    ),
+    pairs as (
+        select unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) as pair
+        from tok
+        where length(w) >= 2
+    ),
+    merges as (
+        select pair, count(*) as c
+        from pairs group by pair
+        order by c desc, pair limit 20
+    ),
+    rules as (
+        select list(pair order by c desc, pair) as rules from merges
+    ),
+    enc as (
+        select d.doc_id, d.text,
+               list_reduce(
+                   list_prepend(
+                       regexp_replace(d.text, '(.)',
+                                      chr(1) || '\\1' || chr(2), 'g'),
+                       r.rules),
+                   (acc, p) -> replace(
+                       acc,
+                       chr(1) || p[1] || chr(2) || chr(1) || p[2] || chr(2),
+                       chr(1) || p || chr(2))
+               ) as s
+        from documents d cross join rules r
+    ),
+    stats as (
+        select doc_id, s,
+               length(s) - length(replace(s, chr(1), '')) as n_sym,
+               length(text) - length(replace(text, ' ', '')) as n_space,
+               length(replace(text, ' ', '')) as n_chars
+        from enc
+    )
+    select doc_id,
+           cast(n_sym - n_space as bigint) as n_tokens,
+           round(n_chars * 1.0 / (n_sym - n_space), 6) as chars_per_token,
+           substr(sha256(s), 1, 16) as token_digest
+    from stats
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — greedy-encode every document with the merge
+    table q_bpe_merges derives (top-20 first-generation pairs, applied
+    in priority order: count desc, pair asc), closing the tokenizer
+    count -> apply loop (VERDICT r9 item 6 / What's-missing 4; a
+    production vocab iterates this count/apply pair ~30k times).
+
+    Encode = fold: each char of the text is rendered as a
+    chr(1)+c+chr(2) symbol (one regexp_replace), then each rule in
+    table order runs one plain replace() of the two-symbol search
+    pattern with the merged symbol — left-to-right, non-overlapping,
+    all occurrences in one pass, which is exactly Sennrich's per-rule
+    merge semantics (a pair consumed by an earlier, higher-priority
+    rule is no longer there for later rules; a rule never re-merges
+    its own output since the merged symbol differs from both halves).
+    No rule contains a space (pairs are counted within words), so
+    space symbols are natural merge barriers and the whole document
+    encodes in ONE fold. The oracle replays the identical fold with
+    list_reduce(list_prepend(...)) over the same rule list.
+
+    Attested payload per doc: token count (symbols minus spaces),
+    chars-per-token compression, and a sha256 prefix of the rendered
+    token stream — any wrong merge anywhere flips the digest.
+
+    Plan shape: the pair-counting subplan is q_bpe_merges (map-side-
+    combined count on the |alphabet|^2-bounded pair domain); the
+    20-rule table collapses to ONE broadcast row whose array feeds
+    the scan-side fold — encoding is embarrassingly partitioned, zero
+    shuffle beyond the bounded rule aggregation, and the 20 replace
+    passes per doc are O(rules x len) exactly like any BPE applier."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(20)
+    )
+    rules = top.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("c")).alias("nc"), "pair"))
+            ),
+            lambda s: s["pair"],
+        ).alias("rules")
+    )
+    soh, stx = F.lit(_BPE_SOH), F.lit(_BPE_STX)
+    rendered = F.regexp_replace(
+        F.col("text"), "(.)", _BPE_SOH + "$1" + _BPE_STX
+    )
+    enc = docs.crossJoin(F.broadcast(rules)).select(
+        "doc_id",
+        "text",
+        F.aggregate(
+            "rules",
+            rendered,
+            lambda acc, p: F.replace(
+                acc,
+                F.concat(
+                    soh, F.substring(p, 1, 1), stx,
+                    soh, F.substring(p, 2, 1), stx,
+                ),
+                F.concat(soh, p, stx),
+            ),
+        ).alias("s"),
+    )
+    n_sym = F.length("s") - F.length(F.replace(F.col("s"), soh, F.lit("")))
+    n_space = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = n_sym - n_space
+    return enc.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_chars * F.lit(1.0) / n_tokens, 6).alias("chars_per_token"),
+        F.sha2(F.col("s"), 256).substr(1, 16).alias("token_digest"),
+    )
+
+
 # -- Zipf law fit -------------------------------------------------------
 
 #: How many top-frequency terms feed each source's log-log OLS fit.
