@@ -80,8 +80,35 @@ def single_partition_exchanges(plan: str) -> list[tuple[str, str | None]]:
 #: harmless final-merge of any global aggregate. Value-buffering
 #: partials (ObjectHashAggregate: exact percentile, collect_list) and
 #: non-aggregate children (Sort, Window) funnel O(rows) through one
-#: task and stay violations.
+#: task and stay violations — EXCEPT the bloom-filter partials Spark's
+#: own InjectRuntimeFilter inserts (see _is_bloom_merge): their state
+#: is a fixed-size bit array (numBits capped by
+#: spark.sql.optimizer.runtime.bloomFilter.maxNumBits), so that merge
+#: also moves O(n_tasks) constant-size buffers, never O(rows).
 BENIGN_SINGLE_PARTITION_CHILDREN: tuple[str, ...] = ("HashAggregate",)
+
+
+def _is_bloom_merge(plan: str, child: str | None, exchange_id: str) -> bool:
+    """True when a SinglePartition exchange merges Spark's injected
+    runtime-filter bloom aggregate: the child ObjectHashAggregate's
+    detail block carries ``partial_bloom_filter_agg`` — constant-size
+    state per task, a planner optimization (it PREVENTS shuffled rows
+    downstream), not a data funnel."""
+    if child != "ObjectHashAggregate":
+        return False
+    # The partial bloom agg is the exchange child; its detail block is
+    # adjacent (exchange_id - 1 in formatted numbering). Match by
+    # content, not arithmetic: any ObjectHashAggregate block running
+    # partial_bloom_filter_agg whose Results feed THIS exchange.
+    for m in re.finditer(
+        r"\((\d+)\) ObjectHashAggregate\n((?:(?!\(\d+\) ).)*)", plan, re.S
+    ):
+        if (
+            "partial_bloom_filter_agg" in m.group(2)
+            and int(m.group(1)) == int(exchange_id) - 1
+        ):
+            return True
+    return False
 
 
 def single_partition_funnels(plan: str) -> list[tuple[str, str | None]]:
@@ -92,6 +119,7 @@ def single_partition_funnels(plan: str) -> list[tuple[str, str | None]]:
         (node_id, child)
         for node_id, child in single_partition_exchanges(plan)
         if child not in BENIGN_SINGLE_PARTITION_CHILDREN
+        and not _is_bloom_merge(plan, child, node_id)
     ]
 
 

@@ -17,6 +17,7 @@ from sas_etl_spark.queries import (  # noqa: F401
     io_stream,
     joins,
     llm,
+    pretrain,
     quality_gates,
     retrieval,
     row_transforms,
