@@ -12,10 +12,15 @@ SCALE.md for what it does and does not measure):
   result fetch — this is a RESIDENT-PLAN re-serve measurement, not a
   one-shot batch cost. At the default sf0.1 every query sits at the
   job floor either way, and the protocol is kept for round-over-round
-  comparability. For one-shot cost, set SPARK_GRAFT_COLD=1: each
-  sample then builds a FRESH plan inside the timer (no shuffle reuse;
-  includes Catalyst analysis, as DuckDB's per-run parse+plan does) —
-  the scratch/measure_cold_spark.py protocol.
+  comparability.
+- BOTH series are emitted in one invocation (round-10 rule, VERDICT
+  r9 item 2): after the resident passes, COLD_RUNS cold passes build
+  a FRESH plan inside the timer per sample (no shuffle reuse;
+  includes Catalyst analysis, as DuckDB's per-run parse+plan does —
+  the scratch/measure_cold_spark.py protocol) and land under the
+  cold_* keys. SCALE.md's standing rule: decade/scale claims read
+  the COLD tables only; the resident series prices re-serving and
+  round-over-round drift.
 - Median of BENCH_RUNS runs per query, measured in ROUND-ROBIN order
   (run pass 1 of every query, then pass 2, ...): box-level noise
   bursts (GC, background load) then land across all queries instead
@@ -51,6 +56,7 @@ if REPO_DIR not in sys.path:
 
 BENCH_RUNS = 7
 WARMUP_PASSES = 2
+COLD_RUNS = 3  # fresh-plan passes; each sample pays full execution
 
 
 def main() -> None:
@@ -102,7 +108,6 @@ def main() -> None:
     # comparable between the readings (protocol in SCALE.md).
     floor_df = spark.range(10)
     floor_df.toPandas()  # warm the control path too
-    cold = bool(os.environ.get("SPARK_GRAFT_COLD"))
     samples: dict[str, list[float]] = {name: [] for name in plans}
     llm_samples: dict[str, list[float]] = {name: [] for name in llm_plans}
     floor_samples: list[float] = []
@@ -112,25 +117,38 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
         for name, df in plans.items():
             t0 = time.perf_counter()
-            if cold:
-                bench_specs[name].fn(spark, sf_dir).toPandas()
-            else:
-                df.toPandas()
+            df.toPandas()
             samples[name].append(time.perf_counter() - t0)
         for name, df in llm_plans.items():
             t0 = time.perf_counter()
-            if cold:
-                llm_specs[name].fn(spark, sf_dir).toPandas()
-            else:
-                df.toPandas()
+            df.toPandas()
             llm_samples[name].append(time.perf_counter() - t0)
-    per_query = {
-        name: round(statistics.median(times), 4) for name, times in samples.items()
+
+    # Cold series: a FRESH plan per sample, built inside the timer —
+    # no shuffle-map reuse, Catalyst analysis included (what a one-shot
+    # batch run pays, and what DuckDB pays every run). Same round-robin
+    # + same-session floor control as the resident series.
+    cold_samples: dict[str, list[float]] = {name: [] for name in plans}
+    cold_llm_samples: dict[str, list[float]] = {name: [] for name in llm_plans}
+    cold_floor_samples: list[float] = []
+    for _ in range(COLD_RUNS):
+        t0 = time.perf_counter()
+        floor_df.toPandas()
+        cold_floor_samples.append(time.perf_counter() - t0)
+        for name in plans:
+            t0 = time.perf_counter()
+            bench_specs[name].fn(spark, sf_dir).toPandas()
+            cold_samples[name].append(time.perf_counter() - t0)
+        for name in llm_plans:
+            t0 = time.perf_counter()
+            llm_specs[name].fn(spark, sf_dir).toPandas()
+            cold_llm_samples[name].append(time.perf_counter() - t0)
+
+    med = lambda d: {  # noqa: E731
+        name: round(statistics.median(times), 4) for name, times in d.items()
     }
-    llm_per_query = {
-        name: round(statistics.median(times), 4)
-        for name, times in llm_samples.items()
-    }
+    per_query, llm_per_query = med(samples), med(llm_samples)
+    cold_per_query, cold_llm_per_query = med(cold_samples), med(cold_llm_samples)
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -144,9 +162,15 @@ def main() -> None:
                 "floor_ms": round(statistics.median(floor_samples) * 1000, 2),
                 "llm_queries": llm_per_query,
                 "llm_value": round(sum(llm_per_query.values()), 4),
-                # flag cold-mode readings so they are never compared
-                # against the resident-plan BENCH_r{N} series
-                **({"cold": True} if cold else {}),
+                # cold fresh-plan series (one-shot batch cost — the
+                # series SCALE.md's decade claims read)
+                "cold_value": round(sum(cold_per_query.values()), 4),
+                "cold_queries": cold_per_query,
+                "cold_llm_value": round(sum(cold_llm_per_query.values()), 4),
+                "cold_llm_queries": cold_llm_per_query,
+                "cold_floor_ms": round(
+                    statistics.median(cold_floor_samples) * 1000, 2
+                ),
             }
         )
     )
