@@ -747,3 +747,34 @@ def test_ivf_batch_refactor_matches_exact_when_probing_everything(spark):
     assert sorted((r.qid, r.rank, r.vec_id) for r in approx) == sorted(
         (r.qid, r.rank, r.vec_id) for r in exact
     )
+
+
+def test_ivf_vectorized_matches_jvm_path(spark, tmp_path):
+    """The numpy/Arrow serving fast path must return EXACTLY the JVM
+    expression path's rows — same ids, same ranks, same rounded sims —
+    so swapping scoring kernels can never change answers."""
+    from sas_etl_spark.operators.ann import (
+        build_ivf_index,
+        ivf_topk_batch_from,
+        ivf_topk_batch_vectorized,
+        read_ivf_index,
+    )
+
+    emb = _emb(spark)
+    cand = emb.filter(F.col("vec_id") >= 100)
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    table_dir = str(tmp_path / "ivf")
+    build_ivf_index(cand, table_dir, n_centroids=16, refine_iters=2)
+    centroids, lists = read_ivf_index(spark, table_dir)
+    kw = dict(k=10, nprobe=4, round_dp=4, probe_round_dp=4)
+    jvm = ivf_topk_batch_from(
+        centroids, lists, queries, norm_col="vec_norm", **kw
+    ).collect()
+    vec = ivf_topk_batch_vectorized(centroids, lists, queries, **kw).collect()
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    assert sorted((r.qid, r.rank, r.vec_id, r.sim) for r in jvm) == sorted(
+        (r.qid, r.rank, r.vec_id, r.sim) for r in vec
+    )
+    assert len(vec) == 30 * 10
