@@ -560,6 +560,174 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE TRAINING loop (multi-generation) ------------------------------
+
+#: Generations the registered training query runs. Each generation is
+#: one count-pairs -> argmax -> re-encode iteration; the oracle
+#: unrolls exactly this many.
+BPE_TRAIN_GENS = 6
+
+#: chr(3) separates the two symbols inside a pair key (symbols are
+#: multi-char from generation 2 on, so a bare concat would be
+#: ambiguous).
+_BPE_SEP = "\x03"
+
+
+def _bpe_symbols(s) -> "F.Column":
+    """Symbol array from a rendered corpus string: split on the
+    inter-symbol boundary chr(2)chr(1), strip the outer markers."""
+    return F.transform(
+        F.split(s, _BPE_STX + _BPE_SOH),
+        lambda x: F.regexp_replace(x, f"[{_BPE_SOH}{_BPE_STX}]", ""),
+    )
+
+
+@query(
+    "q_bpe_train",
+    oracle="\n".join(
+        ["with e0 as (",
+         "    select doc_id,",
+         "           regexp_replace(text, '(.)',",
+         "                          chr(1) || '\\1' || chr(2), 'g') as s",
+         "    from documents",
+         ")"]
+        + [f""",
+    sy{g} as (
+        select list_transform(string_split(s, chr(2) || chr(1)),
+                   x -> replace(replace(x, chr(1), ''), chr(2), ''))
+               as syms
+        from e{g - 1}
+    ),
+    p{g} as (
+        select pk, count(*) as c from (
+            select unnest(list_transform(
+                list_filter(range(1, len(syms)),
+                    i -> syms[i] <> ' ' and syms[i + 1] <> ' '),
+                i -> syms[i] || chr(3) || syms[i + 1])) as pk
+            from sy{g}
+        ) t group by pk
+    ),
+    m{g} as (
+        select {g} as gen,
+               string_split(pk, chr(3))[1] as left_sym,
+               string_split(pk, chr(3))[2] as right_sym,
+               c
+        from p{g} order by c desc, pk limit 1
+    ),
+    e{g} as (
+        select doc_id,
+               replace(s, chr(1) || m.left_sym || chr(2)
+                          || chr(1) || m.right_sym || chr(2),
+                       chr(1) || m.left_sym || m.right_sym || chr(2)) as s
+        from e{g - 1} cross join m{g} m
+    )""" for g in range(1, BPE_TRAIN_GENS + 1)]
+        + ["\n    select cast(gen as int) as gen, left_sym, right_sym,"
+           "\n           left_sym || right_sym as merged,"
+           "\n           cast(c as bigint) as n_pairs"
+           "\n    from (" ]
+        + [("        union all\n" if g > 1 else "")
+           + f"        select * from m{g}" for g in range(1, BPE_TRAIN_GENS + 1)]
+        + ["    ) t"]
+    ),
+    tags=("llm", "text", "tokenizer", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-generation BPE TRAINING — the actual Sennrich loop, not
+    one iteration: generation g counts adjacent SYMBOL pairs on the
+    corpus as encoded by the first g-1 merges, takes the argmax pair
+    (count desc, pair asc — deterministic), appends it to the merge
+    table, and re-encodes. q_bpe_merges is the scoring pass,
+    q_bpe_encode the apply pass; this closes the loop they describe
+    ("training a real vocab runs this loop ~30k times") at
+    {BPE_TRAIN_GENS} generations, with the oracle unrolling the
+    IDENTICAL iterations in chained CTEs (the q_pagerank pattern for
+    iterative dataflow). From generation 2 on the merged symbols are
+    multi-character — pair keys carry a chr(3) separator and the
+    chr(1)/chr(2) symbol rendering (q_bpe_encode's) keeps every
+    replace unambiguous; space symbols never pair, so words stay
+    merge barriers without any per-word explode.
+
+    Attested payload: the full training trajectory — (generation,
+    left symbol, right symbol, merged token, corpus pair count). A
+    wrong count, a wrong tiebreak, or a wrong re-encode at ANY
+    generation changes every later generation and flips the hash.
+
+    Scale shape: each generation is (a) one map-side-combined count
+    over scan-side pair explosion — shuffle rows bounded by the
+    distinct-pair domain, never corpus tokens; (b) a 1-ROW argmax
+    (TakeOrderedAndProject) that is localCheckpoint'd and broadcast
+    back into the re-encode projection — the per-iteration driver
+    materialization is one row, the graph.py lineage-truncation
+    idiom, and the corpus itself is checkpointed per generation so
+    generation g pays ONE corpus pass, not g (O(G) total passes —
+    what a distributed BPE trainer pays; production systems batch
+    multiple merges per re-encode pass to amortize further)."""
+    docs = load_table(spark, sf_dir, "documents")
+    soh, stx, sep = F.lit(_BPE_SOH), F.lit(_BPE_STX), F.lit(_BPE_SEP)
+    cur = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), "(.)", _BPE_SOH + "$1" + _BPE_STX
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    gen_tables = []
+    for g in range(1, BPE_TRAIN_GENS + 1):
+        syms = _bpe_symbols(F.col("s"))
+        pairs = cur.select(syms.alias("_sy")).select(
+            F.explode(
+                F.transform(
+                    F.filter(
+                        F.sequence(F.lit(1), F.size("_sy") - 1),
+                        lambda i: (F.element_at("_sy", i) != " ")
+                        & (F.element_at("_sy", i + 1) != " "),
+                    ),
+                    lambda i: F.concat(
+                        F.element_at("_sy", i), sep, F.element_at("_sy", i + 1)
+                    ),
+                )
+            ).alias("pk")
+        )
+        top = (
+            pairs.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pk"))
+            .limit(1)
+            .select(
+                F.lit(g).alias("gen"),
+                F.split_part("pk", sep, F.lit(1)).alias("left_sym"),
+                F.split_part("pk", sep, F.lit(2)).alias("right_sym"),
+                "c",
+            )
+            .localCheckpoint(eager=True)  # 1 row; ends this gen's lineage
+        )
+        gen_tables.append(top)
+        cur = (
+            cur.crossJoin(F.broadcast(top.select("left_sym", "right_sym")))
+            .select(
+                "doc_id",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        soh, F.col("left_sym"), stx,
+                        soh, F.col("right_sym"), stx,
+                    ),
+                    F.concat(soh, F.col("left_sym"), F.col("right_sym"), stx),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)  # one corpus pass per generation
+        )
+    from functools import reduce
+
+    trajectory = reduce(lambda a, b: a.unionAll(b), gen_tables)
+    return trajectory.select(
+        F.col("gen").cast("int").alias("gen"),
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        F.col("c").cast("long").alias("n_pairs"),
+    )
+
+
 # -- Zipf law fit -------------------------------------------------------
 
 #: How many top-frequency terms feed each source's log-log OLS fit.
