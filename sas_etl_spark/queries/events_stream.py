@@ -961,3 +961,205 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+# -- multi-touch attribution -------------------------------------------
+
+#: Attribution lookback: touches credit a conversion only within this
+#: many days before it.
+ATTR_LOOKBACK_DAYS = 7
+#: Campaign id = json props.k mod this (10 synthetic campaigns).
+ATTR_CAMPAIGNS = 10
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    with purch as (
+        select event_id as p_id, user_id, ts as p_ts, value
+        from events where event_type = 'purchase'
+    ),
+    touch as (
+        select user_id, ts as t_ts, event_id as t_id,
+               cast(json_extract_string(props, '$.k') as bigint)
+                   % {ATTR_CAMPAIGNS} as campaign
+        from events where event_type in ('click', 'view')
+    ),
+    j as (
+        select p.p_id, p.value, t.campaign, t.t_ts, t.t_id,
+               count(*) over (partition by p.p_id) as n_t,
+               row_number() over (partition by p.p_id
+                                  order by t.t_ts desc, t.t_id desc)
+                   as rn_last,
+               row_number() over (partition by p.p_id
+                                  order by t.t_ts asc, t.t_id asc)
+                   as rn_first
+        from purch p
+        join touch t on t.user_id = p.user_id
+                    and t.t_ts < p.p_ts
+                    and t.t_ts >= p.p_ts - interval {ATTR_LOOKBACK_DAYS} day
+    )
+    select campaign,
+           cast(count(distinct p_id) as bigint) as n_touched_conv,
+           round(sum(case when rn_first = 1 then value else 0 end), 2)
+               as first_touch_rev,
+           round(sum(case when rn_last = 1 then value else 0 end), 2)
+               as last_touch_rev,
+           round(sum(value / n_t), 2) as linear_rev
+    from j
+    group by campaign
+    """,
+    tags=("events", "analytics", "attribution"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — first-touch, last-touch,
+    and linear revenue credit per campaign (SAS analog: the classic
+    marketing-analytics DATA-step with RETAIN over sorted touchpoints;
+    here one declarative plan). Conversions are purchase events;
+    touchpoints are click/view events by the same user within a
+    {ATTR_LOOKBACK_DAYS}-day lookback; campaign = props.k mod
+    {ATTR_CAMPAIGNS}. First/last are picked by (ts, event_id)
+    tiebreaks so every window cut is deterministic cross-engine;
+    linear splits each conversion's value equally over its touches.
+
+    Scale: the purchase-touch pairing is a USER-keyed equi-join with
+    the lookback as a post-join range predicate — it shuffles on
+    user_id (never all-pairs), and the pair fan-out is bounded by
+    touches-per-user-per-week, the same shape as q_sessionize. The
+    per-conversion windows partition by purchase id (millions of
+    small partitions, no funnel); the final rollup is one
+    map-side-combined agg over {ATTR_CAMPAIGNS} campaigns."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        (
+            F.get_json_object("props", "$.k").cast("long") % ATTR_CAMPAIGNS
+        ).alias("campaign"),
+    )
+    j = purch.join(
+        touch,
+        (purch.user_id == touch.user_id)
+        & (touch.t_ts < purch.p_ts)
+        & (
+            touch.t_ts
+            >= purch.p_ts - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
+        ),
+    )
+    w = Window.partitionBy("p_id")
+    j = (
+        j.select("p_id", "value", "campaign", "t_ts", "t_id")
+        .withColumn("n_t", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn_last",
+            F.row_number().over(w.orderBy(F.desc("t_ts"), F.desc("t_id"))),
+        )
+        .withColumn(
+            "rn_first",
+            F.row_number().over(w.orderBy(F.asc("t_ts"), F.asc("t_id"))),
+        )
+    )
+    return j.groupBy("campaign").agg(
+        F.countDistinct("p_id").cast("long").alias("n_touched_conv"),
+        F.round(
+            F.sum(F.when(F.col("rn_first") == 1, F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("first_touch_rev"),
+        F.round(
+            F.sum(F.when(F.col("rn_last") == 1, F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("last_touch_rev"),
+        F.round(F.sum(F.col("value") / F.col("n_t")), 2).alias("linear_rev"),
+    )
+
+
+# -- seasonal decomposition --------------------------------------------
+
+
+@query(
+    "q_stl_decompose",
+    oracle="""
+    with daily as (
+        select event_type, cast(ts as date) as d,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ),
+    tr as (
+        select event_type, d, n,
+               avg(n) over (partition by event_type order by d
+                            rows between 3 preceding and 3 following)
+                   as trend
+        from daily
+    ),
+    se as (
+        select event_type, dayofweek(d) + 1 as dow,
+               avg(n - trend) as seasonal
+        from tr group by 1, 2
+    )
+    select t.event_type, cast(t.d as varchar) as d, t.n,
+           round(t.trend, 6) as trend,
+           round(s.seasonal, 6) as seasonal,
+           round(t.n - t.trend - s.seasonal, 6) as resid
+    from tr t join se s
+      on s.event_type = t.event_type and s.dow = dayofweek(t.d) + 1
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-trend decomposition of each event type's daily volume
+    (STL-lite / classical decomposition — SAS: PROC TIMESERIES
+    DECOMP): trend = 7-day centered moving average, seasonal =
+    day-of-week mean of the detrended series, residual = the rest.
+    The anomaly-detection complement of q_anomaly_days (which flags;
+    this EXPLAINS, splitting volume into trend/seasonality/noise).
+
+    Edge days use the partial centered window (identical ROWS-frame
+    semantics in both engines); day-of-week alignment: Spark
+    dayofweek is 1=Sunday..7, DuckDB 0=Sunday..6, so the oracle adds
+    1. All three emitted components are 6dp-rounded; the seasonal
+    means consume the RAW trend so both engines round once, at the
+    boundary.
+
+    Scale: daily rollup is a map-side-combined count; the centered
+    window partitions by series (event_type) over O(days) rows per
+    series — the q_mom_growth pattern, no global sort; the seasonal
+    join is a broadcast of O(series x 7) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn("trend", F.avg("n").over(w7))
+    se = (
+        tr.groupBy(
+            F.col("event_type").alias("se_type"),
+            F.dayofweek("d").alias("dow"),
+        )
+        .agg(F.avg(F.col("n") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        tr.join(
+            F.broadcast(se),
+            (F.col("event_type") == F.col("se_type"))
+            & (F.dayofweek("d") == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("d"),
+            "n",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "resid"
+            ),
+        )
+    )

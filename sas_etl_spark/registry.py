@@ -117,18 +117,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_session_window",
     "q_sliding_window",
     "q_snapshot_upsert",
-    "q_string_distance",
-    "q_surrogate_key",
     # -- (e) registered later in round 10, displacing tail (d)
     # sentinels: the tokenizer APPLY (VERDICT r9 item 6), the
-    # full-pipeline capstone composite (item 5), and the
-    # multi-generation BPE training loop.
+    # full-pipeline capstone composite (item 5), the multi-generation
+    # BPE training loop, multi-touch attribution, and seasonal
+    # decomposition.
     "q_bpe_encode",
     "q_pretrain_pipeline",
     "q_bpe_train",
-    # (q_union_all, q_udtf_tokens, and q_topn_sort ceded their slots
-    # to these three; q_video_frame_sample is the r5 cohort's 27th
-    # member — all four wait for round 11 with the r6 cohort.)
+    "q_attribution",
+    "q_stl_decompose",
+    # (q_union_all, q_udtf_tokens, q_topn_sort, q_string_distance,
+    # and q_surrogate_key ceded their slots to these five;
+    # q_video_frame_sample is the r5 cohort's 27th member — all six
+    # wait for round 11 with the r6 cohort.)
 )
 
 #: ROUND 10 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -138,8 +140,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: tests/test_registry_order.py's must-set, (3) `python
 #: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
 #: settled tree. Queries registered this round so far: q_ivf_build,
-#: q_ivf_serve, q_bpe_encode, q_pretrain_pipeline, q_bpe_train (all
-#: windowed).
+#: q_ivf_serve, q_bpe_encode, q_pretrain_pipeline, q_bpe_train,
+#: q_attribution, q_stl_decompose (all windowed).
 #:
 #: ROUND 11 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r10
