@@ -560,6 +560,55 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- heavy hitters (bounded-memory sketch + exact recount) --------------
+
+#: Misra-Gries counters per task; heavy = count * (HH_M + 1) > N.
+HH_M = 29
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    with tok as (
+        select unnest(string_split(text, ' ')) as term from documents
+    ),
+    n as (select cast(count(*) as bigint) as n_total from tok)
+    select term, cast(count(*) as bigint) as c, n_total
+    from tok cross join n
+    group by term, n_total
+    having count(*) * {HH_M + 1} > n_total
+    """,
+    tags=("text", "sketch", "scale"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters at BOUNDED MEMORY — terms whose corpus frequency
+    exceeds N/{HH_M + 1}, computed via a Misra-Gries candidate sketch
+    (at most {HH_M} counters per task regardless of distinct-term
+    cardinality; operators/sketch.py) followed by an exact recount of
+    only the surviving candidates. The MG guarantee (every globally
+    heavy item is heavy in some partition, and per-partition summary
+    error is <= N_p/(m+1)) makes candidates a provable SUPERSET of the
+    true heavy set, so the exact-recount filter returns EXACTLY the
+    true heavy hitters — deterministic under any partitioning or row
+    order, which is why a sketch-based plan can hash-match the plain
+    GROUP BY / HAVING oracle. The threshold compare is pure integer
+    arithmetic (c * {HH_M + 1} > N), no float boundary.
+
+    Scale: this is the operator for the regime where a full group-by's
+    per-task hash map itself blows memory (billions of distinct keys
+    per task): the sketch pass holds {HH_M} counters, the recount
+    scans with a broadcast semi-join on the tiny candidate set, and
+    the only full-width shuffle ever keyed is candidates x tasks. SAS
+    analog: none (PROC FREQ materializes the full table) — this is
+    the modern streaming-sketch family (Misra-Gries / SpaceSaving,
+    mergeable-summaries form)."""
+    from sas_etl_spark.operators.sketch import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    return heavy_hitters_exact(tok, "term", HH_M)
+
+
 # -- BPE TRAINING loop (multi-generation) ------------------------------
 
 #: Generations the registered training query runs. Each generation is

@@ -116,21 +116,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rollup",
     "q_session_window",
     "q_sliding_window",
-    "q_snapshot_upsert",
     # -- (e) registered later in round 10, displacing tail (d)
     # sentinels: the tokenizer APPLY (VERDICT r9 item 6), the
     # full-pipeline capstone composite (item 5), the multi-generation
-    # BPE training loop, multi-touch attribution, and seasonal
-    # decomposition.
+    # BPE training loop, multi-touch attribution, seasonal
+    # decomposition, and bounded-memory heavy hitters.
     "q_bpe_encode",
     "q_pretrain_pipeline",
     "q_bpe_train",
     "q_attribution",
     "q_stl_decompose",
+    "q_heavy_hitters",
     # (q_union_all, q_udtf_tokens, q_topn_sort, q_string_distance,
-    # and q_surrogate_key ceded their slots to these five;
-    # q_video_frame_sample is the r5 cohort's 27th member — all six
-    # wait for round 11 with the r6 cohort.)
+    # q_surrogate_key, and q_snapshot_upsert ceded their slots to
+    # these six; q_video_frame_sample is the r5 cohort's 27th member —
+    # all seven wait for round 11 with the r6 cohort.)
 )
 
 #: ROUND 10 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -141,7 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
 #: settled tree. Queries registered this round so far: q_ivf_build,
 #: q_ivf_serve, q_bpe_encode, q_pretrain_pipeline, q_bpe_train,
-#: q_attribution, q_stl_decompose (all windowed).
+#: q_attribution, q_stl_decompose, q_heavy_hitters (all windowed).
 #:
 #: ROUND 11 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r10

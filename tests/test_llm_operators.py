@@ -778,3 +778,41 @@ def test_ivf_vectorized_matches_jvm_path(spark, tmp_path):
         (r.qid, r.rank, r.vec_id, r.sim) for r in vec
     )
     assert len(vec) == 30 * 10
+
+
+def test_misra_gries_superset_guarantee_and_partition_invariance(spark):
+    """MG candidates must contain every true heavy hitter under
+    adversarial orderings and arbitrary partitionings, and the exact
+    composite must equal the plain group-by answer."""
+    from sas_etl_spark.operators.sketch import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    # adversarial stream: heavy item interleaved with a long tail of
+    # unique keys (the classic MG-killer ordering), multiple layouts
+    rows = (
+        [("hot",)] * 300
+        + [(f"u{i}",) for i in range(2000)]
+        + [("warm",)] * 150
+    )
+    m = 9
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "term string").repartition(parts)
+        n = df.count()
+        true_heavy = {
+            r.term
+            for r in df.groupBy("term").count()
+            .filter(F.col("count") * (m + 1) > n).collect()
+        }
+        cands = {r.term for r in misra_gries_candidates(df, "term", m).collect()}
+        assert true_heavy <= cands, (parts, true_heavy - cands)
+        got = {
+            (r.term, r.c) for r in heavy_hitters_exact(df, "term", m).collect()
+        }
+        want = {
+            (r.term, r["count"])
+            for r in df.groupBy("term").count()
+            .filter(F.col("count") * (m + 1) > n).collect()
+        }
+        assert got == want
