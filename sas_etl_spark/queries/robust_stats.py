@@ -882,3 +882,142 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n") - F.col("mu")) > ANOMALY_Z * F.col("sigma")
         ).alias("is_anomaly"),
     )
+
+
+# -- Poisson bootstrap confidence intervals ------------------------------
+
+#: Bootstrap replicates and the seeded hash for the per-(row,
+#: replicate) Poisson(1) weight draw (seed distinct from every other
+#: registered seed).
+BOOT_B = 200
+BOOT_SEED = 23
+
+#: Poisson(1) inverse-CDF thresholds in ppm (cumulative pmf * 1e6,
+#: floored): a uniform ppm bucket u maps to weight w = #thresholds
+#: <= u, truncated at 6 (P[w > 6] < 1e-4; the truncation is part of
+#: the operator's definition and identical in both engines).
+BOOT_POIS_PPM = (367879, 735758, 919698, 980988, 996312, 999380)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    with rep as (
+        select e.event_type, e.value, e.event_id,
+               unnest(range(1, {BOOT_B} + 1)) as b
+        from events e
+    ),
+    wtd as (
+        select event_type, b, value,
+               (case when u >= {BOOT_POIS_PPM[0]} then 1 else 0 end
+              + case when u >= {BOOT_POIS_PPM[1]} then 1 else 0 end
+              + case when u >= {BOOT_POIS_PPM[2]} then 1 else 0 end
+              + case when u >= {BOOT_POIS_PPM[3]} then 1 else 0 end
+              + case when u >= {BOOT_POIS_PPM[4]} then 1 else 0 end
+              + case when u >= {BOOT_POIS_PPM[5]} then 1 else 0 end) as w
+        from (
+            select event_type, value, b,
+                   list_reduce(list_transform(range(1,16),
+                       j -> strpos('0123456789abcdef',
+                                   substr(sha256('{BOOT_SEED}:'
+                                                 || cast(event_id as varchar)
+                                                 || '#'
+                                                 || cast(b as varchar)),
+                                          j, 1)) - 1),
+                     (a,x) -> a*16+x) % 1000000 as u
+            from rep
+        ) t
+    ),
+    means as (
+        select event_type, b,
+               sum(w * value) / sum(w) as m
+        from wtd group by event_type, b
+    ),
+    ranked as (
+        select event_type, m,
+               row_number() over (partition by event_type
+                                  order by m, b) as r
+        from means
+    ),
+    pt as (
+        select event_type, round(avg(value), 6) as mean_value,
+               cast(count(*) as bigint) as n
+        from events group by event_type
+    )
+    select p.event_type, p.n, p.mean_value,
+           round(lo.m, 6) as ci_lo,
+           round(hi.m, 6) as ci_hi
+    from pt p
+    join ranked lo on lo.event_type = p.event_type
+                  and lo.r = {int(0.025 * BOOT_B)}
+    join ranked hi on hi.event_type = p.event_type
+                  and hi.r = {int(0.975 * BOOT_B) + 1}
+    """,
+    tags=("stats", "sample", "bootstrap"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for each event type's
+    mean value (SAS analog: PROC SURVEYSELECT METHOD=URS + a means
+    loop; the modern large-data form is Poisson bootstrap — Chamandy
+    et al., "Estimating Uncertainty for Massive Data Streams"): the
+    multinomial resample is approximated per replicate by giving each
+    row an independent Poisson(1) weight, so NO resampled dataset is
+    ever materialized and each row's {BOOT_B} weights are computed
+    scan-side. Weights come from the engine-portable seeded sha256
+    bucket (operators/sampling.hash_bucket arithmetic) through a fixed
+    ppm inverse-CDF table, so the entire randomization is a pure
+    function of (seed, event_id, replicate) — identical across
+    engines, partitionings, and cluster sizes, which is what lets a
+    bootstrap hash-verify. CI bounds are rank-based order statistics
+    over the {BOOT_B} replicate means (ranks {int(0.025 * BOOT_B)} and
+    {int(0.975 * BOOT_B) + 1}, replicate-id tiebreak) — no
+    interpolation-mode ambiguity.
+
+    Scale: the replicate explode is scan-side (rows x B never
+    shuffles as payload); the only exchange is the map-side-combined
+    (group, replicate) agg — O(groups x B) result rows; the order
+    statistic runs per group over B rows. At 100 TB this is the
+    standard uncertainty readout for pipeline metrics."""
+    ev = load_table(spark, sf_dir, "events")
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    rep = ev.select(
+        "event_type", "value", "event_id",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    )
+    u = hash_bucket(
+        F.concat(F.col("event_id").cast("string"), F.lit("#"),
+                 F.col("b").cast("string")),
+        1_000_000,
+        seed=BOOT_SEED,
+    )
+    w = sum(
+        F.when(u >= t, 1).otherwise(0) for t in BOOT_POIS_PPM
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    ranked = means.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("m", "b")
+        ),
+    )
+    lo_r, hi_r = int(0.025 * BOOT_B), int(0.975 * BOOT_B) + 1
+    lo = ranked.filter(F.col("r") == lo_r).select(
+        "event_type", F.round("m", 6).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("r") == hi_r).select(
+        "event_type", F.round("m", 6).alias("ci_hi")
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+    return (
+        pt.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select("event_type", "n", "mean_value", "ci_lo", "ci_hi")
+    )
