@@ -793,3 +793,126 @@ def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("root"),
         (F.col("node") * 2 > HIER_NODES).alias("is_leaf"),
     )
+
+
+# -- triangle counting (graph motifs) ------------------------------------
+
+
+@query(
+    "q_triangles",
+    oracle="""
+    with dedges as (
+        select distinct c.c_nationkey as src, s.s_nationkey as dst
+        from orders o
+        join customer c on c.c_custkey = o.o_custkey
+        join lineitem l on l.l_orderkey = o.o_orderkey
+        join supplier s on s.s_suppkey = l.l_suppkey
+        where c.c_nationkey <> s.s_nationkey
+    ),
+    und as (
+        select least(src, dst) as u, greatest(src, dst) as v
+        from dedges group by 1, 2
+    ),
+    tri as (
+        select e1.u as a, e1.v as b, e2.v as c
+        from und e1
+        join und e2 on e2.u = e1.v
+        join und e3 on e3.u = e1.u and e3.v = e2.v
+    ),
+    per_node as (
+        select node, cast(count(*) as bigint) as n_triangles from (
+            select a as node from tri
+            union all select b from tri
+            union all select c from tri
+        ) t group by node
+    ),
+    deg as (
+        select node, cast(count(*) as bigint) as degree from (
+            select u as node from und union all select v from und
+        ) t group by node
+    )
+    select d.node, d.degree,
+           coalesce(p.n_triangles, 0) as n_triangles,
+           round(case when d.degree >= 2
+                      then 2.0 * coalesce(p.n_triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      else 0 end, 6) as clustering_coef
+    from deg d left join per_node p using (node)
+    """,
+    tags=("graph", "composite"),
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    nation trade graph (same edge derivation as q_pagerank, made
+    undirected and deduplicated) — the canonical graph-motif operator
+    (SAS has no analog; this is the Cohen / node-iterator-with-
+    ordering MapReduce algorithm). Each triangle {a<b<c} is
+    enumerated EXACTLY ONCE by joining ordered edges: (a,b) ⋈ (b,c)
+    ⋈ (a,c) with a<b<c enforced by the least/greatest normalization —
+    no double counting, no direction ambiguity. Per node: triangle
+    membership count and the local clustering coefficient
+    2T / (deg * (deg-1)).
+
+    Scale: the ordering trick is THE scale device — undirected edges
+    stored once as (min, max) make the two-hop join enumerate each
+    wedge once, and the closing-edge join is an equi-join on the
+    (u, v) pair; everything shuffles on node keys. Degree skew is the
+    classic hazard (hub wedges are quadratic in hub degree) — the
+    production mitigation is degree-ordered orientation (orient each
+    edge toward the higher-degree endpoint, bounding wedge fan-out by
+    arboricity); on the 25-node fixture graph the id ordering already
+    suffices and keeps the oracle replay exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    dedges = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    und = (
+        dedges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        # O(nations^2) rows; three self-join consumers below read the
+        # checkpoint instead of re-deriving the 4-table join
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce("n_triangles", F.lit(0))
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * t / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering_coef"),
+    )
