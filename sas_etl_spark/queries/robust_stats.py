@@ -1021,3 +1021,126 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(hi), "event_type")
         .select("event_type", "n", "mean_value", "ci_lo", "ci_hi")
     )
+
+
+# -- CUSUM control chart --------------------------------------------------
+
+#: In-control baseline length (days) and the standard CUSUM design
+#: constants: allowance k = CUSUM_K_SIGMA * sigma (half the shift to
+#: detect, in sigmas), decision interval h = CUSUM_H_SIGMA * sigma.
+CUSUM_BASELINE_DAYS = 14
+CUSUM_K_SIGMA = 0.5
+CUSUM_H_SIGMA = 4.0
+
+
+@query(
+    "q_cusum",
+    oracle=f"""
+    with daily as (
+        select event_type, cast(ts as date) as d,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ),
+    base as (
+        select event_type,
+               cast(round(avg(n) * 1000000, 0) as bigint) as mu6,
+               cast(round(stddev_samp(n) * 1000000, 0) as bigint) as sigma6
+        from (
+            select event_type, n,
+                   row_number() over (partition by event_type order by d)
+                       as rn
+            from daily
+        ) t where rn <= {CUSUM_BASELINE_DAYS}
+        group by event_type
+    ),
+    cum as (
+        select d.event_type, d.d, d.n, b.sigma6,
+               sum(2000000 * d.n - 2 * b.mu6 - b.sigma6)
+                   over (partition by d.event_type order by d.d
+                         rows between unbounded preceding
+                         and current row) as c2
+        from daily d join base b using (event_type)
+    ),
+    s as (
+        select event_type, d, n, sigma6,
+               c2 - min(c2) over (partition by event_type order by d
+                                  rows between unbounded preceding
+                                  and current row) as s2
+        from cum
+    )
+    select event_type, cast(d as varchar) as d, n,
+           round(s2 / 2000000.0, 7) as cusum,
+           cast(s2 > 8 * sigma6 as int) as is_alarm
+    from s
+    """,
+    tags=("events", "timeseries", "quality", "stats"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM control chart over each event type's
+    daily volume (SAS: PROC CUSUM) — the sequential change-point
+    detector that catches small persistent shifts a z-score per day
+    misses (q_anomaly_days' complement: that flags single outlier
+    days, this accumulates evidence). Baseline mu/sigma come from the
+    first {CUSUM_BASELINE_DAYS} in-control days (6dp-rounded so both
+    engines parameterize identically); allowance k = {CUSUM_K_SIGMA}
+    sigma, decision interval h = {CUSUM_H_SIGMA} sigma — the standard
+    design.
+
+    The textbook recursion S_t = max(0, S_t-1 + (x_t - mu - k)) is
+    not window-expressible, but its closed form is: S_t = C_t -
+    min_j<=t C_j where C is the running sum of deviations — so the
+    whole detector is two per-series running windows (cumsum + prefix
+    min), no recursion, no UDF, and the oracle replays it exactly.
+
+    Cross-engine arithmetic: the running sums are computed in SCALED
+    INTEGERS — with mu/sigma quantized to ppm bigints, the deviation
+    2e6*n - 2*mu6 - sigma6 (the x2 clears k = sigma/2) and both
+    windows are exact BIGINT, and the alarm compare s2 > 8*sigma6 is
+    pure integer — no float boundary anywhere past the two quantized
+    parameters. The emitted cusum divides s2 by 2e6 and rounds at
+    7dp: the quotient IS an exact 7-digit decimal (x5e-7 grid), so
+    7dp rounding is the identity — 6dp would sit exactly on the
+    half-way tie for every odd s2 and engines break decimal ties
+    differently (observed at sf0.1). (The float form hit a 6dp rounding boundary at sf0.1:
+    engines' window summation differs at ~1e-12, 8.9037175 split to
+    .718 vs .717.) Headroom: |c2| <= 2e6 * total rows per series —
+    BIGINT-safe below ~4.6e12 daily events over 1e3 days.
+
+    Scale: daily rollup is map-side combined; both windows partition
+    by series over O(days) rows per series (the q_mom_growth
+    pattern); baseline stats are an O(series) broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rn_w = Window.partitionBy("event_type").orderBy("d")
+    base = (
+        daily.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= CUSUM_BASELINE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("n") * 1_000_000, 0).cast("long").alias("mu6"),
+            F.round(F.stddev_samp("n") * 1_000_000, 0)
+            .cast("long")
+            .alias("sigma6"),
+        )
+    )
+    run_w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.join(F.broadcast(base), "event_type").withColumn(
+        "c2",
+        F.sum(
+            2_000_000 * F.col("n") - 2 * F.col("mu6") - F.col("sigma6")
+        ).over(run_w),
+    )
+    s = cum.withColumn("s2", F.col("c2") - F.min("c2").over(run_w))
+    return s.select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        "n",
+        F.round(F.col("s2") / 2_000_000.0, 7).alias("cusum"),
+        (F.col("s2") > 8 * F.col("sigma6")).cast("int").alias("is_alarm"),
+    )
