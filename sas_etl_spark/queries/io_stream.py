@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
 from sas_etl_spark.queries.events_stream import SESSIONS_ORACLE, SLIDING_ORACLE
+from sas_etl_spark.queries.robust_stats import CUSUM_ORACLE
 from sas_etl_spark.operators.multimodal import (
     attach_fake_payload,
     audio_stats,
@@ -1008,3 +1009,44 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pass_all.cast("int")).cast("long").alias("n_pass"),
     )
     return run_bounded_to_memory(agg, spark)
+
+
+@query(
+    "q_stream_cusum",
+    oracle=CUSUM_ORACLE,  # shared VERBATIM with the batch q_cusum
+    tags=("streaming", "events", "timeseries", "quality"),
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM change detection — the custom-stateful twin of
+    q_cusum (queries/robust_stats.py), sharing its oracle SQL
+    verbatim: a true readStream execution through
+    applyInPandasWithState (streaming/stateful.streaming_cusum) whose
+    final per-series snapshot must hash-equal the batch control
+    chart. State per event type is the day->count map (bounded
+    O(days) per key) merged across micro-batches; every update
+    re-derives the full chart with the batch query's EXACT
+    scaled-integer arithmetic and stamps a monotone version; the
+    update-mode memory sink accumulates every emission and the final
+    filter keeps each key's newest version. This is the ingest-time
+    deployment shape: the same alarm rule running against live
+    telemetry instead of a nightly batch — state survival across
+    micro-batches is pinned by tests/test_stateful_streaming.py's
+    multi-file split test for this operator."""
+    from pyspark.sql import Window
+
+    from sas_etl_spark.streaming.builders import (
+        run_bounded_to_memory as _run_mem,
+    )
+    from sas_etl_spark.streaming.builders import stream_events
+    from sas_etl_spark.streaming.stateful import streaming_cusum
+
+    events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    out = streaming_cusum(events.select("event_type", "ts"))
+    table = _run_mem(out, spark, mode="update")
+    w = Window.partitionBy("event_type")
+    return (
+        table.withColumn("_vmax", F.max("version").over(w))
+        .filter(F.col("version") == F.col("_vmax"))
+        .select("event_type", "d", "n", "cusum", "is_alarm")
+    )
+

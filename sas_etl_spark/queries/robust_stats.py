@@ -1033,9 +1033,10 @@ CUSUM_K_SIGMA = 0.5
 CUSUM_H_SIGMA = 4.0
 
 
-@query(
-    "q_cusum",
-    oracle=f"""
+#: The CUSUM oracle SQL — shared verbatim by the batch query and the
+#: streaming twin (q_stream_cusum, queries/io_stream.py): the
+#: stateful-streaming run must converge to exactly this relation.
+CUSUM_ORACLE = f"""
     with daily as (
         select event_type, cast(ts as date) as d,
                cast(count(*) as bigint) as n
@@ -1072,7 +1073,12 @@ CUSUM_H_SIGMA = 4.0
            round(s2 / 2000000.0, 7) as cusum,
            cast(s2 > 8 * sigma6 as int) as is_alarm
     from s
-    """,
+    """
+
+
+@query(
+    "q_cusum",
+    oracle=CUSUM_ORACLE,
     tags=("events", "timeseries", "quality", "stats"),
 )
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:

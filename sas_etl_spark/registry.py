@@ -112,7 +112,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_pipeline_spec",
     "q_pivot_status",
-    "q_prefix_join",
     # -- (e) registered later in round 10, displacing tail (d)
     # sentinels: the tokenizer APPLY (VERDICT r9 item 6), the
     # full-pipeline capstone composite (item 5), the multi-generation
@@ -127,11 +126,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bootstrap_ci",
     "q_triangles",
     "q_cusum",
+    "q_stream_cusum",
     # (q_union_all, q_udtf_tokens, q_topn_sort, q_string_distance,
     # q_surrogate_key, q_snapshot_upsert, q_sliding_window,
-    # q_session_window, and q_rollup ceded their slots to these nine;
-    # q_video_frame_sample is the r5 cohort's 27th member — all ten
-    # wait for round 11 with the r6 cohort.)
+    # q_session_window, q_rollup, and q_prefix_join ceded their slots
+    # to these ten; q_video_frame_sample is the r5 cohort's 27th
+    # member — all eleven wait for round 11 with the r6 cohort.)
 )
 
 #: ROUND 10 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -143,7 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: settled tree. Queries registered this round so far: q_ivf_build,
 #: q_ivf_serve, q_bpe_encode, q_pretrain_pipeline, q_bpe_train,
 #: q_attribution, q_stl_decompose, q_heavy_hitters,
-#: q_bootstrap_ci, q_triangles, q_cusum (all windowed).
+#: q_bootstrap_ci, q_triangles, q_cusum, q_stream_cusum (all
+#: windowed).
 #:
 #: ROUND 11 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r10

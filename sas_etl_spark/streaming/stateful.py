@@ -46,6 +46,84 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, d string, n long, cusum double, is_alarm int,"
+    " version long"
+)
+CUSUM_STATE_SCHEMA = "days array<string>, counts array<long>, version long"
+
+
+def streaming_cusum(
+    events: DataFrame,
+    baseline_days: int = 14,
+) -> DataFrame:
+    """Streaming CUSUM change detection per event type — the stateful
+    twin of queries/robust_stats.q_cusum, for ingest-time telemetry:
+    state is the per-series day->count map (bounded O(days) per key),
+    merged across micro-batches; each update re-derives the FULL
+    control chart from state and emits it stamped with a monotone
+    ``version`` so the final snapshot per key is selectable after an
+    update-mode sink accumulates every emission.
+
+    The chart arithmetic REPLICATES the batch query bit-for-bit:
+    baseline mu/sigma from the first ``baseline_days`` days, quantized
+    to ppm via floor(x*1e6 + 0.5) (HALF_UP for positives — numpy round
+    is half-even and must not be used), then the scaled-integer
+    closed-form CUSUM (cumsum minus prefix min in int64) and the pure
+    integer alarm compare. The emitted cusum divides by 2e6 and rounds
+    at 7dp exactly as the batch side does."""
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            days, counts, version = state.get
+            acc = dict(zip(list(days), [int(c) for c in counts]))
+        else:
+            acc, version = {}, 0
+        for pdf in pdfs:
+            for d, c in pdf["ts"].dt.strftime("%Y-%m-%d").value_counts().items():
+                acc[d] = acc.get(d, 0) + int(c)
+        version += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], version))
+
+        n = np.array([acc[d] for d in days_sorted], dtype=np.int64)
+        base = n[:baseline_days].astype(np.float64)
+        mu = float(base.sum()) / len(base)
+        sigma = (
+            math.sqrt(float(((base - mu) ** 2).sum()) / (len(base) - 1))
+            if len(base) > 1
+            else 0.0
+        )
+        mu6 = math.floor(mu * 1_000_000 + 0.5)
+        sigma6 = math.floor(sigma * 1_000_000 + 0.5)
+        dev2 = 2_000_000 * n - 2 * mu6 - sigma6
+        c2 = np.cumsum(dev2)
+        s2 = c2 - np.minimum.accumulate(c2)
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "d": days_sorted,
+                "n": n,
+                "cusum": [round(v / 2_000_000.0, 7) for v in s2],
+                "is_alarm": (s2 > 8 * sigma6).astype("int32"),
+                "version": version,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals_v2(events: DataFrame) -> DataFrame:
     """The same running-totals operator on the Spark 4
     transformWithState API — the successor to applyInPandasWithState:

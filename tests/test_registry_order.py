@@ -63,7 +63,6 @@ SENTINELS = {
     "q_event_transitions", "q_except", "q_histogram", "q_image_resize",
     "q_json_extract", "q_merge_in_flags", "q_missing_semantics",
     "q_multimodal_features", "q_pipeline_spec", "q_pivot_status",
-    "q_prefix_join",
 }
 
 
@@ -94,6 +93,7 @@ def test_round10_rotation_targets_inside_window() -> None:
         "q_ivf_build", "q_ivf_serve", "q_bpe_encode", "q_pretrain_pipeline",
         "q_bpe_train", "q_attribution", "q_stl_decompose",
         "q_heavy_hitters", "q_bootstrap_ci", "q_triangles", "q_cusum",
+        "q_stream_cusum",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"

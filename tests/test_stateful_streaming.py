@@ -194,3 +194,60 @@ def test_stateful_state_survives_micro_batches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_cusum_state_survives_micro_batches(spark, tmp_path):
+    """The day->count state behind streaming_cusum must merge across
+    micro-batches: split the events fixture into 4 files (days and
+    types interleave arbitrarily across files), stream with
+    maxFilesPerTrigger=1, and the newest-version snapshot per type
+    must equal the BATCH q_cusum relation exactly."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.registry import QUERIES, queries_map
+    from sas_etl_spark.streaming.stateful import streaming_cusum
+
+    queries_map()
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "ts")
+    path = str(tmp_path / "ev_split_cusum")
+    ev.repartition(4).write.parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_cusum(stream)
+    name = f"cusum_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    table = spark.table(name)
+    # multiple versions per type proves real multi-batch execution
+    assert (
+        table.select("event_type", "version").distinct()
+        .groupBy("event_type").count().filter(F.col("count") > 1).count()
+        > 0
+    ), "stream collapsed into a single micro-batch"
+    w = Window.partitionBy("event_type")
+    final = {
+        (r.event_type, r.d): (r.n, r.cusum, r.is_alarm)
+        for r in table.withColumn("_v", F.max("version").over(w))
+        .filter(F.col("version") == F.col("_v"))
+        .collect()
+    }
+    batch = {
+        (r.event_type, r.d): (r.n, r.cusum, r.is_alarm)
+        for r in QUERIES["q_cusum"].fn(spark, SF_SMOKE).collect()
+    }
+    assert final == batch
