@@ -896,7 +896,7 @@ BOOT_SEED = 23
 #: floored): a uniform ppm bucket u maps to weight w = #thresholds
 #: <= u, truncated at 6 (P[w > 6] < 1e-4; the truncation is part of
 #: the operator's definition and identical in both engines).
-BOOT_POIS_PPM = (367879, 735758, 919698, 980988, 996312, 999380)
+BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
 
 
 @query(
