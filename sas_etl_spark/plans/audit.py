@@ -32,9 +32,11 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-def single_partition_exchanges(plan: str) -> list[tuple[str, str | None]]:
-    """(exchange_id, child_operator) for every SinglePartition exchange
-    in a FORMATTED plan.
+def single_partition_exchanges(
+    plan: str,
+) -> list[tuple[str, str | None, str | None]]:
+    """(exchange_id, child_operator, child_id) for every SinglePartition
+    exchange in a FORMATTED plan.
 
     Round-6 fix: ``explain('formatted')`` prints an operator and its
     arguments in separate sections — the tree says ``Exchange (5)`` and
@@ -63,13 +65,18 @@ def single_partition_exchanges(plan: str) -> list[tuple[str, str | None]]:
         t = re.search(r"([A-Za-z][\w ]*?)\s*\((\d+)\)\s*$", line)
         if t:
             tree.append((line.index(t.group(1)), t.group(1).strip(), t.group(2)))
-    out: list[tuple[str, str | None]] = []
+    out: list[tuple[str, str | None, str | None]] = []
     for i, (indent, _op, node_id) in enumerate(tree):
         if node_id in flagged:
-            child = next(
-                (op2 for ind2, op2, _ in tree[i + 1 :] if ind2 > indent), None
+            child_op, child_id = next(
+                (
+                    (op2, id2)
+                    for ind2, op2, id2 in tree[i + 1 :]
+                    if ind2 > indent
+                ),
+                (None, None),
             )
-            out.append((node_id, child))
+            out.append((node_id, child_op, child_id))
     return out
 
 
@@ -88,38 +95,43 @@ def single_partition_exchanges(plan: str) -> list[tuple[str, str | None]]:
 BENIGN_SINGLE_PARTITION_CHILDREN: tuple[str, ...] = ("HashAggregate",)
 
 
-def _is_bloom_merge(plan: str, child: str | None, exchange_id: str) -> bool:
+def _is_bloom_merge(
+    plan: str, child: str | None, child_id: str | None
+) -> bool:
     """True when a SinglePartition exchange merges Spark's injected
     runtime-filter bloom aggregate: the child ObjectHashAggregate's
     detail block carries ``partial_bloom_filter_agg`` — constant-size
     state per task, a planner optimization (it PREVENTS shuffled rows
-    downstream), not a data funnel."""
-    if child != "ObjectHashAggregate":
+    downstream), not a data funnel.
+
+    The child is identified by ITS OWN node id from the indent tree
+    (the exchange's actual plan child), not by assuming formatted
+    numbering places the partial at exchange_id - 1 — adjacency is a
+    numbering accident, and relying on it would silently drop the
+    exemption (false funnel report) if a plan ever numbered the
+    partial non-adjacently."""
+    if child != "ObjectHashAggregate" or child_id is None:
         return False
-    # The partial bloom agg is the exchange child; its detail block is
-    # adjacent (exchange_id - 1 in formatted numbering). Match by
-    # content, not arithmetic: any ObjectHashAggregate block running
-    # partial_bloom_filter_agg whose Results feed THIS exchange.
-    for m in re.finditer(
-        r"\((\d+)\) ObjectHashAggregate\n((?:(?!\(\d+\) ).)*)", plan, re.S
-    ):
-        if (
-            "partial_bloom_filter_agg" in m.group(2)
-            and int(m.group(1)) == int(exchange_id) - 1
-        ):
-            return True
-    return False
+    m = re.search(
+        rf"\({re.escape(child_id)}\) ObjectHashAggregate\n"
+        rf"((?:(?!\(\d+\) ).)*)",
+        plan,
+        re.S,
+    )
+    return bool(m) and "partial_bloom_filter_agg" in m.group(1)
 
 
-def single_partition_funnels(plan: str) -> list[tuple[str, str | None]]:
+def single_partition_funnels(
+    plan: str,
+) -> list[tuple[str, str | None, str | None]]:
     """SinglePartition exchanges whose child is NOT a constant-state
     partial aggregate — the ones that serialize O(rows) through one
     task at scale."""
     return [
-        (node_id, child)
-        for node_id, child in single_partition_exchanges(plan)
+        (node_id, child, child_id)
+        for node_id, child, child_id in single_partition_exchanges(plan)
         if child not in BENIGN_SINGLE_PARTITION_CHILDREN
-        and not _is_bloom_merge(plan, child, node_id)
+        and not _is_bloom_merge(plan, child, child_id)
     ]
 
 

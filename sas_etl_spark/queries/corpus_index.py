@@ -465,7 +465,8 @@ _BPE_STX = "\x02"
     )
     select doc_id,
            cast(n_sym - n_space as bigint) as n_tokens,
-           round(n_chars * 1.0 / (n_sym - n_space), 6) as chars_per_token,
+           round(n_chars * 1.0 / nullif(n_sym - n_space, 0), 6)
+               as chars_per_token,
            substr(sha256(s), 1, 16) as token_digest
     from stats
     """,
@@ -555,7 +556,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(n_chars * F.lit(1.0) / n_tokens, 6).alias("chars_per_token"),
+        # empty / all-space docs have 0 tokens: NULL ratio on BOTH
+        # engines (oracle: nullif divisor), never an ANSI div-by-zero
+        F.round(
+            F.when(n_tokens > 0, n_chars * F.lit(1.0) / n_tokens), 6
+        ).alias("chars_per_token"),
         F.sha2(F.col("s"), 256).substr(1, 16).alias("token_digest"),
     )
 
@@ -722,7 +727,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen_tables = []
     for g in range(1, BPE_TRAIN_GENS + 1):
         syms = _bpe_symbols(F.col("s"))
-        pairs = cur.select(syms.alias("_sy")).select(
+        # Guard: a 0/1-symbol document (empty or 1-char text) would make
+        # sequence(1, size-1) DESCENDING ([1, 0]) and element_at(_sy, 0)
+        # throw INVALID_INDEX_OF_ZERO; the oracle's range(1, len) is just
+        # empty there, so dropping the row matches semantics exactly
+        # (mirrors q_bpe_encode's length >= 2 guard).
+        pairs = (
+            cur.select(syms.alias("_sy"))
+            .where(F.size("_sy") >= 2)
+        ).select(
             F.explode(
                 F.transform(
                     F.filter(

@@ -932,11 +932,13 @@ BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
         select event_type, b,
                sum(w * value) / sum(w) as m
         from wtd group by event_type, b
+        having sum(w) > 0
     ),
     ranked as (
         select event_type, m,
                row_number() over (partition by event_type
-                                  order by m, b) as r
+                                  order by m, b) as r,
+               count(*) over (partition by event_type) as bn
         from means
     ),
     pt as (
@@ -949,9 +951,9 @@ BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
            round(hi.m, 6) as ci_hi
     from pt p
     join ranked lo on lo.event_type = p.event_type
-                  and lo.r = {int(0.025 * BOOT_B)}
+                  and lo.r = greatest(1, (25 * lo.bn) // 1000)
     join ranked hi on hi.event_type = p.event_type
-                  and hi.r = {int(0.975 * BOOT_B) + 1}
+                  and hi.r = hi.bn - greatest(1, (25 * hi.bn) // 1000) + 1
     """,
     tags=("stats", "sample", "bootstrap"),
 )
@@ -969,9 +971,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of (seed, event_id, replicate) — identical across
     engines, partitionings, and cluster sizes, which is what lets a
     bootstrap hash-verify. CI bounds are rank-based order statistics
-    over the {BOOT_B} replicate means (ranks {int(0.025 * BOOT_B)} and
-    {int(0.975 * BOOT_B) + 1}, replicate-id tiebreak) — no
-    interpolation-mode ambiguity.
+    over the surviving replicate means (replicates with an all-zero
+    weight vector are dropped on both sides; ranks greatest(1,
+    25*bn div 1000) and its mirror over the surviving count bn,
+    replicate-id tiebreak — exactly {int(0.025 * BOOT_B)} /
+    {int(0.975 * BOOT_B) + 1} when all {BOOT_B} survive) — no
+    interpolation-mode ambiguity and no NULL-ordering divergence.
 
     Scale: the replicate explode is scan-side (rows x B never
     shuffles as payload); the only exchange is the map-side-combined
@@ -997,19 +1002,36 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (
         rep.withColumn("w", w)
         .groupBy("event_type", "b")
-        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("_wsum"),
+        )
+        # A replicate whose Poisson weights are ALL zero (P = e^-n per
+        # replicate per group — real for tiny groups) has sum(w) = 0 and
+        # a NULL mean; Spark's rank window orders NULLs first while
+        # DuckDB orders them last, so a surviving NULL would desync the
+        # order statistics between engines. Drop it on BOTH sides
+        # (oracle: HAVING sum(w) > 0) and take the CI ranks over the
+        # surviving replicate count bn with pure integer arithmetic —
+        # for the common bn = B = {BOOT_B} case this is exactly the
+        # classic ranks 5 / 196.
+        .where(F.col("_wsum") > 0)
+        .drop("_wsum")
     )
-    ranked = means.withColumn(
-        "r",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy("m", "b")
-        ),
+    ranked = means.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("m", "b"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("bn"),
     )
-    lo_r, hi_r = int(0.025 * BOOT_B), int(0.975 * BOOT_B) + 1
-    lo = ranked.filter(F.col("r") == lo_r).select(
+    lo_rank = F.greatest(F.lit(1), F.expr("(25 * bn) div 1000"))
+    lo = ranked.filter(F.col("r") == lo_rank).select(
         "event_type", F.round("m", 6).alias("ci_lo")
     )
-    hi = ranked.filter(F.col("r") == hi_r).select(
+    hi = ranked.filter(F.col("r") == (F.col("bn") - lo_rank + 1)).select(
         "event_type", F.round("m", 6).alias("ci_hi")
     )
     pt = ev.groupBy("event_type").agg(
@@ -1043,16 +1065,30 @@ CUSUM_ORACLE = f"""
         from events group by 1, 2
     ),
     base as (
+        -- mu6/sigma6 from EXACT integer accumulators (k, sum, sum of
+        -- squares) so every engine and the streaming twin quantize
+        -- bit-identically by construction: mu6 is pure-integer
+        -- HALF_UP ((2*s*1e6 + k) // (2k)); sigma6 goes through one
+        -- well-defined float sequence (int->double cast, divide,
+        -- IEEE sqrt, *1e6, floor(x+0.5)) from identical integers.
         select event_type,
-               cast(round(avg(n) * 1000000, 0) as bigint) as mu6,
-               cast(round(stddev_samp(n) * 1000000, 0) as bigint) as sigma6
+               cast((2 * s * 1000000 + k) // (2 * k) as bigint) as mu6,
+               case when k > 1 then cast(floor(
+                   sqrt(cast(k * q - s * s as double)
+                        / cast(k * (k - 1) as double)) * 1000000 + 0.5)
+                   as bigint) else 0 end as sigma6
         from (
-            select event_type, n,
-                   row_number() over (partition by event_type order by d)
-                       as rn
-            from daily
-        ) t where rn <= {CUSUM_BASELINE_DAYS}
-        group by event_type
+            select event_type, cast(count(*) as bigint) as k,
+                   cast(sum(n) as bigint) as s,
+                   cast(sum(n * n) as bigint) as q
+            from (
+                select event_type, n,
+                       row_number() over (partition by event_type
+                                          order by d) as rn
+                from daily
+            ) t where rn <= {CUSUM_BASELINE_DAYS}
+            group by event_type
+        ) agg
     ),
     cum as (
         select d.event_type, d.d, d.n, b.sigma6,
@@ -1087,8 +1123,10 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector that catches small persistent shifts a z-score per day
     misses (q_anomaly_days' complement: that flags single outlier
     days, this accumulates evidence). Baseline mu/sigma come from the
-    first {CUSUM_BASELINE_DAYS} in-control days (6dp-rounded so both
-    engines parameterize identically); allowance k = {CUSUM_K_SIGMA}
+    first {CUSUM_BASELINE_DAYS} in-control days, quantized to ppm
+    bigints FROM EXACT INTEGER ACCUMULATORS (count / sum / sum of
+    squares) so batch, oracle, and the streaming twin parameterize
+    bit-identically by construction; allowance k = {CUSUM_K_SIGMA}
     sigma, decision interval h = {CUSUM_H_SIGMA} sigma — the standard
     design.
 
@@ -1124,10 +1162,35 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("rn", F.row_number().over(rn_w))
         .filter(F.col("rn") <= CUSUM_BASELINE_DAYS)
         .groupBy("event_type")
+        # Exact integer accumulators -> one well-defined quantization,
+        # bit-identical across this query, the DuckDB oracle, and the
+        # streaming twin (streaming/stateful.streaming_cusum): mu6 is
+        # pure-integer HALF_UP; sigma6's only float ops (int->double
+        # cast, divide, IEEE sqrt, *1e6, floor(x+0.5)) start from
+        # identical integers in every engine. k=1 (one baseline day)
+        # pins sigma6 = 0 on all three sides. Headroom: q = sum(n^2)
+        # stays long-exact below ~8e8 events/day over the baseline.
         .agg(
-            F.round(F.avg("n") * 1_000_000, 0).cast("long").alias("mu6"),
-            F.round(F.stddev_samp("n") * 1_000_000, 0)
-            .cast("long")
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("n").alias("s"),
+            F.sum(F.col("n") * F.col("n")).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.expr("(2 * s * 1000000 + k) div (2 * k)").alias("mu6"),
+            F.when(
+                F.col("k") > 1,
+                F.floor(
+                    F.sqrt(
+                        (F.col("k") * F.col("q") - F.col("s") * F.col("s"))
+                        .cast("double")
+                        / (F.col("k") * (F.col("k") - 1)).cast("double")
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
             .alias("sigma6"),
         )
     )

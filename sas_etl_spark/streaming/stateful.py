@@ -65,10 +65,12 @@ def streaming_cusum(
     ``version`` so the final snapshot per key is selectable after an
     update-mode sink accumulates every emission.
 
-    The chart arithmetic REPLICATES the batch query bit-for-bit:
-    baseline mu/sigma from the first ``baseline_days`` days, quantized
-    to ppm via floor(x*1e6 + 0.5) (HALF_UP for positives — numpy round
-    is half-even and must not be used), then the scaled-integer
+    The chart arithmetic REPLICATES the batch query bit-for-bit BY
+    CONSTRUCTION: baseline mu/sigma from the first ``baseline_days``
+    days are quantized to ppm from exact integer accumulators (count,
+    sum, sum of squares — mu6 pure-integer HALF_UP, sigma6 through
+    the one float sequence every engine computes identically; numpy
+    half-even round must not be used anywhere), then the scaled-integer
     closed-form CUSUM (cumsum minus prefix min in int64) and the pure
     integer alarm compare. The emitted cusum divides by 2e6 and rounds
     at 7dp exactly as the batch side does."""
@@ -92,15 +94,28 @@ def streaming_cusum(
         state.update((days_sorted, [acc[d] for d in days_sorted], version))
 
         n = np.array([acc[d] for d in days_sorted], dtype=np.int64)
-        base = n[:baseline_days].astype(np.float64)
-        mu = float(base.sum()) / len(base)
-        sigma = (
-            math.sqrt(float(((base - mu) ** 2).sum()) / (len(base) - 1))
-            if len(base) > 1
-            else 0.0
-        )
-        mu6 = math.floor(mu * 1_000_000 + 0.5)
-        sigma6 = math.floor(sigma * 1_000_000 + 0.5)
+        # Exact integer accumulators (k, sum, sum of squares) -> the
+        # SAME quantization sequence as batch q_cusum and its oracle:
+        # mu6 pure-integer HALF_UP, sigma6 through one well-defined
+        # float pipeline (int->double via float(), divide, IEEE sqrt,
+        # *1e6, floor(x+0.5)) from identical integers — bit-identical
+        # by construction, not pinned empirically. float(v)/float(d_)
+        # (convert THEN divide) matters: Python's int/int true
+        # division is correctly rounded on the exact ratio, which is
+        # NOT what the SQL engines' double(v)/double(d) computes.
+        base_ints = [int(x) for x in n[:baseline_days]]
+        k = len(base_ints)
+        s = sum(base_ints)
+        q = sum(x * x for x in base_ints)
+        mu6 = (2 * s * 1_000_000 + k) // (2 * k)
+        if k > 1:
+            v = k * q - s * s
+            d_ = k * (k - 1)
+            sigma6 = math.floor(
+                math.sqrt(float(v) / float(d_)) * 1_000_000 + 0.5
+            )
+        else:
+            sigma6 = 0
         dev2 = 2_000_000 * n - 2 * mu6 - sigma6
         c2 = np.cumsum(dev2)
         s2 = c2 - np.minimum.accumulate(c2)
