@@ -662,6 +662,8 @@ def build_ivf_index(
     dim: int | None = None,
     sim_round_dp: int | None = 4,
     mean_round_dp: int | None = 6,
+    train_ppm: int | None = None,
+    train_seed: int = 31,
 ) -> dict[str, int]:
     """Build the IVF index ONCE and PERSIST it as two versioned
     snapshot tables (sources/snapshots.py) under ``table_dir``:
@@ -687,17 +689,45 @@ def build_ivf_index(
     served pair to the one-time build), and each list row carries its
     precomputed L2 norm under ``vec_norm`` — ivf_topk_batch_from's
     ``norm_col`` then reduces per-pair scoring to a single dot fold
-    (measured at sf10: cold serve 4.19 s -> 2.1 s)."""
+    (measured at sf10: cold serve 4.19 s -> 2.1 s).
+
+    ``train_ppm`` (optional) trains k-means on a DETERMINISTIC seeded
+    hash-sample of the corpus instead of every vector — the standard
+    large-corpus IVF recipe (FAISS trains on a subsample too): seeds
+    and every Lloyd assignment/mean run over rows whose
+    hash_bucket({id}, 1e6, seed=train_seed) < train_ppm, and only the
+    one FINAL full-corpus assignment touches everything. k-means cost
+    drops by ~1/fraction while the published artifact stays a
+    deterministic, oracle-recomputable function of (corpus, seed) —
+    membership is a pure sha256 function of the id, so an external
+    engine reproduces the exact training set. Centroid quality is
+    statistically equivalent for any fraction that keeps thousands of
+    training vectors per centroid (measured sf100: build 122 s ->
+    ~45 s at 250k ppm with serve recall unchanged; SCALE.md r11)."""
     from sas_etl_spark.sources.snapshots import write_snapshot
 
     embd = emb.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
     )
-    centroids = seed_centroids(embd, n_centroids, id_col, vec_col)
+    if train_ppm is not None:
+        from sas_etl_spark.operators.sampling import hash_bucket
+
+        # Materialize the sample ONCE: the sha-membership filter cannot
+        # push down to parquet, so an unmaterialized sample would make
+        # every one of the ~2*iters+1 training passes scan the FULL
+        # corpus and re-hash every id (measured sf10: sampled build
+        # SLOWER than full without this). The checkpoint is
+        # sample-sized, paid once.
+        train = embd.filter(
+            hash_bucket(id_col, 1_000_000, seed=train_seed) < train_ppm
+        ).localCheckpoint(eager=True)
+    else:
+        train = embd
+    centroids = seed_centroids(train, n_centroids, id_col, vec_col)
     if refine_iters > 0:
         centroids = kmeans_refine(
-            embd, centroids, refine_iters, id_col, vec_col, dim,
+            train, centroids, refine_iters, id_col, vec_col, dim,
             sim_round_dp=sim_round_dp, mean_round_dp=mean_round_dp,
         )
     # one pass materializes the refined centroids (several corpus
@@ -720,3 +750,56 @@ def read_ivf_index(spark, table_dir: str) -> tuple[DataFrame, DataFrame]:
         read_snapshot(spark, f"{table_dir}/centroids"),
         read_snapshot(spark, f"{table_dir}/lists"),
     )
+
+
+def ivf_upsert(
+    spark,
+    table_dir: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sim_round_dp: int | None = 4,
+) -> int:
+    """INCREMENTAL index maintenance: fold a new vector batch into the
+    persisted IVF index WITHOUT re-running k-means — assign the batch
+    to the EXISTING (frozen) centroids in one broadcast pass, replace
+    any re-ingested ids (upsert semantics: new row wins, the
+    snapshot_upsert keep-newest rule), and publish the union as the
+    lists table's next immutable snapshot version. Centroids are
+    untouched, so every serving plan (ivf_topk_batch_from /
+    _vectorized) picks the enlarged index up on its next read with
+    zero code change, and time travel to the pre-upsert version
+    remains one read_snapshot(version=...) away.
+
+    This is the ingest-cadence half of the build/serve regime: a
+    production corpus grows hourly, but k-means retrains only on
+    drift. Cost is O(|batch| x n_centroids) broadcast compare + one
+    bounded shuffle — independent of the existing corpus size, the
+    same incremental contract as q_incremental_dedup /
+    q_incremental_neardup. Centroid drift is the caveat: cells only
+    ever gain members, so serve recall decays if the new batch's
+    distribution shifts; the rebuild trigger (member-count skew or
+    recall probes) is the operator's documented companion policy.
+
+    Determinism: the SAME rounded-cosine + lower-id argmax as the
+    build (``sim_round_dp``), so the post-upsert lists table is a
+    deterministic function of (old corpus, batch) that an external
+    engine recomputes row-for-row (q_ivf_upsert's oracle)."""
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    centroids = read_snapshot(spark, f"{table_dir}/centroids")
+    lists = read_snapshot(spark, f"{table_dir}/lists")
+    batch = new_vecs.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    )
+    assigned = ivf_lists(batch, centroids, id_col, vec_col, dim, sim_round_dp)
+    assigned = assigned.withColumn("vec_norm", l2_norm(vec_col))
+    # upsert: drop any existing row re-ingested by the batch (anti-join
+    # on id — broadcast when the batch is small), then union the batch
+    survivors = lists.join(
+        F.broadcast(batch.select(id_col)), id_col, "left_anti"
+    )
+    merged = survivors.unionByName(assigned)
+    return write_snapshot(merged, f"{table_dir}/lists")

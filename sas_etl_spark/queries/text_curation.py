@@ -525,45 +525,67 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span position) — stable across engines, runs, and partitionings,
     the property a reproducible corpus build needs.
 
-    Scale: span fan-out is row-local (zero shuffle); the keep-first
-    decision shuffles on the 32-byte span DIGEST carrying only
-    (doc_id, cid, ~6-token span) — one exchange keyed by sha2, no
-    skew (spans are near-unique); reassembly is one groupBy(doc_id)
-    whose collect_list is bounded by the document's own span count —
-    the same per-doc memory the raw text already costs. No corpus-
-    wide window, no driver materialization.
+    Scale (exchange diet, r11 — VERDICT r10 item 4): the old plan
+    shuffled the span TEXT twice (once under the keep-first window
+    keyed by digest, once re-grouping kept structs by doc_id). Now
+    the keep-first window sees only the NARROW digest grid (doc_id,
+    cid, 32-byte sha — the text never leaves its scan stage), losers
+    collapse to per-doc DROP LISTS (doc_id, array<cid> — rows bounded
+    by docs-with-duplicates, bytes by dropped-span COUNT not text),
+    and reassembly joins those lists back to a fresh row-local token
+    scan where the kept text is rebuilt in place (filter the span
+    grid against the drop list, slice + join from the doc's own toks
+    array). Net: ONE narrow digest exchange + one drop-list join
+    (AQE broadcasts the aggregated lists when they fit) — the
+    rewritten corpus itself is never shuffled. A single-file small
+    fixture scans as one task, so the provably-tiny gated repartition
+    (cosine_topk_literal's min_tasks idiom) parallelizes the
+    row-local spanning there; at real scale the gate is false and
+    adds nothing.
     """
+    from sas_etl_spark.operators.similarity import _estimated_scan_tasks
+
     docs = load_table(spark, sf_dir, "documents")
+    min_tasks = spark.sparkContext.defaultParallelism
+    est = _estimated_scan_tasks(docs)
+    if est is not None and est < min_tasks:
+        docs = docs.repartition(min_tasks)
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    fanned = toks.select(
+    last_cid = F.floor((F.size("toks") - 1) / SPAN_TOKENS).cast("int")
+    span_at = lambda c: F.array_join(  # noqa: E731 — row-local slice
+        F.slice(F.col("toks"), c * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+    )
+    narrow = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), last_cid)).alias("cid"),
+        "toks",
+    ).select("doc_id", "cid", F.sha2(span_at(F.col("cid")), 256).alias("span_sha"))
+    w = Window.partitionBy("span_sha").orderBy("doc_id", "cid")
+    drops = (
+        narrow.withColumn("keep", F.row_number().over(w) == 1)
+        .filter(~F.col("keep"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("cid")).alias("dropped_cids"))
+    )
+    rejoined = toks.join(drops, "doc_id", "left").select(
         "doc_id",
         "toks",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor((F.size("toks") - 1) / SPAN_TOKENS).cast("int"),
-            )
-        ).alias("cid"),
-    )
-    spans = fanned.select(
-        "doc_id",
-        "cid",
-        F.array_join(
-            F.slice(F.col("toks"), F.col("cid") * SPAN_TOKENS + 1, SPAN_TOKENS),
-            " ",
-        ).alias("span"),
-    ).withColumn("span_sha", F.sha2("span", 256))
-    w = Window.partitionBy("span_sha").orderBy("doc_id", "cid")
-    flagged = spans.withColumn("keep", F.row_number().over(w) == 1)
-    kept_structs = F.array_sort(
-        F.collect_list(F.when(F.col("keep"), F.struct("cid", "span")))
+        F.coalesce("dropped_cids", F.array().cast("array<int>")).alias("dropped"),
     )
     kept_text = F.array_join(
-        F.transform(kept_structs, lambda s: s["span"]), " "
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), last_cid),
+                lambda c: ~F.array_contains(F.col("dropped"), c),
+            ),
+            span_at,
+        ),
+        " ",
     )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    return rejoined.select(
+        "doc_id",
+        (last_cid + 1).cast("long").alias("n_spans"),
+        F.size("dropped").cast("long").alias("n_dropped"),
         F.sha2(kept_text, 256).alias("kept_sha"),
     )
 

@@ -54,105 +54,89 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 10 window (VERDICT r9 items 1/3). Composition (50 = 2 + 5
-    # + 17 + 26):
-    # -- (a) NEW this round: the persisted-IVF-index regime split —
-    # build+publish+read-back attestation and the serve-only batched
-    # top-k (the r9 verdict's one weak component, item 1).
+    # ROUND 11 window. Composition (50 = 3 + 12 + 13 + 22):
+    # -- (a) NEW this round: incremental IVF upsert (VERDICT r10
+    # item 2), the stdlib-zlib PNG decode lane (item 6), and the
+    # capability-gated transformWithState v2 twin (item 7).
+    "q_ivf_upsert",
+    "q_png_features",
+    "q_stream_stateful_totals_v2",
+    # -- (b) code changed this round, re-attest: the sample-trained
+    # IVF build + its serve twin (item 3), the four degenerate-input
+    # hardenings from ADVICE r10 (bpe encode/train, bootstrap CI,
+    # CUSUM integer accumulators -- batch + streaming share the
+    # oracle), the BM25 zero-shuffle rewrite + its two dependents
+    # (item 5), the span-dedup exchange diet (item 4), and
+    # q_image_features (the shared _decoded_image_stats lane).
     "q_ivf_build",
     "q_ivf_serve",
-    # -- (b) code changed this round: ivf_assign/kmeans_refine grew
-    # the cross-engine determinism knobs (sim/mean rounding) and
-    # ivf_topk_batch was refactored onto ivf_lists +
-    # ivf_topk_batch_from (same plan, shared with the serve path) —
-    # the three IVF-family queries re-attest against the refactor;
-    # minhash.py's hashed_shingles docstring + a return annotation
-    # changed (ledger is textual), so its two dependents re-attest
-    # too. q_knn_ivf_batch also lost its bench_llm tag to q_ivf_serve.
-    "q_knn_ivf_exactprobe",
-    "q_knn_ivf",
-    "q_knn_ivf_batch",
-    "q_near_dup_minhash",
-    "q_incremental_neardup",
-    # -- (c) regression sentinels, oldest-green-first: the 17 r4
-    # holdovers displaced from the r9 window (the full r4 cohort).
-    "q_orc_roundtrip",
-    "q_pack_sequences",
-    "q_partitioned_write",
-    "q_proc_sql",
-    "q_remerge_share",
-    "q_scd2_merge",
-    "q_semi_join",
-    "q_simhash_fingerprints",
-    "q_skew_salted_agg",
-    "q_skew_salted_join",
-    "q_split_hash",
-    "q_stratified_sample",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_tfidf",
-    "q_token_count",
-    "q_update_master",
-    # -- (d) the r5 cohort, alphabetical; the TAIL of this block cedes
-    # slots to later round-10 registrations (planned: q_bpe_encode,
-    # q_pretrain_pipeline), exactly as the r9 window rotated.
-    "q_ab_test",
-    "q_array_ops",
-    "q_audio_features",
-    "q_curation_pipeline",
-    "q_distinct_count",
-    "q_dup_clusters",
-    "q_event_transitions",
-    "q_except",
-    "q_histogram",
-    "q_image_resize",
-    "q_json_extract",
-    "q_merge_in_flags",
-    "q_missing_semantics",
-    "q_multimodal_features",
-    "q_pipeline_spec",
-    "q_pivot_status",
-    # -- (e) registered later in round 10, displacing tail (d)
-    # sentinels: the tokenizer APPLY (VERDICT r9 item 6), the
-    # full-pipeline capstone composite (item 5), the multi-generation
-    # BPE training loop, multi-touch attribution, seasonal
-    # decomposition, and bounded-memory heavy hitters.
     "q_bpe_encode",
-    "q_pretrain_pipeline",
     "q_bpe_train",
-    "q_attribution",
-    "q_stl_decompose",
-    "q_heavy_hitters",
     "q_bootstrap_ci",
-    "q_triangles",
     "q_cusum",
     "q_stream_cusum",
-    # (q_union_all, q_udtf_tokens, q_topn_sort, q_string_distance,
-    # q_surrogate_key, q_snapshot_upsert, q_sliding_window,
-    # q_session_window, q_rollup, and q_prefix_join ceded their slots
-    # to these ten; q_video_frame_sample is the r5 cohort's 27th
-    # member — all eleven wait for round 11 with the r6 cohort.)
+    "q_bm25",
+    "q_rrf_hybrid",
+    "q_retrieval_eval",
+    "q_span_dedup",
+    "q_image_features",
+    # -- (c) the stalest attestations (VERDICT r10 item 1): the 11
+    # r5-cohort rows displaced from the r10 window (all carry helper
+    # drift), q_knn_cosine (r6 + helper drift), and
+    # q_cohort_retention (r8, displaced twice).
+    "q_union_all",
+    "q_udtf_tokens",
+    "q_topn_sort",
+    "q_string_distance",
+    "q_surrogate_key",
+    "q_snapshot_upsert",
+    "q_sliding_window",
+    "q_session_window",
+    "q_rollup",
+    "q_prefix_join",
+    "q_video_frame_sample",
+    "q_knn_cosine",
+    "q_cohort_retention",
+    # -- (d) regression sentinels, oldest-green-first: the r6 cohort,
+    # alphabetical (22 of 46; the rest rotate through r12+).
+    "q_approx_percentile",
+    "q_case_when",
+    "q_corr_stats",
+    "q_crosstab_pct",
+    "q_derive_cols",
+    "q_distinct_rows",
+    "q_dupout",
+    "q_embed_quantize",
+    "q_filter_pred",
+    "q_fixedwidth_roundtrip",
+    "q_format_lookup",
+    "q_format_ranges",
+    "q_freq_chisq",
+    "q_grouped_zscore",
+    "q_interleave",
+    "q_interp_linear",
+    "q_intersect",
+    "q_join3_revenue",
+    "q_market_basket",
+    "q_math_rowwise",
+    "q_merge_many_to_many",
+    "q_ngram_contamination",
 )
 
-#: ROUND 10 window bookkeeping rule (learned twice, r7 and r8): NO
+#: ROUND 11 window bookkeeping rule (learned twice, r7 and r8): NO
 #: @query registration lands without, in the SAME commit, (1) a
 #: DRIVER_PRIORITY slot — displace the LAST block-(d) sentinel to keep
 #: the 50-slot cap, (2) the matching update to
 #: tests/test_registry_order.py's must-set, (3) `python
 #: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
-#: settled tree. Queries registered this round so far: q_ivf_build,
-#: q_ivf_serve, q_bpe_encode, q_pretrain_pipeline, q_bpe_train,
-#: q_attribution, q_stl_decompose, q_heavy_hitters,
-#: q_bootstrap_ci, q_triangles, q_cusum, q_stream_cusum (all
-#: windowed).
+#: settled tree. Queries registered this round so far: q_ivf_upsert,
+#: q_png_features, q_stream_stateful_totals_v2 (all windowed).
 #:
-#: ROUND 11 window plan: (1) new/changed queries per the ledger's
-#: changed column, then (2) sentinels oldest-green-first — after r10
-#: the stalest rows are q_video_frame_sample (r5) and the r6 cohort
-#: (q_approx_percentile, q_case_when, q_corr_stats, q_crosstab_pct,
-#: q_derive_cols, q_distinct_rows, q_dupout, q_embed_quantize,
-#: q_filter_pred, q_fixedwidth_roundtrip, q_format_lookup,
-#: q_format_ranges, q_freq_chisq, q_grouped_zscore, ...; read the
+#: ROUND 12 window plan: (1) new/changed queries per the ledger's
+#: changed column, then (2) sentinels oldest-green-first — after r11
+#: the stalest rows are the remaining 24 r6-cohort rows
+#: (q_nodupkey, q_pivot_api, q_pivot_multi, q_pricing_summary,
+#: q_project_rename, q_quality_checks, q_rank_ntile, ...; read the
 #: full order from OPERATORS.md's Last-attested column).
 
 

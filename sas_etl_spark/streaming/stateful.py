@@ -182,3 +182,27 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def supports_transform_with_state(spark) -> bool:
+    """Capability probe for the Spark 4 transformWithState PYTHON API.
+    The Python lane needs (a) the StatefulProcessor API surface, (b) a
+    working ``google.protobuf`` (the Python worker talks to the state
+    server over protobuf — absent in some minimal images), and (c) the
+    RocksDB state store provider class on the JVM classpath (the only
+    store implementing the API's column families). Pure import/class
+    probes — no stream is started, no config is mutated."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    except Exception:
+        return False
+    return True

@@ -40,29 +40,35 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the 5 queries whose code changed this round (the IVF-family
-#: helpers grew determinism knobs + the ivf_lists/ivf_topk_batch_from
-#: refactor; minhash.py's docstring/annotation edits flag its two
-#: dependents), plus the oldest-green sentinel cohorts (all 17 r4
-#: holdovers and 26 of the 27 r5 rows).
+#: the 12 queries whose code (or transitive helper/oracle) changed in
+#: round 11 — the sample-trained IVF build + serve, the ADVICE r10
+#: degenerate-input hardenings (bpe x2, bootstrap, cusum x2), the
+#: BM25 zero-shuffle rewrite + its dependents, the span-dedup
+#: exchange diet, and the shared image-stats lane refactor.
 RE_ATTESTS = {
-    "q_knn_ivf_exactprobe", "q_knn_ivf", "q_knn_ivf_batch",
-    "q_near_dup_minhash", "q_incremental_neardup",
+    "q_ivf_build", "q_ivf_serve", "q_bpe_encode", "q_bpe_train",
+    "q_bootstrap_ci", "q_cusum", "q_stream_cusum", "q_bm25",
+    "q_rrf_hybrid", "q_retrieval_eval", "q_span_dedup",
+    "q_image_features",
 }
+#: The stalest-attestation rotation (the 11 r5-displaced rows +
+#: q_knn_cosine + q_cohort_retention) plus the r6 sentinel cohort
+#: fill, oldest-green-first.
 SENTINELS = {
-    "q_orc_roundtrip", "q_pack_sequences", "q_partitioned_write",
-    "q_proc_sql", "q_remerge_share", "q_scd2_merge", "q_semi_join",
-    "q_simhash_fingerprints", "q_skew_salted_agg", "q_skew_salted_join",
-    "q_split_hash", "q_stratified_sample", "q_text_stats",
-    "q_text_tokens", "q_tfidf", "q_token_count", "q_update_master",
-    "q_ab_test", "q_array_ops", "q_audio_features",
-    "q_curation_pipeline", "q_distinct_count", "q_dup_clusters",
-    "q_event_transitions", "q_except", "q_histogram", "q_image_resize",
-    "q_json_extract", "q_merge_in_flags", "q_missing_semantics",
-    "q_multimodal_features", "q_pipeline_spec", "q_pivot_status",
+    "q_union_all", "q_udtf_tokens", "q_topn_sort", "q_string_distance",
+    "q_surrogate_key", "q_snapshot_upsert", "q_sliding_window",
+    "q_session_window", "q_rollup", "q_prefix_join",
+    "q_video_frame_sample", "q_knn_cosine", "q_cohort_retention",
+    "q_approx_percentile", "q_case_when", "q_corr_stats",
+    "q_crosstab_pct", "q_derive_cols", "q_distinct_rows", "q_dupout",
+    "q_embed_quantize", "q_filter_pred", "q_fixedwidth_roundtrip",
+    "q_format_lookup", "q_format_ranges", "q_freq_chisq",
+    "q_grouped_zscore", "q_interleave", "q_interp_linear",
+    "q_intersect", "q_join3_revenue", "q_market_basket",
+    "q_math_rowwise", "q_merge_many_to_many", "q_ngram_contamination",
 }
 
 
@@ -85,23 +91,20 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round10_rotation_targets_inside_window() -> None:
-    """Round-10 plan (VERDICT r9 items 1/3): the two new
-    persisted-IVF-index queries and this round's changed-code queries
-    must all sit in slots 0-49."""
+def test_round11_rotation_targets_inside_window() -> None:
+    """Round-11 plan (VERDICT r10 items 1-7): the three new queries
+    and this round's changed-code queries must all sit in slots
+    0-49."""
     must = {
-        "q_ivf_build", "q_ivf_serve", "q_bpe_encode", "q_pretrain_pipeline",
-        "q_bpe_train", "q_attribution", "q_stl_decompose",
-        "q_heavy_hitters", "q_bootstrap_ci", "q_triangles", "q_cusum",
-        "q_stream_cusum",
+        "q_ivf_upsert", "q_png_features", "q_stream_stateful_totals_v2",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round10_window_finishes_attestation() -> None:
-    """The r10 window must drain the never-attested backlog (recomputed
-    from pre-r10 CORRECTNESS artifacts, no hand list) and spend every
+def test_round11_window_finishes_attestation() -> None:
+    """The r11 window must drain the never-attested backlog (recomputed
+    from pre-r11 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
