@@ -740,16 +740,27 @@ def build_ivf_index(
     return {"centroids": cv, "lists": lv}
 
 
-def read_ivf_index(spark, table_dir: str) -> tuple[DataFrame, DataFrame]:
+def read_ivf_index(
+    spark, table_dir: str, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
     """(centroids, lists) read back from the persisted index — current
     versions; pass explicit versions via read_snapshot for time
-    travel."""
+    travel. When a merge-on-read delta exists (ivf_upsert
+    mode="mor"), the returned lists are the MERGED view: base rows
+    whose id the delta re-ingested are dropped (anti-join against the
+    broadcast delta id set — bounded while deltas are small, which is
+    the compaction contract) and the delta is unioned in. Serving
+    plans are unchanged; they see one lists relation either way."""
     from sas_etl_spark.sources.snapshots import read_snapshot
 
-    return (
-        read_snapshot(spark, f"{table_dir}/centroids"),
-        read_snapshot(spark, f"{table_dir}/lists"),
-    )
+    centroids = read_snapshot(spark, f"{table_dir}/centroids")
+    lists = read_snapshot(spark, f"{table_dir}/lists")
+    delta = _read_delta_if_any(spark, table_dir)
+    if delta is not None:
+        lists = lists.join(
+            F.broadcast(delta.select(id_col)), id_col, "left_anti"
+        ).unionByName(delta)
+    return centroids, lists
 
 
 def ivf_upsert(
@@ -760,6 +771,7 @@ def ivf_upsert(
     vec_col: str = "embedding",
     dim: int | None = None,
     sim_round_dp: int | None = 4,
+    mode: str = "cow",
 ) -> int:
     """INCREMENTAL index maintenance: fold a new vector batch into the
     persisted IVF index WITHOUT re-running k-means — assign the batch
@@ -785,17 +797,46 @@ def ivf_upsert(
     Determinism: the SAME rounded-cosine + lower-id argmax as the
     build (``sim_round_dp``), so the post-upsert lists table is a
     deterministic function of (old corpus, batch) that an external
-    engine recomputes row-for-row (q_ivf_upsert's oracle)."""
+    engine recomputes row-for-row (q_ivf_upsert's oracle).
+
+    ``mode`` picks the publish strategy — VALUE-identical, different
+    write cost (pinned equal by tests/test_round11_semantics.py):
+
+    - ``"cow"`` (copy-on-write, default): rewrite the merged lists as
+      the next immutable version. Write cost O(corpus) — the Delta-
+      style unpartitioned-table COW; right while the index is small
+      or refreshes are rare, and the only mode whose artifact is a
+      single self-contained table version.
+    - ``"mor"`` (merge-on-read, the 100 TB ingest shape): publish the
+      batch into a SIDE DELTA table (lists_delta) and leave the base
+      untouched — write cost O(accumulated deltas), i.e. O(batch)
+      until compaction, the LSM L0 pattern. read_ivf_index merges on
+      read (base anti-join delta ids, union delta — the delta id set
+      broadcasts while deltas are small). Call ivf_compact when the
+      delta grows past read-amplification comfort; that pays the one
+      O(corpus) rewrite the COW mode pays every batch."""
     from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
 
     centroids = read_snapshot(spark, f"{table_dir}/centroids")
-    lists = read_snapshot(spark, f"{table_dir}/lists")
     batch = new_vecs.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
     )
     assigned = ivf_lists(batch, centroids, id_col, vec_col, dim, sim_round_dp)
     assigned = assigned.withColumn("vec_norm", l2_norm(vec_col))
+    if mode == "mor":
+        prior = _read_delta_if_any(spark, table_dir)
+        if prior is not None:
+            # keep-newest within the delta itself: this batch replaces
+            # any delta row it re-ingests
+            prior = prior.join(
+                F.broadcast(batch.select(id_col)), id_col, "left_anti"
+            )
+            assigned = prior.unionByName(assigned)
+        return write_snapshot(assigned, f"{table_dir}/lists_delta")
+    if mode != "cow":
+        raise ValueError(f"unknown ivf_upsert mode: {mode!r}")
+    lists = read_snapshot(spark, f"{table_dir}/lists")
     # upsert: drop any existing row re-ingested by the batch (anti-join
     # on id — broadcast when the batch is small), then union the batch
     survivors = lists.join(
@@ -803,3 +844,40 @@ def ivf_upsert(
     )
     merged = survivors.unionByName(assigned)
     return write_snapshot(merged, f"{table_dir}/lists")
+
+
+def _read_delta_if_any(spark, table_dir: str):
+    """The current lists_delta snapshot, or None when never published."""
+    import os
+
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    delta_dir = f"{table_dir}/lists_delta"
+    if not os.path.isdir(delta_dir):
+        return None
+    try:
+        return read_snapshot(spark, delta_dir)
+    except (FileNotFoundError, OSError):
+        return None
+
+
+def ivf_compact(spark, table_dir: str, id_col: str = "vec_id") -> int:
+    """Fold the accumulated merge-on-read delta into the base lists
+    table: publish base-anti-join-delta ∪ delta as the lists table's
+    next version, then publish an EMPTY delta (same schema) so readers
+    atomically switch to the compacted base. The one O(corpus) write
+    the MOR mode defers; schedule it on delta-size or
+    read-amplification thresholds, exactly like an LSM L0->L1
+    compaction or a lakehouse OPTIMIZE."""
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    delta = _read_delta_if_any(spark, table_dir)
+    if delta is None:
+        raise ValueError(f"no lists_delta published under {table_dir}")
+    base = read_snapshot(spark, f"{table_dir}/lists")
+    merged = base.join(
+        F.broadcast(delta.select(id_col)), id_col, "left_anti"
+    ).unionByName(delta)
+    v = write_snapshot(merged, f"{table_dir}/lists")
+    write_snapshot(delta.limit(0), f"{table_dir}/lists_delta")
+    return v

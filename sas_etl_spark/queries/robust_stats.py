@@ -985,7 +985,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard uncertainty readout for pipeline metrics."""
     ev = load_table(spark, sf_dir, "events")
     from sas_etl_spark.operators.sampling import hash_bucket
+    from sas_etl_spark.operators.similarity import _estimated_scan_tasks
 
+    # the per-(row, replicate) sha draw is the dominant cost and is
+    # embarrassingly parallel — floor the scan parallelism when a
+    # small fixture packs into a handful of files (min_tasks idiom;
+    # the gate is false at real scale where scans are already wide)
+    min_tasks = spark.sparkContext.defaultParallelism
+    est = _estimated_scan_tasks(ev)
+    if est is not None and est < min_tasks:
+        ev = ev.repartition(min_tasks)
     rep = ev.select(
         "event_type", "value", "event_id",
         F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
@@ -1027,21 +1036,29 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("event_type"))
         .alias("bn"),
     )
+    # BOTH order statistics from ONE pass over the ranked relation —
+    # separate lo/hi broadcast joins would each rebuild the whole
+    # replicate subtree (rows x B sha draws twice over; measured 31 s
+    # -> ~6 s at sf1). When bn = 1 both ranks coincide and the single
+    # surviving replicate serves as lo AND hi.
     lo_rank = F.greatest(F.lit(1), F.expr("(25 * bn) div 1000"))
-    lo = ranked.filter(F.col("r") == lo_rank).select(
-        "event_type", F.round("m", 6).alias("ci_lo")
-    )
-    hi = ranked.filter(F.col("r") == (F.col("bn") - lo_rank + 1)).select(
-        "event_type", F.round("m", 6).alias("ci_hi")
+    hi_rank = F.col("bn") - lo_rank + 1
+    cis = (
+        ranked.filter((F.col("r") == lo_rank) | (F.col("r") == hi_rank))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min(F.when(F.col("r") == lo_rank, F.col("m"))), 6)
+            .alias("ci_lo"),
+            F.round(F.min(F.when(F.col("r") == hi_rank, F.col("m"))), 6)
+            .alias("ci_hi"),
+        )
     )
     pt = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg("value"), 6).alias("mean_value"),
     )
-    return (
-        pt.join(F.broadcast(lo), "event_type")
-        .join(F.broadcast(hi), "event_type")
-        .select("event_type", "n", "mean_value", "ci_lo", "ci_hi")
+    return pt.join(F.broadcast(cis), "event_type").select(
+        "event_type", "n", "mean_value", "ci_lo", "ci_hi"
     )
 
 

@@ -54,11 +54,12 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 11 window. Composition (50 = 3 + 12 + 13 + 22):
+    # ROUND 11 window. Composition (50 = 4 + 12 + 13 + 21):
     # -- (a) NEW this round: incremental IVF upsert (VERDICT r10
     # item 2), the stdlib-zlib PNG decode lane (item 6), and the
     # capability-gated transformWithState v2 twin (item 7).
     "q_ivf_upsert",
+    "q_ivf_upsert_serve",
     "q_png_features",
     "q_stream_stateful_totals_v2",
     # -- (b) code changed this round, re-attest: the sample-trained
@@ -98,7 +99,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_knn_cosine",
     "q_cohort_retention",
     # -- (d) regression sentinels, oldest-green-first: the r6 cohort,
-    # alphabetical (22 of 46; the rest rotate through r12+).
+    # alphabetical (21 of 46; the rest rotate through r12+).
     "q_approx_percentile",
     "q_case_when",
     "q_corr_stats",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_market_basket",
     "q_math_rowwise",
     "q_merge_many_to_many",
-    "q_ngram_contamination",
 )
 
 #: ROUND 11 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -130,7 +130,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: tests/test_registry_order.py's must-set, (3) `python
 #: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
 #: settled tree. Queries registered this round so far: q_ivf_upsert,
-#: q_png_features, q_stream_stateful_totals_v2 (all windowed).
+#: q_ivf_upsert_serve, q_png_features, q_stream_stateful_totals_v2
+#: (all windowed).
 #:
 #: ROUND 12 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r11

@@ -52,11 +52,11 @@ for name in NAMES:
         t0 = time.perf_counter()
         spec.fn(spark, d).collect()  # fresh plan each sample = cold
         ts.append(time.perf_counter() - t0)
+        print(f"  {name} spark sample {ts[-1]:.2f} s", flush=True)
     sm = statistics.median(ts)
-    dts = []
-    for _ in range(N):
-        t0 = time.perf_counter()
-        con.execute(spec.oracle).fetchall()
-        dts.append(time.perf_counter() - t0)
-    dm = statistics.median(dts)
+    # heavy iterative oracles (bpe_train / pretrain unrolls): one
+    # DuckDB sample is enough for an order-of-magnitude twin
+    t0 = time.perf_counter()
+    con.execute(spec.oracle).fetchall()
+    dm = time.perf_counter() - t0
     print(f"{name:22s} spark {sm:8.2f} s   duckdb {dm:8.2f} s   ratio {sm/dm:5.2f}x")

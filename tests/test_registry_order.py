@@ -68,7 +68,7 @@ SENTINELS = {
     "q_format_lookup", "q_format_ranges", "q_freq_chisq",
     "q_grouped_zscore", "q_interleave", "q_interp_linear",
     "q_intersect", "q_join3_revenue", "q_market_basket",
-    "q_math_rowwise", "q_merge_many_to_many", "q_ngram_contamination",
+    "q_math_rowwise", "q_merge_many_to_many",
 }
 
 
@@ -96,7 +96,8 @@ def test_round11_rotation_targets_inside_window() -> None:
     and this round's changed-code queries must all sit in slots
     0-49."""
     must = {
-        "q_ivf_upsert", "q_png_features", "q_stream_stateful_totals_v2",
+        "q_ivf_upsert", "q_ivf_upsert_serve", "q_png_features",
+        "q_stream_stateful_totals_v2",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"

@@ -232,3 +232,60 @@ def test_cusum_single_baseline_day_pins_sigma_zero(spark, tmp_path):
     out = spec.fn(spark, str(sf_dir))
     con = _oracle_con(str(sf_dir), ["events"])
     assert_parity(out, con, spec.oracle, "q_cusum/k1-baseline")
+
+
+def test_ivf_upsert_mor_equals_cow_and_compacts(spark, tmp_path):
+    """Merge-on-read upsert must be VALUE-identical to copy-on-write
+    (same merged lists relation, same serving results) while writing
+    only O(batch) per ingest; compaction folds the delta into the base
+    and empties it — the LSM L0 contract."""
+    from pyspark.sql import functions as F
+
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.ann import (
+        build_ivf_index,
+        ivf_compact,
+        ivf_upsert,
+        read_ivf_index,
+    )
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr("vec_id >= 100 and vec_id % 10 not in (3, 7)"))
+    b1 = emb.filter(F.expr("vec_id >= 100 and vec_id % 10 = 3"))
+    b2 = emb.filter(F.expr("vec_id >= 100 and vec_id % 10 in (3, 7)"))
+    knobs = dict(n_centroids=8, refine_iters=1, sim_round_dp=4,
+                 mean_round_dp=6)
+
+    def snap(table_dir):
+        _, lists = read_ivf_index(spark, table_dir)
+        return {
+            (r.vec_id, r.centroid_id)
+            for r in lists.select("vec_id", "centroid_id").collect()
+        }
+
+    cow = str(tmp_path / "cow")
+    build_ivf_index(base, cow, **knobs)
+    ivf_upsert(spark, cow, b1, sim_round_dp=4)  # default cow
+    ivf_upsert(spark, cow, b2, sim_round_dp=4)  # b2 re-ingests decile 3
+
+    mor = str(tmp_path / "mor")
+    build_ivf_index(base, mor, **knobs)
+    ivf_upsert(spark, mor, b1, sim_round_dp=4, mode="mor")
+    ivf_upsert(spark, mor, b2, sim_round_dp=4, mode="mor")
+
+    want = snap(cow)
+    assert snap(mor) == want
+    # MOR left the base untouched (only lists_delta accumulated)...
+    assert read_snapshot(spark, f"{mor}/lists").count() == base.count()
+    # ...and the delta holds each upserted id exactly once (keep-newest
+    # WITHIN the delta across the two batches)
+    delta = read_snapshot(spark, f"{mor}/lists_delta")
+    assert delta.count() == b2.count()
+    # compaction folds delta into base and empties it; the merged view
+    # is unchanged before vs after
+    ivf_compact(spark, mor)
+    assert read_snapshot(spark, f"{mor}/lists_delta").count() == 0
+    assert read_snapshot(spark, f"{mor}/lists").count() == len(want)
+    assert snap(mor) == want
