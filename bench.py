@@ -150,6 +150,20 @@ def main() -> None:
     per_query, llm_per_query = med(samples), med(llm_samples)
     cold_per_query, cold_llm_per_query = med(cold_samples), med(cold_llm_samples)
 
+    # Floor-NORMALIZED cold series (VERDICT r11 item 6): driver and
+    # builder boxes read the same tree at different background load,
+    # and the per-query job floor (scheduler + Arrow fetch + Python
+    # round-trip) is the part that drifts 20-130 ms with load while
+    # the plan's own work does not. Subtracting the SAME-SESSION cold
+    # floor from each cold median (clamped at 0) yields the series to
+    # compare across boxes/rounds; the raw cold_* keys stay for
+    # absolute one-shot cost.
+    cold_floor = statistics.median(cold_floor_samples)
+    norm = lambda d: {  # noqa: E731
+        name: round(max(0.0, v - cold_floor), 4) for name, v in d.items()
+    }
+    cold_norm, cold_llm_norm = norm(cold_per_query), norm(cold_llm_per_query)
+
     total = round(sum(per_query.values()), 4)
     print(
         json.dumps(
@@ -171,6 +185,12 @@ def main() -> None:
                 "cold_floor_ms": round(
                     statistics.median(cold_floor_samples) * 1000, 2
                 ),
+                # floor-subtracted cold medians: the cross-box/round
+                # comparison series (VERDICT r11 item 6)
+                "cold_norm_value": round(sum(cold_norm.values()), 4),
+                "cold_norm_queries": cold_norm,
+                "cold_llm_norm_value": round(sum(cold_llm_norm.values()), 4),
+                "cold_llm_norm_queries": cold_llm_norm,
             }
         )
     )

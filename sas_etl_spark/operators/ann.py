@@ -703,7 +703,14 @@ def build_ivf_index(
     engine reproduces the exact training set. Centroid quality is
     statistically equivalent for any fraction that keeps thousands of
     training vectors per centroid (measured sf100: build 122 s ->
-    ~45 s at 250k ppm with serve recall unchanged; SCALE.md r11)."""
+    ~45 s at 250k ppm with serve recall unchanged; SCALE.md r11).
+
+    The build also publishes ``_index_meta.json`` under ``table_dir``
+    recording (id_col, vec_col): readers (read_ivf_index, ivf_compact,
+    ivf_upsert) resolve the key column from the artifact itself instead
+    of trusting their own defaults — an index built with a custom id
+    column merges correctly at read with no caller threading (ADVICE
+    r11)."""
     from sas_etl_spark.sources.snapshots import write_snapshot
 
     embd = emb.select(
@@ -737,28 +744,69 @@ def build_ivf_index(
     lists = lists.withColumn("vec_norm", l2_norm(vec_col))
     cv = write_snapshot(centroids, f"{table_dir}/centroids")
     lv = write_snapshot(lists, f"{table_dir}/lists")
+    _write_index_meta(table_dir, {"id_col": id_col, "vec_col": vec_col})
     return {"centroids": cv, "lists": lv}
 
 
+def _write_index_meta(table_dir: str, meta: dict) -> None:
+    """Atomically publish the index's column metadata (same os.replace
+    idiom as the snapshot pointer)."""
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(table_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix="_meta_", dir=table_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(table_dir, "_index_meta.json"))
+
+
+def _resolve_id_col(table_dir: str, id_col: str | None) -> str:
+    """The index's key column: an explicit argument wins, else the
+    persisted ``_index_meta.json``, else the historical default
+    (pre-metadata indexes were all built with 'vec_id')."""
+    if id_col is not None:
+        return id_col
+    import json
+    import os
+
+    meta_path = os.path.join(table_dir, "_index_meta.json")
+    try:
+        with open(meta_path) as f:
+            return str(json.load(f)["id_col"])
+    except (OSError, ValueError, KeyError):
+        return "vec_id"
+
+
 def read_ivf_index(
-    spark, table_dir: str, id_col: str = "vec_id"
+    spark, table_dir: str, id_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, lists) read back from the persisted index — current
     versions; pass explicit versions via read_snapshot for time
     travel. When a merge-on-read delta exists (ivf_upsert
     mode="mor"), the returned lists are the MERGED view: base rows
     whose id the delta re-ingested are dropped (anti-join against the
-    broadcast delta id set — bounded while deltas are small, which is
-    the compaction contract) and the delta is unioned in. Serving
-    plans are unchanged; they see one lists relation either way."""
+    delta id set) and the delta is unioned in. Serving plans are
+    unchanged; they see one lists relation either way.
+
+    The key column resolves from the index's own ``_index_meta.json``
+    (written by build_ivf_index) unless overridden — an index built
+    with a custom id column merges correctly with no caller threading.
+    The delta anti-join broadcast is SIZE-GATED (ADVICE r11): a small
+    delta ships as a broadcast lookup; an overgrown one (compaction
+    overdue) degrades to a shuffled anti-join instead of OOMing the
+    executors."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
     from sas_etl_spark.sources.snapshots import read_snapshot
 
+    id_col = _resolve_id_col(table_dir, id_col)
     centroids = read_snapshot(spark, f"{table_dir}/centroids")
     lists = read_snapshot(spark, f"{table_dir}/lists")
     delta = _read_delta_if_any(spark, table_dir)
     if delta is not None:
         lists = lists.join(
-            F.broadcast(delta.select(id_col)), id_col, "left_anti"
+            broadcast_if_small(delta.select(id_col)), id_col, "left_anti"
         ).unionByName(delta)
     return centroids, lists
 
@@ -767,7 +815,7 @@ def ivf_upsert(
     spark,
     table_dir: str,
     new_vecs: DataFrame,
-    id_col: str = "vec_id",
+    id_col: str | None = None,
     vec_col: str = "embedding",
     dim: int | None = None,
     sim_round_dp: int | None = 4,
@@ -814,9 +862,18 @@ def ivf_upsert(
       read (base anti-join delta ids, union delta — the delta id set
       broadcasts while deltas are small). Call ivf_compact when the
       delta grows past read-amplification comfort; that pays the one
-      O(corpus) rewrite the COW mode pays every batch."""
+      O(corpus) rewrite the COW mode pays every batch.
+
+    The key column resolves from ``_index_meta.json`` unless
+    overridden, and every batch/delta-id anti-join broadcast is
+    SIZE-GATED (ADVICE r11): past the bound the merge degrades to a
+    shuffled anti-join — slower, never an OOM — so the documented
+    'while deltas are small' caveat is enforced by the plan, not by
+    hope."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
     from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
 
+    id_col = _resolve_id_col(table_dir, id_col)
     centroids = read_snapshot(spark, f"{table_dir}/centroids")
     batch = new_vecs.select(
         F.col(id_col),
@@ -830,7 +887,7 @@ def ivf_upsert(
             # keep-newest within the delta itself: this batch replaces
             # any delta row it re-ingests
             prior = prior.join(
-                F.broadcast(batch.select(id_col)), id_col, "left_anti"
+                broadcast_if_small(batch.select(id_col)), id_col, "left_anti"
             )
             assigned = prior.unionByName(assigned)
         return write_snapshot(assigned, f"{table_dir}/lists_delta")
@@ -838,9 +895,9 @@ def ivf_upsert(
         raise ValueError(f"unknown ivf_upsert mode: {mode!r}")
     lists = read_snapshot(spark, f"{table_dir}/lists")
     # upsert: drop any existing row re-ingested by the batch (anti-join
-    # on id — broadcast when the batch is small), then union the batch
+    # on id — broadcast when the batch is provably small), then union
     survivors = lists.join(
-        F.broadcast(batch.select(id_col)), id_col, "left_anti"
+        broadcast_if_small(batch.select(id_col)), id_col, "left_anti"
     )
     merged = survivors.unionByName(assigned)
     return write_snapshot(merged, f"{table_dir}/lists")
@@ -861,22 +918,27 @@ def _read_delta_if_any(spark, table_dir: str):
         return None
 
 
-def ivf_compact(spark, table_dir: str, id_col: str = "vec_id") -> int:
+def ivf_compact(spark, table_dir: str, id_col: str | None = None) -> int:
     """Fold the accumulated merge-on-read delta into the base lists
     table: publish base-anti-join-delta ∪ delta as the lists table's
     next version, then publish an EMPTY delta (same schema) so readers
     atomically switch to the compacted base. The one O(corpus) write
     the MOR mode defers; schedule it on delta-size or
     read-amplification thresholds, exactly like an LSM L0->L1
-    compaction or a lakehouse OPTIMIZE."""
+    compaction or a lakehouse OPTIMIZE. Key column from
+    ``_index_meta.json``; delta-id broadcast size-gated — by
+    compaction time the delta is at its LARGEST, exactly when an
+    unconditional broadcast would be most dangerous (ADVICE r11)."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
     from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
 
+    id_col = _resolve_id_col(table_dir, id_col)
     delta = _read_delta_if_any(spark, table_dir)
     if delta is None:
         raise ValueError(f"no lists_delta published under {table_dir}")
     base = read_snapshot(spark, f"{table_dir}/lists")
     merged = base.join(
-        F.broadcast(delta.select(id_col)), id_col, "left_anti"
+        broadcast_if_small(delta.select(id_col)), id_col, "left_anti"
     ).unionByName(delta)
     v = write_snapshot(merged, f"{table_dir}/lists")
     write_snapshot(delta.limit(0), f"{table_dir}/lists_delta")

@@ -821,7 +821,20 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_stateful_streaming.py on runtimes that host v2, so
     the attested relation is the same either way and the gate taken
     is documented here rather than hidden behind a skip. The oracle
-    is the batch aggregate, as for the v1 registration."""
+    is the batch aggregate, as for the v1 registration.
+
+    Runtime degradation (ADVICE r11): the import/class probe cannot
+    see every failure mode (protobuf/RocksDB version skew surfaces
+    only once the stream starts), so the v2 lane is additionally
+    wrapped in a try/except that falls back to the v1 twin — the
+    query degrades instead of erroring, and the fold contract means
+    the attested relation is unchanged. The RocksDB provider conf is
+    set-and-restored around the bounded run; streaming queries
+    capture SQL confs at START, so the restore cannot retroactively
+    change this query, but concurrent stream STARTS in the same
+    session during the window would see the mutated value — single-
+    writer sessions only (the same contract as the snapshot tables).
+    """
     from pyspark.sql import Window
 
     from sas_etl_spark.streaming.stateful import (
@@ -831,6 +844,7 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    table = None
     if supports_transform_with_state(spark):
         prev = spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass", None
@@ -843,6 +857,10 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             out = running_user_totals_v2(events.select("user_id", "value"))
             table = run_bounded_to_memory(out, spark, mode="update")
+        except Exception:
+            # probe passed but the stream failed mid-run (version skew
+            # the import probe can't see): degrade to the v1 twin.
+            table = None
         finally:
             if prev is None:
                 spark.conf.unset(
@@ -852,7 +870,7 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass", prev
                 )
-    else:
+    if table is None:
         out = running_user_totals(events.select("user_id", "value"))
         table = run_bounded_to_memory(out, spark, mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("events"))

@@ -40,7 +40,12 @@ _BM25_ORACLE_CTES = f"""
         select doc_id, len(string_split(text, ' ')) as dl from documents
     ),
     stats as (
-        select count(*) as n, avg(dl) as avgdl from dl
+        -- avgdl from the EXACT integer token-count sum (one double
+        -- division of identical integers in every engine) so the mean
+        -- is independent of summation order / partitioning
+        select count(*) as n,
+               cast(sum(dl) as double) / count(*) as avgdl
+        from dl
     ),
     tf as (
         select doc_id, term, count(*) as tf
@@ -105,14 +110,18 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(min_tasks)
     toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
     nt = len(BM25_TERMS)
+    # avgdl from the EXACT long token-count sum, one double division
+    # (ADVICE r11): F.avg over ints folds in DOUBLE, so the min_tasks
+    # repartition above could flip a rounding-boundary mean run-to-run;
+    # the integer sum is partitioning-independent by construction.
     stats = toks.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size("_toks")).alias("avgdl"),
+        F.sum(F.size("_toks").cast("long")).alias("_sdl"),
         *[
             F.sum(F.array_contains("_toks", t).cast("long")).alias(f"df{i}")
             for i, t in enumerate(BM25_TERMS)
         ],
-    )
+    ).withColumn("avgdl", F.col("_sdl").cast("double") / F.col("n"))
     fold = F.aggregate(
         "_toks",
         F.array(*[F.lit(0) for _ in range(nt)]),

@@ -903,12 +903,14 @@ BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
     "q_bootstrap_ci",
     oracle=f"""
     with rep as (
-        select e.event_type, e.value, e.event_id,
+        select e.event_type,
+               cast(round(e.value * 1000000, 0) as bigint) as v6,
+               e.event_id,
                unnest(range(1, {BOOT_B} + 1)) as b
         from events e
     ),
     wtd as (
-        select event_type, b, value,
+        select event_type, b, v6,
                (case when u >= {BOOT_POIS_PPM[0]} then 1 else 0 end
               + case when u >= {BOOT_POIS_PPM[1]} then 1 else 0 end
               + case when u >= {BOOT_POIS_PPM[2]} then 1 else 0 end
@@ -916,7 +918,7 @@ BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
               + case when u >= {BOOT_POIS_PPM[4]} then 1 else 0 end
               + case when u >= {BOOT_POIS_PPM[5]} then 1 else 0 end) as w
         from (
-            select event_type, value, b,
+            select event_type, v6, b,
                    list_reduce(list_transform(range(1,16),
                        j -> strpos('0123456789abcdef',
                                    substr(sha256('{BOOT_SEED}:'
@@ -930,7 +932,7 @@ BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
     ),
     means as (
         select event_type, b,
-               sum(w * value) / sum(w) as m
+               cast(sum(w * v6) as double) / (sum(w) * 1000000.0) as m
         from wtd group by event_type, b
         having sum(w) > 0
     ),
@@ -942,7 +944,10 @@ BOOT_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
         from means
     ),
     pt as (
-        select event_type, round(avg(value), 6) as mean_value,
+        select event_type,
+               round(cast(sum(cast(round(value * 1000000, 0) as bigint))
+                          as double) / (count(*) * 1000000.0), 6)
+                   as mean_value,
                cast(count(*) as bigint) as n
         from events group by event_type
     )
@@ -978,11 +983,27 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     {int(0.975 * BOOT_B) + 1} when all {BOOT_B} survive) — no
     interpolation-mode ambiguity and no NULL-ordering divergence.
 
+    Exact accumulators (ADVICE r11, the CUSUM idiom): every
+    hash-attested float mean here is computed from ORDER-INSENSITIVE
+    sums — values quantize per-row to micros (v6 = round(value*1e6),
+    a pure function of the row), replicate sums accumulate
+    exact-integer (decimal(38,0) on the Spark side, hugeint in
+    DuckDB), and each mean is ONE double division of identical
+    integers. The min_tasks repartition below reorders rows feeding
+    the aggregation; with float folds a mean sitting on a 6dp
+    rounding boundary could flip run-to-run — with integer folds the
+    result is partitioning-independent by construction. The 1e-6
+    input quantization is part of the operator's definition (both
+    engines apply it identically; it perturbs each input by <= 5e-7,
+    below the emitted 6dp resolution).
+
     Scale: the replicate explode is scan-side (rows x B never
     shuffles as payload); the only exchange is the map-side-combined
     (group, replicate) agg — O(groups x B) result rows; the order
-    statistic runs per group over B rows. At 100 TB this is the
-    standard uncertainty readout for pipeline metrics."""
+    statistic runs per group over B rows. decimal(38,0) accumulation
+    overflows only past ~1e38 weighted micros per (group, replicate)
+    — unreachable. At 100 TB this is the standard uncertainty
+    readout for pipeline metrics."""
     ev = load_table(spark, sf_dir, "events")
     from sas_etl_spark.operators.sampling import hash_bucket
     from sas_etl_spark.operators.similarity import _estimated_scan_tasks
@@ -996,7 +1017,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     if est is not None and est < min_tasks:
         ev = ev.repartition(min_tasks)
     rep = ev.select(
-        "event_type", "value", "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("v6"),
+        "event_id",
         F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
     )
     u = hash_bucket(
@@ -1012,7 +1035,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.withColumn("w", w)
         .groupBy("event_type", "b")
         .agg(
-            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum((F.col("w") * F.col("v6")).cast("decimal(38,0)")).alias("_s"),
             F.sum("w").alias("_wsum"),
         )
         # A replicate whose Poisson weights are ALL zero (P = e^-n per
@@ -1025,7 +1048,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for the common bn = B = {BOOT_B} case this is exactly the
         # classic ranks 5 / 196.
         .where(F.col("_wsum") > 0)
-        .drop("_wsum")
+        .select(
+            "event_type",
+            "b",
+            (
+                F.col("_s").cast("double")
+                / (F.col("_wsum") * F.lit(1_000_000.0))
+            ).alias("m"),
+        )
     )
     ranked = means.select(
         "*",
@@ -1055,7 +1085,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(
+                F.round(F.col("value") * 1_000_000, 0).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("mean_value"),
     )
     return pt.join(F.broadcast(cis), "event_type").select(
         "event_type", "n", "mean_value", "ci_lo", "ci_hi"
