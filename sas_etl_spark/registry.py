@@ -54,91 +54,91 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 11 window. Composition (50 = 4 + 12 + 13 + 21):
-    # -- (a) NEW this round: incremental IVF upsert (VERDICT r10
-    # item 2), the stdlib-zlib PNG decode lane (item 6), and the
-    # capability-gated transformWithState v2 twin (item 7).
-    "q_ivf_upsert",
-    "q_ivf_upsert_serve",
-    "q_png_features",
+    # ROUND 12 window. Composition (50 = 2 + 12 + 25 + 11):
+    # -- (a) NEW this round: the production-posture pretrain
+    # composite (VERDICT r11 item 1: LSH edges at the >= 0.8
+    # operating point, exact all-pairs oracle) and snapshot time
+    # travel as a first-class attested read (item 7).
+    "q_pretrain_pipeline_prod",
+    "q_snapshot_time_travel",
+    # -- (b) code changed this round, re-attest: the v2-streaming
+    # runtime fallback (ADVICE r11), exact-accumulator rewrites of
+    # the bootstrap CI and the BM25 stats row + its two dependents
+    # (ADVICE r11), the pretrain composite refactor (shared
+    # downstream with the prod twin), and the IVF family over the
+    # metadata-carrying, size-gated (and int8-compressed, item 2)
+    # index artifact.
     "q_stream_stateful_totals_v2",
-    # -- (b) code changed this round, re-attest: the sample-trained
-    # IVF build + its serve twin (item 3), the four degenerate-input
-    # hardenings from ADVICE r10 (bpe encode/train, bootstrap CI,
-    # CUSUM integer accumulators -- batch + streaming share the
-    # oracle), the BM25 zero-shuffle rewrite + its two dependents
-    # (item 5), the span-dedup exchange diet (item 4), and
-    # q_image_features (the shared _decoded_image_stats lane).
-    "q_ivf_build",
-    "q_ivf_serve",
-    "q_bpe_encode",
-    "q_bpe_train",
     "q_bootstrap_ci",
-    "q_cusum",
-    "q_stream_cusum",
     "q_bm25",
     "q_rrf_hybrid",
     "q_retrieval_eval",
-    "q_span_dedup",
+    "q_pretrain_pipeline",
+    "q_ivf_build",
+    "q_ivf_serve",
+    "q_ivf_upsert",
+    "q_ivf_upsert_serve",
+    "q_knn_ivf_batch",
     "q_image_features",
-    # -- (c) the stalest attestations (VERDICT r10 item 1): the 11
-    # r5-cohort rows displaced from the r10 window (all carry helper
-    # drift), q_knn_cosine (r6 + helper drift), and
-    # q_cohort_retention (r8, displaced twice).
-    "q_union_all",
-    "q_udtf_tokens",
-    "q_topn_sort",
-    "q_string_distance",
-    "q_surrogate_key",
-    "q_snapshot_upsert",
-    "q_sliding_window",
-    "q_session_window",
-    "q_rollup",
-    "q_prefix_join",
-    "q_video_frame_sample",
-    "q_knn_cosine",
-    "q_cohort_retention",
-    # -- (d) regression sentinels, oldest-green-first: the r6 cohort,
-    # alphabetical (21 of 46; the rest rotate through r12+).
-    "q_approx_percentile",
-    "q_case_when",
-    "q_corr_stats",
-    "q_crosstab_pct",
-    "q_derive_cols",
-    "q_distinct_rows",
-    "q_dupout",
-    "q_embed_quantize",
-    "q_filter_pred",
-    "q_fixedwidth_roundtrip",
-    "q_format_lookup",
-    "q_format_ranges",
-    "q_freq_chisq",
-    "q_grouped_zscore",
-    "q_interleave",
-    "q_interp_linear",
-    "q_intersect",
-    "q_join3_revenue",
-    "q_market_basket",
-    "q_math_rowwise",
-    "q_merge_many_to_many",
+    # -- (c) the stalest attestations (VERDICT r11 item 4): the
+    # remaining 25 r6-cohort rows — after this round no attestation
+    # predates r7.
+    "q_ngram_contamination",
+    "q_nodupkey",
+    "q_pivot_api",
+    "q_pivot_multi",
+    "q_pricing_summary",
+    "q_project_rename",
+    "q_quality_checks",
+    "q_rank_ntile",
+    "q_rank_tie_modes",
+    "q_rank_ties_mean",
+    "q_regex_extract",
+    "q_repetition_ratio",
+    "q_rfm_segments",
+    "q_running_total",
+    "q_sample",
+    "q_string_funcs",
+    "q_string_funcs2",
+    "q_udaf_weighted",
+    "q_udf_charge",
+    "q_unigram_logprob",
+    "q_union_distinct",
+    "q_univariate_moments",
+    "q_unpivot",
+    "q_weighted_stats",
+    "q_window_rank",
+    # -- (d) regression sentinels, oldest-green-first: the r7 cohort,
+    # alphabetical (11 of 44; the rest rotate through r13+).
+    "q_activity_streaks",
+    "q_anomaly_days",
+    "q_argmax",
+    "q_autocorr",
+    "q_benford",
+    "q_business_days",
+    "q_chunk_dedup",
+    "q_chunk_docs",
+    "q_class_balance",
+    "q_cogroup_reconcile",
+    "q_correlated_subquery",
 )
 
-#: ROUND 11 window bookkeeping rule (learned twice, r7 and r8): NO
+#: ROUND 12 window bookkeeping rule (learned twice, r7 and r8): NO
 #: @query registration lands without, in the SAME commit, (1) a
 #: DRIVER_PRIORITY slot — displace the LAST block-(d) sentinel to keep
 #: the 50-slot cap, (2) the matching update to
 #: tests/test_registry_order.py's must-set, (3) `python
-#: scratch/gen_operators_md.py`, and (4) a full-suite rerun on the
-#: settled tree. Queries registered this round so far: q_ivf_upsert,
-#: q_ivf_upsert_serve, q_png_features, q_stream_stateful_totals_v2
-#: (all windowed).
+#: scratch/gen_operators_md.py` (as its own follow-up commit — the
+#: ledger records the attestation commit), and (4) a full-suite rerun
+#: on the settled tree. Queries registered this round so far:
+#: q_pretrain_pipeline_prod, q_snapshot_time_travel (both windowed).
 #:
-#: ROUND 12 window plan: (1) new/changed queries per the ledger's
-#: changed column, then (2) sentinels oldest-green-first — after r11
-#: the stalest rows are the remaining 24 r6-cohort rows
-#: (q_nodupkey, q_pivot_api, q_pivot_multi, q_pricing_summary,
-#: q_project_rename, q_quality_checks, q_rank_ntile, ...; read the
-#: full order from OPERATORS.md's Last-attested column).
+#: ROUND 13 window plan: (1) new/changed queries per the ledger's
+#: changed column, then (2) sentinels oldest-green-first — after r12
+#: the stalest rows are the remaining 33 r7-cohort rows
+#: (q_cross_source_dups, q_dedup_stats, q_embed_dim_stats, q_ewma,
+#: ...; read the full order from OPERATORS.md's Last-attested
+#: column).
 
 
 def query(

@@ -40,35 +40,36 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 #: Slots deliberately spent on already-attested queries this round:
 #: the 12 queries whose code (or transitive helper/oracle) changed in
-#: round 11 — the sample-trained IVF build + serve, the ADVICE r10
-#: degenerate-input hardenings (bpe x2, bootstrap, cusum x2), the
-#: BM25 zero-shuffle rewrite + its dependents, the span-dedup
-#: exchange diet, and the shared image-stats lane refactor.
+#: round 12 — the v2-streaming runtime fallback, the
+#: exact-accumulator rewrites (bootstrap CI; the BM25 stats row and
+#: its two dependents), the pretrain composite refactor (shared
+#: downstream with the new prod twin), and the IVF family over the
+#: metadata-carrying / size-gated / int8-compressed index artifact.
 RE_ATTESTS = {
-    "q_ivf_build", "q_ivf_serve", "q_bpe_encode", "q_bpe_train",
-    "q_bootstrap_ci", "q_cusum", "q_stream_cusum", "q_bm25",
-    "q_rrf_hybrid", "q_retrieval_eval", "q_span_dedup",
-    "q_image_features",
+    "q_stream_stateful_totals_v2", "q_bootstrap_ci", "q_bm25",
+    "q_rrf_hybrid", "q_retrieval_eval", "q_pretrain_pipeline",
+    "q_ivf_build", "q_ivf_serve", "q_ivf_upsert", "q_ivf_upsert_serve",
+    "q_knn_ivf_batch", "q_image_features",
 }
-#: The stalest-attestation rotation (the 11 r5-displaced rows +
-#: q_knn_cosine + q_cohort_retention) plus the r6 sentinel cohort
-#: fill, oldest-green-first.
+#: The stalest-attestation rotation: the remaining 25 r6-cohort rows
+#: (after this round no attestation predates r7) plus the oldest 11
+#: r7-cohort rows as fill, oldest-green-first.
 SENTINELS = {
-    "q_union_all", "q_udtf_tokens", "q_topn_sort", "q_string_distance",
-    "q_surrogate_key", "q_snapshot_upsert", "q_sliding_window",
-    "q_session_window", "q_rollup", "q_prefix_join",
-    "q_video_frame_sample", "q_knn_cosine", "q_cohort_retention",
-    "q_approx_percentile", "q_case_when", "q_corr_stats",
-    "q_crosstab_pct", "q_derive_cols", "q_distinct_rows", "q_dupout",
-    "q_embed_quantize", "q_filter_pred", "q_fixedwidth_roundtrip",
-    "q_format_lookup", "q_format_ranges", "q_freq_chisq",
-    "q_grouped_zscore", "q_interleave", "q_interp_linear",
-    "q_intersect", "q_join3_revenue", "q_market_basket",
-    "q_math_rowwise", "q_merge_many_to_many",
+    "q_ngram_contamination", "q_nodupkey", "q_pivot_api",
+    "q_pivot_multi", "q_pricing_summary", "q_project_rename",
+    "q_quality_checks", "q_rank_ntile", "q_rank_tie_modes",
+    "q_rank_ties_mean", "q_regex_extract", "q_repetition_ratio",
+    "q_rfm_segments", "q_running_total", "q_sample", "q_string_funcs",
+    "q_string_funcs2", "q_udaf_weighted", "q_udf_charge",
+    "q_unigram_logprob", "q_union_distinct", "q_univariate_moments",
+    "q_unpivot", "q_weighted_stats", "q_window_rank",
+    "q_activity_streaks", "q_anomaly_days", "q_argmax", "q_autocorr",
+    "q_benford", "q_business_days", "q_chunk_dedup", "q_chunk_docs",
+    "q_class_balance", "q_cogroup_reconcile", "q_correlated_subquery",
 }
 
 
@@ -91,21 +92,19 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round11_rotation_targets_inside_window() -> None:
-    """Round-11 plan (VERDICT r10 items 1-7): the three new queries
-    and this round's changed-code queries must all sit in slots
-    0-49."""
+def test_round12_rotation_targets_inside_window() -> None:
+    """Round-12 plan (VERDICT r11 items 1-7): the new queries and this
+    round's changed-code queries must all sit in slots 0-49."""
     must = {
-        "q_ivf_upsert", "q_ivf_upsert_serve", "q_png_features",
-        "q_stream_stateful_totals_v2",
+        "q_pretrain_pipeline_prod", "q_snapshot_time_travel",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round11_window_finishes_attestation() -> None:
-    """The r11 window must drain the never-attested backlog (recomputed
-    from pre-r11 CORRECTNESS artifacts, no hand list) and spend every
+def test_round12_window_finishes_attestation() -> None:
+    """The r12 window must drain the never-attested backlog (recomputed
+    from pre-r12 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
