@@ -607,6 +607,20 @@ def ivf_topk_batch_vectorized(
 
     out_schema = f"{qid_col} long, {id_col} long, {sim_col} double"
 
+    # SQ8-compressed index: ship the int8 CODES + per-vector scale
+    # through Arrow (1/8 the bytes of the decoded doubles — the decode
+    # Project read_ivf_index attached is bypassed, not paid twice) and
+    # reconstruct in the kernel: code * scale in float64, the exact
+    # same per-element products as the JVM decode, so results are
+    # bit-identical before the shared round.
+    decode_codes = "vec_code" in lists.columns
+    if decode_codes:
+        shipped = lists.select(
+            id_col, "centroid_id", "vec_code", "vec_scale", "vec_norm"
+        )
+    else:
+        shipped = lists.select(id_col, "centroid_id", vec_col, "vec_norm")
+
     def score(batches):
         probe_map = bc.value
         for pdf in batches:
@@ -616,9 +630,19 @@ def ivf_topk_batch_vectorized(
                 if entry is None:
                     continue
                 qids, qt, qnorms = entry
-                vmat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
-                )
+                if decode_codes:
+                    codes = np.stack(
+                        [
+                            np.asarray(c, dtype=np.float64)
+                            for c in sub["vec_code"]
+                        ]
+                    )
+                    scales = sub["vec_scale"].to_numpy(dtype=np.float64)
+                    vmat = codes * scales[:, None]
+                else:
+                    vmat = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
+                    )
                 vnorms = sub["vec_norm"].to_numpy(dtype=np.float64)
                 sims = np.round(
                     (vmat @ qt) / np.outer(vnorms, qnorms), round_dp
@@ -643,12 +667,75 @@ def ivf_topk_batch_vectorized(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    scored = lists.mapInPandas(score, out_schema)
+    scored = shipped.mapInPandas(score, out_schema)
     topk_rank = Window.partitionBy(qid_col).orderBy(F.desc(sim_col), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(topk_rank).cast("long"))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, sim_col, "rank")
+    )
+
+
+#: SQ8 zero-vector guard: a scale floor far below any real embedding
+#: magnitude, so an all-zero vector quantizes to all-zero codes
+#: instead of dividing by zero. Part of the operator definition —
+#: the oracle replays the same greatest().
+SQ8_EPS = 1e-30
+
+
+def sq8_finalize_lists(
+    lists: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Convert raw inverted-list rows (id, centroid_id, vec) to the
+    int8-compressed storage schema (VERDICT r11 item 2, the FAISS-SQ8
+    family): per-vector symmetric max-abs scaling —
+    scale = max(|v_i|)/127, code_i = round(v_i/scale) in [-127, 127]
+    (one int8 per element, 1/8 the bytes of the raw double list) —
+    plus the serve-side norm trick computed over the RECONSTRUCTED
+    vector (vec_norm = ||code*scale||), so serving arithmetic is a
+    pure function of the stored codes. Every step (double division,
+    half-away round, products, fold) is the same well-defined
+    arithmetic in any engine, so the artifact stays
+    oracle-recomputable exactly like the raw layout.
+
+    Raw (uncompressed) finalization is ``raw_finalize_lists``; both
+    feed ivf_topk_batch_from / _vectorized unchanged because
+    read_ivf_index decodes lazily on read."""
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double")))),
+            F.lit(SQ8_EPS),
+        )
+        / F.lit(127.0)
+    )
+    with_scale = lists.withColumn("vec_scale", scale)
+    codes = F.transform(
+        vec_col,
+        lambda x: F.round(x.cast("double") / F.col("vec_scale"), 0).cast(
+            "tinyint"
+        ),
+    )
+    with_codes = with_scale.withColumn("vec_code", codes)
+    decoded = F.transform(
+        "vec_code", lambda c: c.cast("double") * F.col("vec_scale")
+    )
+    return with_codes.withColumn("vec_norm", l2_norm(decoded)).drop(vec_col)
+
+
+def raw_finalize_lists(
+    lists: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Uncompressed storage finalization: double vectors + norms."""
+    return lists.withColumn("vec_norm", l2_norm(vec_col))
+
+
+def sq8_decode(vec_col: str = "embedding") -> "F.Column":
+    """The stored-codes -> double-vector reconstruction expression
+    (code * scale, exact per element); attached lazily by
+    read_ivf_index so every serving plan sees a vector column named
+    ``vec_col`` regardless of storage layout."""
+    return F.transform(
+        "vec_code", lambda c: c.cast("double") * F.col("vec_scale")
     )
 
 
@@ -664,6 +751,7 @@ def build_ivf_index(
     mean_round_dp: int | None = 6,
     train_ppm: int | None = None,
     train_seed: int = 31,
+    quantize: str | None = None,
 ) -> dict[str, int]:
     """Build the IVF index ONCE and PERSIST it as two versioned
     snapshot tables (sources/snapshots.py) under ``table_dir``:
@@ -706,12 +794,27 @@ def build_ivf_index(
     ~45 s at 250k ppm with serve recall unchanged; SCALE.md r11).
 
     The build also publishes ``_index_meta.json`` under ``table_dir``
-    recording (id_col, vec_col): readers (read_ivf_index, ivf_compact,
-    ivf_upsert) resolve the key column from the artifact itself instead
-    of trusting their own defaults — an index built with a custom id
-    column merges correctly at read with no caller threading (ADVICE
-    r11)."""
+    recording (id_col, vec_col, quantize): readers (read_ivf_index,
+    ivf_compact, ivf_upsert) resolve the key column AND the storage
+    layout from the artifact itself instead of trusting their own
+    defaults — an index built with a custom id column or a compressed
+    layout merges correctly at read with no caller threading (ADVICE
+    r11).
+
+    ``quantize="int8"`` stores the inverted-list vectors as SQ8 codes
+    (sq8_finalize_lists: per-vector max-abs scale + int8 codes + the
+    reconstructed-vector norm) — 1/8 the list bytes of the raw double
+    layout, targeting the measured ~40 s sf100 list write and 8x the
+    serve-time Arrow transfer (VERDICT r11 item 2). ASSIGNMENT always
+    runs on the original full-precision vectors (quantization happens
+    after the argmax), so the membership map — and therefore
+    q_ivf_build's oracle — is identical in both layouts; only served
+    similarity values carry the reconstruction error, which the serve
+    oracles replay exactly and the recall-vs-exact pin bounds."""
     from sas_etl_spark.sources.snapshots import write_snapshot
+
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
 
     embd = emb.select(
         F.col(id_col),
@@ -741,10 +844,16 @@ def build_ivf_index(
     # scans of lineage) before both consumers below
     centroids = centroids.localCheckpoint(eager=True)
     lists = ivf_lists(embd, centroids, id_col, vec_col, dim, sim_round_dp)
-    lists = lists.withColumn("vec_norm", l2_norm(vec_col))
+    if quantize == "int8":
+        lists = sq8_finalize_lists(lists, vec_col)
+    else:
+        lists = raw_finalize_lists(lists, vec_col)
     cv = write_snapshot(centroids, f"{table_dir}/centroids")
     lv = write_snapshot(lists, f"{table_dir}/lists")
-    _write_index_meta(table_dir, {"id_col": id_col, "vec_col": vec_col})
+    _write_index_meta(
+        table_dir,
+        {"id_col": id_col, "vec_col": vec_col, "quantize": quantize},
+    )
     return {"centroids": cv, "lists": lv}
 
 
@@ -762,21 +871,32 @@ def _write_index_meta(table_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(table_dir, "_index_meta.json"))
 
 
-def _resolve_id_col(table_dir: str, id_col: str | None) -> str:
-    """The index's key column: an explicit argument wins, else the
-    persisted ``_index_meta.json``, else the historical default
-    (pre-metadata indexes were all built with 'vec_id')."""
-    if id_col is not None:
-        return id_col
+def _read_index_meta(table_dir: str) -> dict:
+    """The persisted ``_index_meta.json``, or the historical defaults
+    for pre-metadata indexes (all built with 'vec_id'/'embedding',
+    uncompressed)."""
     import json
     import os
 
     meta_path = os.path.join(table_dir, "_index_meta.json")
     try:
         with open(meta_path) as f:
-            return str(json.load(f)["id_col"])
-    except (OSError, ValueError, KeyError):
-        return "vec_id"
+            meta = json.load(f)
+    except (OSError, ValueError):
+        meta = {}
+    return {
+        "id_col": str(meta.get("id_col", "vec_id")),
+        "vec_col": str(meta.get("vec_col", "embedding")),
+        "quantize": meta.get("quantize"),
+    }
+
+
+def _resolve_id_col(table_dir: str, id_col: str | None) -> str:
+    """The index's key column: an explicit argument wins, else the
+    persisted metadata (see _read_index_meta)."""
+    if id_col is not None:
+        return id_col
+    return _read_index_meta(table_dir)["id_col"]
 
 
 def read_ivf_index(
@@ -790,17 +910,24 @@ def read_ivf_index(
     delta id set) and the delta is unioned in. Serving plans are
     unchanged; they see one lists relation either way.
 
-    The key column resolves from the index's own ``_index_meta.json``
-    (written by build_ivf_index) unless overridden — an index built
-    with a custom id column merges correctly with no caller threading.
-    The delta anti-join broadcast is SIZE-GATED (ADVICE r11): a small
-    delta ships as a broadcast lookup; an overgrown one (compaction
-    overdue) degrades to a shuffled anti-join instead of OOMing the
-    executors."""
+    The key column AND storage layout resolve from the index's own
+    ``_index_meta.json`` (written by build_ivf_index) unless
+    overridden — an index built with a custom id column merges
+    correctly with no caller threading. An int8-compressed index
+    (quantize="int8") comes back with the vector column DECODED
+    lazily (sq8_decode: code * scale, a scan-side Project) so every
+    serving plan sees the same (id, centroid_id, <vec_col>, vec_norm)
+    relation regardless of layout; the vectorized serve kernel
+    bypasses the decode and ships the codes through Arrow directly
+    (1/8 the transfer). The delta anti-join broadcast is SIZE-GATED
+    (ADVICE r11): a small delta ships as a broadcast lookup; an
+    overgrown one (compaction overdue) degrades to a shuffled
+    anti-join instead of OOMing the executors."""
     from sas_etl_spark.operators.broadcast import broadcast_if_small
     from sas_etl_spark.sources.snapshots import read_snapshot
 
-    id_col = _resolve_id_col(table_dir, id_col)
+    meta = _read_index_meta(table_dir)
+    id_col = id_col if id_col is not None else meta["id_col"]
     centroids = read_snapshot(spark, f"{table_dir}/centroids")
     lists = read_snapshot(spark, f"{table_dir}/lists")
     delta = _read_delta_if_any(spark, table_dir)
@@ -808,6 +935,8 @@ def read_ivf_index(
         lists = lists.join(
             broadcast_if_small(delta.select(id_col)), id_col, "left_anti"
         ).unionByName(delta)
+    if meta["quantize"] == "int8" and "vec_code" in lists.columns:
+        lists = lists.withColumn(meta["vec_col"], sq8_decode(meta["vec_col"]))
     return centroids, lists
 
 
@@ -873,14 +1002,21 @@ def ivf_upsert(
     from sas_etl_spark.operators.broadcast import broadcast_if_small
     from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
 
-    id_col = _resolve_id_col(table_dir, id_col)
+    meta = _read_index_meta(table_dir)
+    id_col = id_col if id_col is not None else meta["id_col"]
     centroids = read_snapshot(spark, f"{table_dir}/centroids")
     batch = new_vecs.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
     )
     assigned = ivf_lists(batch, centroids, id_col, vec_col, dim, sim_round_dp)
-    assigned = assigned.withColumn("vec_norm", l2_norm(vec_col))
+    # finalize under the INDEX'S OWN storage layout (metadata, not a
+    # caller flag): a batch upserted into an int8 index quantizes
+    # exactly as the build did, so the merged table stays one layout
+    if meta["quantize"] == "int8":
+        assigned = sq8_finalize_lists(assigned, vec_col)
+    else:
+        assigned = raw_finalize_lists(assigned, vec_col)
     if mode == "mor":
         prior = _read_delta_if_any(spark, table_dir)
         if prior is not None:

@@ -54,13 +54,16 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 12 window. Composition (50 = 2 + 12 + 25 + 11):
+    # ROUND 12 window. Composition (50 = 3 + 12 + 25 + 10):
     # -- (a) NEW this round: the production-posture pretrain
     # composite (VERDICT r11 item 1: LSH edges at the >= 0.8
-    # operating point, exact all-pairs oracle) and snapshot time
-    # travel as a first-class attested read (item 7).
+    # operating point, exact all-pairs oracle), snapshot time travel
+    # as a first-class attested read (item 7), and the baseline-JPEG
+    # decode lane (item 5 — huffman + dequant + IDCT + YCbCr,
+    # stdlib+numpy, block-exact fixture).
     "q_pretrain_pipeline_prod",
     "q_snapshot_time_travel",
+    "q_jpeg_features",
     # -- (b) code changed this round, re-attest: the v2-streaming
     # runtime fallback (ADVICE r11), exact-accumulator rewrites of
     # the bootstrap CI and the BM25 stats row + its two dependents
@@ -109,7 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_weighted_stats",
     "q_window_rank",
     # -- (d) regression sentinels, oldest-green-first: the r7 cohort,
-    # alphabetical (11 of 44; the rest rotate through r13+).
+    # alphabetical (10 of 44; the rest rotate through r13+).
     "q_activity_streaks",
     "q_anomaly_days",
     "q_argmax",
@@ -120,7 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_chunk_docs",
     "q_class_balance",
     "q_cogroup_reconcile",
-    "q_correlated_subquery",
 )
 
 #: ROUND 12 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -131,7 +133,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: scratch/gen_operators_md.py` (as its own follow-up commit — the
 #: ledger records the attestation commit), and (4) a full-suite rerun
 #: on the settled tree. Queries registered this round so far:
-#: q_pretrain_pipeline_prod, q_snapshot_time_travel (both windowed).
+#: q_pretrain_pipeline_prod, q_snapshot_time_travel, q_jpeg_features
+#: (all windowed).
 #:
 #: ROUND 13 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r12

@@ -69,7 +69,7 @@ SENTINELS = {
     "q_unpivot", "q_weighted_stats", "q_window_rank",
     "q_activity_streaks", "q_anomaly_days", "q_argmax", "q_autocorr",
     "q_benford", "q_business_days", "q_chunk_dedup", "q_chunk_docs",
-    "q_class_balance", "q_cogroup_reconcile", "q_correlated_subquery",
+    "q_class_balance", "q_cogroup_reconcile",
 }
 
 
@@ -97,6 +97,7 @@ def test_round12_rotation_targets_inside_window() -> None:
     round's changed-code queries must all sit in slots 0-49."""
     must = {
         "q_pretrain_pipeline_prod", "q_snapshot_time_travel",
+        "q_jpeg_features",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"

@@ -50,6 +50,202 @@ def test_ivf_index_meta_threads_custom_id_col(spark, tmp_path):
     assert read_snapshot(spark, f"{d}/lists_delta").count() == 0
 
 
+def _serve_sets(spark, table_dir, queries, nprobe, vectorized=False):
+    from sas_etl_spark.operators.ann import (
+        ivf_topk_batch_from,
+        ivf_topk_batch_vectorized,
+        read_ivf_index,
+    )
+
+    centroids, lists = read_ivf_index(spark, table_dir)
+    if vectorized:
+        out = ivf_topk_batch_vectorized(
+            centroids, lists, queries, k=10, nprobe=nprobe,
+            round_dp=4, probe_round_dp=4,
+        ).toPandas()
+    else:
+        out = ivf_topk_batch_from(
+            centroids, lists, queries, k=10, nprobe=nprobe,
+            round_dp=4, probe_round_dp=4, norm_col="vec_norm",
+        ).toPandas()
+    return out.groupby("qid")["vec_id"].apply(set).to_dict()
+
+
+def test_sq8_index_serves_within_recall_tolerance(spark, tmp_path):
+    """VERDICT r11 item 2's attest bar: the int8-compressed index must
+    serve within 0.05 recall of the UNCOMPRESSED exact serve (nprobe =
+    all lists over the raw index), and its JVM + vectorized serving
+    paths must return IDENTICAL rows over the compressed artifact."""
+    import os
+
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.ann import build_ivf_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    knobs = dict(
+        n_centroids=16, refine_iters=2, sim_round_dp=4, mean_round_dp=6,
+        train_ppm=250_000, train_seed=31,
+    )
+    raw_dir = str(tmp_path / "raw")
+    build_ivf_index(corpus, raw_dir, **knobs)
+    sq8_dir = str(tmp_path / "sq8")
+    build_ivf_index(corpus, sq8_dir, quantize="int8", **knobs)
+
+    exact = _serve_sets(spark, raw_dir, queries, nprobe=16)  # brute force
+    raw4 = _serve_sets(spark, raw_dir, queries, nprobe=4)
+    sq84 = _serve_sets(spark, sq8_dir, queries, nprobe=4)
+
+    def recall(approx):
+        return sum(
+            len(approx[q] & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r_raw, r_sq8 = recall(raw4), recall(sq84)
+    assert r_raw >= 0.35, f"raw recall degenerate: {r_raw}"
+    assert r_sq8 >= r_raw - 0.05, (r_sq8, r_raw)
+
+    # JVM decode path == vectorized codes path over the SAME artifact
+    jvm = _serve_sets(spark, sq8_dir, queries, nprobe=4)
+    vec = _serve_sets(spark, sq8_dir, queries, nprobe=4, vectorized=True)
+    assert jvm == vec
+
+    # the compression is real: the sq8 lists snapshot is much smaller
+    def snapshot_bytes(d):
+        total = 0
+        for root, _, files in os.walk(os.path.join(d, "lists")):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    raw_b, sq8_b = snapshot_bytes(raw_dir), snapshot_bytes(sq8_dir)
+    assert sq8_b < raw_b * 0.5, (sq8_b, raw_b)
+
+
+def test_sq8_upsert_into_compressed_index_keeps_layout(spark, tmp_path):
+    """A batch upserted into an int8 index must quantize under the
+    index's OWN metadata (no caller flag) and stay servable: merged
+    lists carry codes for every row, and serving returns top-10 for
+    every query."""
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.ann import (
+        build_ivf_index,
+        ivf_upsert,
+        read_ivf_index,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr("vec_id >= 100 and vec_id % 10 != 3"))
+    batch = emb.filter(F.expr("vec_id >= 100 and vec_id % 10 = 3"))
+    d = str(tmp_path / "sq8up")
+    build_ivf_index(
+        base, d, n_centroids=8, refine_iters=1, sim_round_dp=4,
+        mean_round_dp=6, quantize="int8",
+    )
+    ivf_upsert(spark, d, batch, sim_round_dp=4, mode="mor")
+    _, lists = read_ivf_index(spark, d)
+    n_full = emb.filter(F.col("vec_id") >= 100).count()
+    assert lists.count() == n_full
+    assert lists.filter(F.col("vec_code").isNull()).count() == 0
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    served = _serve_sets(spark, d, queries, nprobe=4, vectorized=True)
+    assert len(served) == queries.count()
+    assert all(len(v) == 10 for v in served.values())
+
+
+def test_jpeg_fixture_roundtrip_is_bit_exact():
+    """The attested contract: per-block-constant gray + unit quant
+    tables round-trip the full encode/decode pipeline (huffman + DCT
+    + YCbCr) BIT-exactly — this is what lets the SQL oracle regenerate
+    expected pixels from the block spec."""
+    import numpy as np
+
+    from sas_etl_spark.operators.multimodal import (
+        decode_jpeg,
+        jpeg_encode,
+        jpeg_fixture_array,
+    )
+
+    for i in (0, 3, 17, 42, 63):
+        w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+        arr = jpeg_fixture_array(w, h, i)
+        dec = decode_jpeg(jpeg_encode(arr))
+        assert dec.shape == arr.shape
+        assert np.array_equal(dec, arr), i
+
+
+def test_jpeg_ac_path_roundtrips_within_tolerance():
+    """The GENERAL decoder path (non-constant blocks: AC coefficients,
+    zero runs, ZRL/EOB symbols, huffman over real magnitudes) must
+    reconstruct within the classic +-few-counts DCT round-trip bound —
+    the unit-test pin backing the oracle's DC-exact fixture."""
+    import numpy as np
+
+    from sas_etl_spark.operators.multimodal import decode_jpeg, jpeg_encode
+
+    y, x = np.mgrid[0:24, 0:32]
+    grad = np.stack(
+        [(x * 3 + y * 2) % 256, (x + y * 5) % 256, (x * 2 + y) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    dec = decode_jpeg(jpeg_encode(grad))
+    err = np.abs(dec.astype(int) - grad.astype(int)).max()
+    assert err <= 8, err
+
+
+def test_jpeg_idct_matches_textbook_reference():
+    """The vectorized matrix IDCT must equal the O(n^4) textbook
+    definition on random coefficient blocks (the decoder's only float
+    kernel — everything else is integer/huffman plumbing)."""
+    import numpy as np
+
+    from sas_etl_spark.operators.multimodal import _dct_basis
+
+    m = _dct_basis()
+    rng = np.random.RandomState(11)
+    coef = rng.randint(-200, 200, size=(8, 8)).astype(np.float64)
+    fast = m.T @ coef @ m
+    ref = np.zeros((8, 8))
+    for xx in range(8):
+        for yy in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        0.25 * cu * cv * coef[u, v]
+                        * np.cos((2 * xx + 1) * u * np.pi / 16)
+                        * np.cos((2 * yy + 1) * v * np.pi / 16)
+                    )
+            ref[xx, yy] = acc
+    assert np.abs(fast - ref).max() < 1e-9
+
+
+def test_decode_image_routes_jpeg():
+    """decode_image routes by signature: JPEG now decodes for real;
+    only WebP raises."""
+    import numpy as np
+    import pytest
+
+    from sas_etl_spark.operators.multimodal import (
+        decode_image,
+        jpeg_encode,
+        jpeg_fixture_array,
+    )
+
+    arr = jpeg_fixture_array(16, 8, 5)
+    assert np.array_equal(decode_image(jpeg_encode(arr)), arr)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF0000WEBPVP8 ")
+
+
 def test_pre_metadata_index_defaults_to_vec_id(spark, tmp_path):
     """Indexes built before _index_meta.json existed (or whose meta
     file was lost) must keep working under the historical 'vec_id'
