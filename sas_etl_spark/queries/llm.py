@@ -1285,6 +1285,145 @@ def q_ivf_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> table_dir of the merge-on-read +
+#: compaction artifact (separate from the COW upsert dirs).
+_IVF_MOR_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ensure_ivf_mor_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the base index, publish TWO merge-on-read delta batches
+    (the second re-ingests the first's decile — exercising keep-newest
+    WITHIN the delta), then ivf_compact — once per session per
+    corpus."""
+    import os
+
+    from sas_etl_spark.operators.ann import (
+        build_ivf_index,
+        ivf_compact,
+        ivf_upsert,
+    )
+    from sas_etl_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVF_MOR_DIRS.get(key)
+    if cached is not None and os.path.isdir(os.path.join(cached, "lists")):
+        return cached
+    table_dir = scratch_dir(spark, "ivf_mor")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_IVF_BASE_WHERE))
+    build_ivf_index(
+        base, table_dir, n_centroids=_IVF_N, refine_iters=_IVF_ITERS,
+        sim_round_dp=_IVF_SIM_DP, mean_round_dp=_IVF_MEAN_DP,
+        train_ppm=_IVF_TRAIN_PPM, train_seed=_IVF_TRAIN_SEED,
+        quantize=_IVF_QUANTIZE,
+    )
+    b1 = emb.filter(F.expr("vec_id >= 100 and vec_id % 10 = 3"))
+    b2 = emb.filter(F.expr(_IVF_BATCH_WHERE))  # deciles 3 AND 7
+    ivf_upsert(spark, table_dir, b1, sim_round_dp=_IVF_SIM_DP, mode="mor")
+    ivf_upsert(spark, table_dir, b2, sim_round_dp=_IVF_SIM_DP, mode="mor")
+    ivf_compact(spark, table_dir)
+    _IVF_MOR_DIRS[key] = table_dir
+    return table_dir
+
+
+@query(
+    "q_ivf_compact",
+    oracle=f"""
+    with {_ivf_index_ctes(corpus_where=_IVF_BASE_WHERE)},
+    batch as (
+        select vec_id, embedding from embeddings where {_IVF_BATCH_WHERE}
+    ),
+    bassign as (
+        select vec_id, centroid_id from (
+            select b.vec_id, c.centroid_id,
+                   row_number() over (
+                       partition by b.vec_id
+                       order by round(cast(list_cosine_similarity(
+                                          b.embedding, c.cvec) as double),
+                                      {_IVF_SIM_DP}) desc,
+                                c.centroid_id
+                   ) as rn
+            from batch b cross join c{_IVF_ITERS} c
+        ) t where rn = 1
+    ),
+    merged as (
+        select vec_id, centroid_id from afinal
+        where vec_id not in (select vec_id from batch)
+        union all
+        select vec_id, centroid_id from bassign
+    ),
+    agg as (
+        select centroid_id,
+               cast(count(*) as bigint) as n_vecs,
+               cast(sum(vec_id) as bigint) as sum_vec_id,
+               cast(bit_xor(vec_id) as bigint) as xor_vec_id,
+               cast(count(*) filter (where vec_id % 10 in (3, 7))
+                    as bigint) as n_from_batch
+        from merged group by centroid_id
+    )
+    select c.centroid_id,
+           coalesce(a.n_vecs, cast(0 as bigint)) as n_vecs,
+           a.sum_vec_id,
+           a.xor_vec_id,
+           coalesce(a.n_from_batch, cast(0 as bigint)) as n_from_batch,
+           cast(0 as bigint) as delta_rows
+    from c{_IVF_ITERS} c left join agg a using (centroid_id)
+    """,
+    tags=("similarity", "ann", "scale", "index", "incremental"),
+)
+def q_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ ingest + LSM COMPACTION, content-attested (the
+    mode="mor" half of ivf_upsert, previously pinned only by unit
+    tests): two delta batches publish O(batch) side-table versions
+    (the second RE-INGESTS the first's decile, exercising keep-newest
+    within the accumulated delta), ivf_compact folds the delta into
+    the base lists table and publishes an EMPTY delta, and this query
+    reads the compacted artifact back and fingerprints the merged
+    assignment map per centroid — plus ``delta_rows``, the post-
+    compaction delta row count, attested 0, so the hash proves the
+    compaction actually drained the L0. The final state must equal
+    the copy-on-write merge of (base, both batches), which is exactly
+    q_ivf_upsert's oracle relation — value-identical publish modes is
+    the MOR contract (tests/test_round11_semantics.py pins it
+    in-engine; this row pins it against an external replay).
+
+    Scale: each MOR publish writes O(batch) regardless of corpus
+    size (the LSM L0 pattern); the one O(corpus) rewrite is deferred
+    to compaction cadence — exactly a lakehouse OPTIMIZE. Storage is
+    the SQ8 layout throughout (deltas quantize under the index's own
+    metadata)."""
+    from sas_etl_spark.operators.ann import read_ivf_index
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    table_dir = _ensure_ivf_mor_index(spark, sf_dir)
+    centroids, lists = read_ivf_index(spark, table_dir)
+    delta_n = (
+        read_snapshot(spark, f"{table_dir}/lists_delta")
+        .agg(F.count(F.lit(1)).cast("long").alias("delta_rows"))
+    )
+    agg = lists.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        F.bit_xor("vec_id").cast("long").alias("xor_vec_id"),
+        F.count_if(F.col("vec_id") % 10 == 3).cast("long").alias("_b3"),
+        F.count_if(F.col("vec_id") % 10 == 7).cast("long").alias("_b7"),
+    )
+    return (
+        centroids.join(agg, "centroid_id", "left")
+        .crossJoin(F.broadcast(delta_n))
+        .select(
+            "centroid_id",
+            F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs"),
+            "sum_vec_id",
+            "xor_vec_id",
+            F.coalesce(
+                F.col("_b3") + F.col("_b7"), F.lit(0).cast("long")
+            ).alias("n_from_batch"),
+            "delta_rows",
+        )
+    )
+
+
 @query(
     "q_tfidf",
     oracle="""

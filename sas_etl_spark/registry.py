@@ -54,16 +54,19 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 12 window. Composition (50 = 3 + 12 + 25 + 10):
+    # ROUND 12 window. Composition (50 = 4 + 12 + 25 + 9):
     # -- (a) NEW this round: the production-posture pretrain
     # composite (VERDICT r11 item 1: LSH edges at the >= 0.8
     # operating point, exact all-pairs oracle), snapshot time travel
     # as a first-class attested read (item 7), and the baseline-JPEG
     # decode lane (item 5 — huffman + dequant + IDCT + YCbCr,
-    # stdlib+numpy, block-exact fixture).
+    # stdlib+numpy, block-exact fixture), plus the merge-on-read +
+    # LSM-compaction attestation q_ivf_compact (closes the mor mode's
+    # unit-test-only status).
     "q_pretrain_pipeline_prod",
     "q_snapshot_time_travel",
     "q_jpeg_features",
+    "q_ivf_compact",
     # -- (b) code changed this round, re-attest: the v2-streaming
     # runtime fallback (ADVICE r11), exact-accumulator rewrites of
     # the bootstrap CI and the BM25 stats row + its two dependents
@@ -112,7 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_weighted_stats",
     "q_window_rank",
     # -- (d) regression sentinels, oldest-green-first: the r7 cohort,
-    # alphabetical (10 of 44; the rest rotate through r13+).
+    # alphabetical (9 of 44; the rest rotate through r13+).
     "q_activity_streaks",
     "q_anomaly_days",
     "q_argmax",
@@ -122,7 +125,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_chunk_dedup",
     "q_chunk_docs",
     "q_class_balance",
-    "q_cogroup_reconcile",
 )
 
 #: ROUND 12 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -133,8 +135,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: scratch/gen_operators_md.py` (as its own follow-up commit — the
 #: ledger records the attestation commit), and (4) a full-suite rerun
 #: on the settled tree. Queries registered this round so far:
-#: q_pretrain_pipeline_prod, q_snapshot_time_travel, q_jpeg_features
-#: (all windowed).
+#: q_pretrain_pipeline_prod, q_snapshot_time_travel, q_jpeg_features,
+#: q_ivf_compact (all windowed).
 #:
 #: ROUND 13 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r12
