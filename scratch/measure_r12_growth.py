@@ -30,6 +30,10 @@ def cold(name, sf_dir):
     return time.perf_counter() - t0
 
 
+cold("q_pretrain_pipeline_prod", "/root/testdata/sf0.001")  # JIT warmup
+t0 = time.perf_counter()
+spark.range(10).toPandas()
+print(f"floor_ms={1000 * (time.perf_counter() - t0):.1f}", flush=True)
 for sf_dir in ("/root/testdata/sf0.1", "/tmp/sf1.0", "/tmp/sf10"):
     dt = cold("q_pretrain_pipeline_prod", sf_dir)
     print(f"pretrain_prod {sf_dir} cold_s={dt:.2f}", flush=True)
