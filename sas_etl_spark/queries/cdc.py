@@ -350,6 +350,102 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_vacuum",
+    oracle=f"""
+    with {_TRANS_CTE},
+    v3 as (
+        select m.o_orderkey,
+               coalesce(t.t_status, m.o_orderstatus) as o_orderstatus,
+               coalesce(t.t_price, m.o_totalprice) as o_totalprice
+        from orders m left join trans t using (o_orderkey)
+    )
+    select o_orderstatus, cast(count(*) as bigint) as n,
+           round(sum(o_totalprice), 2) as total,
+           cast(3 as bigint) as current_version,
+           cast(2 as bigint) as versions_on_disk,
+           cast(1 as bigint) as removed_versions,
+           cast(1 as int) as oldest_unreadable
+    from v3 where o_orderstatus <> 'X'
+    group by o_orderstatus
+    """,
+    tags=("cdc", "io", "snapshot", "retention"),
+)
+def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION attested end-to-end (the lakehouse VACUUM /
+    expire_snapshots semantics the versioned store needs to be
+    operable — without it, copy-on-write history grows without
+    bound): publish v1 (master), v2 (upsert), v3 (purge of closed
+    'X' orders), vacuum with keep_last=2, and emit the re-read
+    CURRENT relation aggregated per status ALONGSIDE the retention
+    facts the filesystem reports — current version 3, exactly 2
+    version directories left on disk, exactly 1 removed, and v1
+    verified UNREADABLE (its time-travel pin now raises). A vacuum
+    that deleted the wrong version, broke the pointer, or left v1
+    readable flips the hash. Each invocation builds a fresh table dir
+    so version numbering — and therefore the attested constants — is
+    invocation-independent.
+
+    Scale: vacuum is a driver-side directory unlink of bounded count
+    (versions, not data rows); retained versions are untouched
+    complete file sets, so concurrent readers of retained pins are
+    unaffected — the same contract as Delta VACUUM / Iceberg
+    expire_snapshots, which this swaps for on a jar-bearing cluster
+    (MIGRATION.md)."""
+    import tempfile
+
+    from sas_etl_spark.scratch import scratch_dir
+    from sas_etl_spark.sources.snapshots import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = scratch_dir(spark, "snap_vac")
+    table = tempfile.mkdtemp(prefix="t_", dir=base) + "/orders_master"
+    m = _master(spark, sf_dir)
+    write_snapshot(m, table)  # v1
+    t = _transactions(spark, sf_dir)
+    updated = read_snapshot(spark, table).join(t, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("t_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("t_price", "o_totalprice").alias("o_totalprice"),
+    )
+    write_snapshot(updated, table)  # v2
+    purged = read_snapshot(spark, table).filter(F.col("o_orderstatus") != "X")
+    write_snapshot(purged, table)  # v3
+    removed = vacuum_snapshots(table, keep_last=2)
+    try:
+        read_snapshot(spark, table, version=1).schema
+        v1_unreadable = 0
+    except Exception:
+        v1_unreadable = 1
+    import os
+
+    n_on_disk = len(
+        [d for d in os.listdir(table) if d.startswith("v=")]
+    )
+    from sas_etl_spark.sources.snapshots import current_version
+
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            "total",
+            F.lit(current_version(table)).cast("long").alias("current_version"),
+            F.lit(n_on_disk).cast("long").alias("versions_on_disk"),
+            F.lit(len(removed)).cast("long").alias("removed_versions"),
+            F.lit(v1_unreadable).cast("int").alias("oldest_unreadable"),
+        )
+    )
+
+
+@query(
     "q_surrogate_key",
     oracle="""
     select l_orderkey, l_linenumber,

@@ -72,3 +72,29 @@ def read_snapshot(
     if version is None:
         version = current_version(table_dir)
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep_last`` published
+    versions (the pointer target is always retained, whatever it is —
+    a vacuum must never break the CURRENT read). Returns the removed
+    version numbers, oldest first. This is the snapshot store's
+    ``VACUUM`` / ``expire_snapshots``: old versions stop being
+    time-travelable, storage is reclaimed, and because every retained
+    version is still a complete immutable file set, concurrent
+    readers of retained versions are unaffected. Version numbers are
+    never reused (the next write still takes max+1), so a vacuumed
+    history cannot alias an old pin."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _versions(table_dir)
+    keep = set(versions[-keep_last:])
+    keep.add(current_version(table_dir))
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+            removed.append(v)
+    return removed

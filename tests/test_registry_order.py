@@ -56,7 +56,7 @@ RE_ATTESTS = {
     "q_knn_ivf_batch", "q_image_features",
 }
 #: The stalest-attestation rotation: the remaining 25 r6-cohort rows
-#: (after this round no attestation predates r7) plus the oldest 9
+#: (after this round no attestation predates r7) plus the oldest 8
 #: r7-cohort rows as fill, oldest-green-first.
 SENTINELS = {
     "q_ngram_contamination", "q_nodupkey", "q_pivot_api",
@@ -69,7 +69,6 @@ SENTINELS = {
     "q_unpivot", "q_weighted_stats", "q_window_rank",
     "q_activity_streaks", "q_anomaly_days", "q_argmax", "q_autocorr",
     "q_benford", "q_business_days", "q_chunk_dedup", "q_chunk_docs",
-    "q_class_balance",
 }
 
 
@@ -97,7 +96,7 @@ def test_round12_rotation_targets_inside_window() -> None:
     round's changed-code queries must all sit in slots 0-49."""
     must = {
         "q_pretrain_pipeline_prod", "q_snapshot_time_travel",
-        "q_jpeg_features", "q_ivf_compact",
+        "q_jpeg_features", "q_ivf_compact", "q_snapshot_vacuum",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"

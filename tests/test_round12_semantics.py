@@ -246,6 +246,38 @@ def test_decode_image_routes_jpeg():
         decode_image(b"RIFF0000WEBPVP8 ")
 
 
+def test_vacuum_retains_pointer_and_numbering_never_reuses(spark, tmp_path):
+    """vacuum_snapshots must (a) keep the newest keep_last versions and
+    ALWAYS the pointer target, (b) make removed versions unreadable
+    while retained pins still read, and (c) never let the next write
+    reuse a vacuumed version number."""
+    import pytest
+
+    from sas_etl_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    for k in (1, 2, 3):
+        write_snapshot(spark.range(k).toDF("v"), table)
+    removed = vacuum_snapshots(table, keep_last=2)
+    assert removed == [1]
+    assert current_version(table) == 3
+    assert read_snapshot(spark, table, version=2).count() == 2  # retained pin
+    with pytest.raises(Exception):
+        read_snapshot(spark, table, version=1).count()
+    # next write continues from max, not from a reused slot
+    v4 = write_snapshot(spark.range(4).toDF("v"), table)
+    assert v4 == 4
+    assert read_snapshot(spark, table).count() == 4
+    # keep_last=1 still keeps the pointer target
+    vacuum_snapshots(table, keep_last=1)
+    assert read_snapshot(spark, table).count() == 4
+
+
 def test_pre_metadata_index_defaults_to_vec_id(spark, tmp_path):
     """Indexes built before _index_meta.json existed (or whose meta
     file was lost) must keep working under the historical 'vec_id'
