@@ -355,6 +355,136 @@ def containment_filtered_pairs(
     )
 
 
+def band_signature_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    out_id: str = "_id",
+    repartition: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, band rows) for a corpus: ``shingles`` = (out_id,
+    _sh) for the exact-verify stage, ``bands`` = (out_id, _band, _h)
+    — the STORABLE LSH index rows (num_bands rows per doc, 24 bytes
+    each). One scan-side Project feeds both; ``repartition`` buys
+    cluster-wide parallelism for the 128-function signature fold when
+    the source collapses to few scan partitions (the near_dup_pairs
+    rationale)."""
+    if repartition:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par, F.col(id_col))
+    sh = df.select(
+        F.col(id_col).alias(out_id),
+        shingle_array(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    staged = sh.select(out_id, hashed_shingles(F.col("_sh")).alias("_hs"))
+    bands = staged.select(
+        out_id,
+        F.posexplode(
+            band_hashes(
+                minhash_signature(F.col("_hs"), num_hashes),
+                num_bands,
+                num_hashes,
+            )
+        ).alias("_band", "_h"),
+    )
+    return sh, bands
+
+
+def build_neardup_index(
+    master: DataFrame,
+    table_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> int:
+    """Persist the master corpus's MinHash-LSH band rows as a
+    versioned snapshot table (``{table_dir}/bands``) — the build-once
+    half of the near-dup SERVING regime (the same regime split
+    build_ivf_index made for ANN): signatures are the compute-bound
+    stage (128 interpreted hash folds per doc), and a production
+    master is re-queried every ingest, so computing them per query —
+    what near_dup_pairs_between does scan-side — pays the corpus-wide
+    signature cost on every batch. The persisted table is (id, band,
+    h): num_bands rows x 24 bytes per doc, independent of document
+    length, hash-partitionable by (band, h) for the candidate join.
+    Maintenance is append-only (a new batch's band rows union in —
+    signatures never change for immutable docs) with the same
+    snapshot versioning/time-travel as every other artifact."""
+    from sas_etl_spark.sources.snapshots import write_snapshot
+
+    _, bands = band_signature_rows(
+        master, id_col, text_col, shingle_n, num_hashes, num_bands,
+        out_id=id_col,
+    )
+    return write_snapshot(bands, f"{table_dir}/bands")
+
+
+def neardup_query_index(
+    spark,
+    table_dir: str,
+    batch: DataFrame,
+    master: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Query a new batch against the PERSISTED band index: batch band
+    rows compute scan-side (bounded — one ingest snapshot) and
+    broadcast through the size gate against the index relation; the
+    master corpus is touched ONLY to re-join shingles for candidate
+    ids (a semi-joined point read), never to recompute signatures —
+    the serve-many half of build_neardup_index's regime. Returns
+    (batch_id, master_id, jaccard >= threshold) with exact-Jaccard
+    verification, identical semantics to near_dup_pairs_between
+    (recall ~1 - 5e-8 at j >= 0.8 under 32x4 banding)."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    bands_m = read_snapshot(spark, f"{table_dir}/bands").select(
+        F.col(id_col).alias("master_id"), "_band", "_h"
+    )
+    sh_b, bands_b = band_signature_rows(
+        batch, id_col, text_col, shingle_n, num_hashes, num_bands,
+        out_id="batch_id",
+    )
+    candidates = (
+        bands_m.join(broadcast_if_small(bands_b), ["_band", "_h"])
+        .select("batch_id", "master_id")
+        .distinct()
+    )
+    sh_m = master.join(
+        candidates.select(F.col("master_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("master_id"),
+        shingle_array(F.col(text_col), shingle_n).alias("_sh_m"),
+    )
+    return (
+        candidates.join(
+            sh_b.select(F.col("batch_id"), F.col("_sh").alias("_sh_b")),
+            "batch_id",
+        )
+        .join(sh_m, "master_id")
+        .select(
+            "batch_id",
+            "master_id",
+            F.round(jaccard(F.col("_sh_b"), F.col("_sh_m")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def near_dup_pairs_between(
     batch: DataFrame,
     master: DataFrame,

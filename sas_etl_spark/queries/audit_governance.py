@@ -572,9 +572,11 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- incremental NEAR-dup vs historical master -------------------------
 
 
-@query(
-    "q_incremental_neardup",
-    oracle="""
+#: Brute-force batch x master ground truth at threshold 0.8 — shared
+#: verbatim by the scan-side form (q_incremental_neardup) and the
+#: persisted-index serving form (q_neardup_index_serve): both must
+#: compute the SAME relation, from different plans.
+_INC_NEARDUP_ORACLE = """
     with batch as (
         select doc_id, text from documents where doc_id % 3 = 0
     ),
@@ -606,7 +608,27 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shb b, shm m
     where round(len(list_intersect(b.s, m.s)) * 1.0
                 / len(list_distinct(list_concat(b.s, m.s))), 6) >= 0.8
-    """,
+    """
+
+
+def _neardup_fixture(spark: SparkSession, sf_dir: str):
+    """(batch, master) for the incremental near-dup fixture: batch =
+    doc_id % 3 == 0; master = the rest PLUS planted one-token-appended
+    variants of every 15th doc (Jaccard s/(s+1) >= 0.8 for s >= 4
+    distinct shingles, engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    planted = batch.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    master = docs.filter(F.col("doc_id") % 3 != 0).unionByName(planted)
+    return batch, master
+
+
+@query(
+    "q_incremental_neardup",
+    oracle=_INC_NEARDUP_ORACLE,
     tags=("dedup", "llm", "governance", "scale"),
 )
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,14 +657,61 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is ~1 - 5e-8 (the attested q_near_dup_minhash math)."""
     from sas_etl_spark.operators.minhash import near_dup_pairs_between
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = docs.filter(F.col("doc_id") % 3 == 0)
-    planted = batch.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat("text", F.lit(" zzz")).alias("text"),
-    )
-    master = docs.filter(F.col("doc_id") % 3 != 0).unionByName(planted)
+    batch, master = _neardup_fixture(spark, sf_dir)
     return near_dup_pairs_between(batch, master, threshold=0.8)
+
+
+#: (applicationId, sf_dir) -> table_dir of the persisted near-dup
+#: band-signature index (built once per session per corpus).
+_NEARDUP_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "q_neardup_index_serve",
+    oracle=_INC_NEARDUP_ORACLE,
+    tags=("dedup", "llm", "governance", "scale", "index"),
+)
+def q_neardup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup SERVING from a PERSISTED signature index — the
+    build-once/serve-many regime split applied to MinHash-LSH, the
+    same move q_ivf_build/q_ivf_serve made for ANN: the master
+    corpus's band rows (operators/minhash.build_neardup_index — 32
+    rows x 24 bytes per doc, document-length-independent) publish
+    once as a versioned snapshot table, and every ingest batch
+    queries THE ARTIFACT (neardup_query_index): batch band rows
+    compute scan-side and broadcast through the size gate, candidates
+    come from the index join, and the master corpus is touched only
+    to re-join shingles for candidate ids (a semi-joined point read).
+    q_incremental_neardup is the scan-side twin that recomputes
+    master signatures per batch — the right shape for a one-off, and
+    exactly the per-ingest cost this index amortizes away: at 100 TB
+    the master signature pass IS the dedup bill, and it is paid once
+    here instead of per crawl (FineWeb/CCNet re-dedup every snapshot
+    against everything kept).
+
+    Same fixture and the SAME oracle relation as
+    q_incremental_neardup (shared SQL constant): a green hash proves
+    the artifact-served pairs equal the brute-force ground truth —
+    a stale index, a wrong band row, or a broken candidate join flips
+    it."""
+    import os
+
+    from sas_etl_spark.operators.minhash import (
+        build_neardup_index,
+        neardup_query_index,
+    )
+    from sas_etl_spark.scratch import scratch_dir
+
+    batch, master = _neardup_fixture(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table_dir = _NEARDUP_INDEX_DIRS.get(key)
+    if table_dir is None or not os.path.isdir(os.path.join(table_dir, "bands")):
+        table_dir = scratch_dir(spark, "neardup_index")
+        build_neardup_index(master, table_dir)
+        _NEARDUP_INDEX_DIRS[key] = table_dir
+    return neardup_query_index(
+        spark, table_dir, batch, master, threshold=0.8
+    ).select("batch_id", "master_id", "jaccard")
 
 
 # -- two-sample Kolmogorov-Smirnov drift --------------------------------

@@ -54,7 +54,7 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 12 window. Composition (50 = 5 + 12 + 25 + 8):
+    # ROUND 12 window. Composition (50 = 6 + 12 + 25 + 7):
     # -- (a) NEW this round: the production-posture pretrain
     # composite (VERDICT r11 item 1: LSH edges at the >= 0.8
     # operating point, exact all-pairs oracle), snapshot time travel
@@ -63,12 +63,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stdlib+numpy, block-exact fixture), plus the merge-on-read +
     # LSM-compaction attestation q_ivf_compact (closes the mor mode's
     # unit-test-only status) and snapshot retention q_snapshot_vacuum
-    # (the lakehouse VACUUM semantics; v1 attested unreadable).
+    # (the lakehouse VACUUM semantics; v1 attested unreadable), and
+    # the persisted near-dup signature index q_neardup_index_serve
+    # (build-once/serve-many for MinHash-LSH, the q_ivf_serve regime).
     "q_pretrain_pipeline_prod",
     "q_snapshot_time_travel",
     "q_jpeg_features",
     "q_ivf_compact",
     "q_snapshot_vacuum",
+    "q_neardup_index_serve",
     # -- (b) code changed this round, re-attest: the v2-streaming
     # runtime fallback (ADVICE r11), exact-accumulator rewrites of
     # the bootstrap CI and the BM25 stats row + its two dependents
@@ -117,7 +120,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_weighted_stats",
     "q_window_rank",
     # -- (d) regression sentinels, oldest-green-first: the r7 cohort,
-    # alphabetical (8 of 44; the rest rotate through r13+).
+    # alphabetical (7 of 44; the rest rotate through r13+).
     "q_activity_streaks",
     "q_anomaly_days",
     "q_argmax",
@@ -125,7 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_benford",
     "q_business_days",
     "q_chunk_dedup",
-    "q_chunk_docs",
 )
 
 #: ROUND 12 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -137,7 +139,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: ledger records the attestation commit), and (4) a full-suite rerun
 #: on the settled tree. Queries registered this round so far:
 #: q_pretrain_pipeline_prod, q_snapshot_time_travel, q_jpeg_features,
-#: q_ivf_compact, q_snapshot_vacuum (all windowed).
+#: q_ivf_compact, q_snapshot_vacuum, q_neardup_index_serve (all
+#: windowed).
 #:
 #: ROUND 13 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r12

@@ -56,7 +56,7 @@ RE_ATTESTS = {
     "q_knn_ivf_batch", "q_image_features",
 }
 #: The stalest-attestation rotation: the remaining 25 r6-cohort rows
-#: (after this round no attestation predates r7) plus the oldest 8
+#: (after this round no attestation predates r7) plus the oldest 7
 #: r7-cohort rows as fill, oldest-green-first.
 SENTINELS = {
     "q_ngram_contamination", "q_nodupkey", "q_pivot_api",
@@ -68,7 +68,7 @@ SENTINELS = {
     "q_unigram_logprob", "q_union_distinct", "q_univariate_moments",
     "q_unpivot", "q_weighted_stats", "q_window_rank",
     "q_activity_streaks", "q_anomaly_days", "q_argmax", "q_autocorr",
-    "q_benford", "q_business_days", "q_chunk_dedup", "q_chunk_docs",
+    "q_benford", "q_business_days", "q_chunk_dedup",
 }
 
 
@@ -97,6 +97,7 @@ def test_round12_rotation_targets_inside_window() -> None:
     must = {
         "q_pretrain_pipeline_prod", "q_snapshot_time_travel",
         "q_jpeg_features", "q_ivf_compact", "q_snapshot_vacuum",
+        "q_neardup_index_serve",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
