@@ -424,6 +424,40 @@ def build_neardup_index(
     return write_snapshot(bands, f"{table_dir}/bands")
 
 
+def append_neardup_index(
+    new_docs: DataFrame,
+    table_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> int:
+    """Fold a new (already-accepted) batch into the persisted band
+    index: compute ONLY the batch's band rows and publish base ∪ batch
+    as the next immutable snapshot version — the ingest-cadence
+    maintenance the build docstring promises. Signatures of immutable
+    docs never change, so this is pure append (keep-newest on id for
+    re-ingested docs, mirroring ivf_upsert's upsert rule); cost is
+    O(|batch| x num_bands) compute + one table rewrite (the COW
+    publish — at 100 TB, partition the bands table by band and
+    rewrite only touched partitions, or adopt the lists_delta
+    merge-on-read pattern from operators/ann.py unchanged)."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    spark = new_docs.sparkSession
+    base = read_snapshot(spark, f"{table_dir}/bands")
+    _, bands = band_signature_rows(
+        new_docs, id_col, text_col, shingle_n, num_hashes, num_bands,
+        out_id=id_col,
+    )
+    survivors = base.join(
+        broadcast_if_small(bands.select(id_col).distinct()), id_col, "left_anti"
+    )
+    return write_snapshot(survivors.unionByName(bands), f"{table_dir}/bands")
+
+
 def neardup_query_index(
     spark,
     table_dir: str,

@@ -278,6 +278,63 @@ def test_vacuum_retains_pointer_and_numbering_never_reuses(spark, tmp_path):
     assert read_snapshot(spark, table).count() == 4
 
 
+def test_neardup_index_serve_equals_scan_side_and_appends(spark, tmp_path):
+    """The persisted-index near-dup serve must return EXACTLY the
+    scan-side relation (same candidates, same verified pairs), and
+    append_neardup_index must fold a new batch in keep-newest so a
+    later query sees it — the ingest-cadence maintenance contract."""
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.minhash import (
+        append_neardup_index,
+        build_neardup_index,
+        near_dup_pairs_between,
+        neardup_query_index,
+    )
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    planted = batch.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    master = docs.filter(F.col("doc_id") % 3 != 0)
+    d = str(tmp_path / "nd_idx")
+    build_ver = build_neardup_index(master, d)
+    assert build_ver == 1
+
+    def pairs(df):
+        return {
+            (r.batch_id, r.master_id, r.jaccard) for r in df.collect()
+        }
+
+    served = pairs(neardup_query_index(spark, d, batch, master, 0.8))
+    scan = pairs(
+        near_dup_pairs_between(batch, master, threshold=0.8).select(
+            "batch_id", "master_id", "jaccard"
+        )
+    )
+    assert served == scan
+    # append the planted near-dups; a later batch query must now find
+    # them from the UPDATED artifact
+    n_master_rows = read_snapshot(spark, f"{d}/bands").count()
+    assert append_neardup_index(planted, d) == 2
+    grown = read_snapshot(spark, f"{d}/bands")
+    assert grown.count() == n_master_rows + planted.count() * 32
+    master2 = master.unionByName(planted)
+    served2 = pairs(neardup_query_index(spark, d, batch, master2, 0.8))
+    scan2 = pairs(
+        near_dup_pairs_between(batch, master2, threshold=0.8).select(
+            "batch_id", "master_id", "jaccard"
+        )
+    )
+    assert served2 == scan2 and len(served2) > len(served)
+    # re-appending the same docs must not grow the index (keep-newest)
+    append_neardup_index(planted, d)
+    assert read_snapshot(spark, f"{d}/bands").count() == grown.count()
+
+
 def test_pre_metadata_index_defaults_to_vec_id(spark, tmp_path):
     """Indexes built before _index_meta.json existed (or whose meta
     file was lost) must keep working under the historical 'vec_id'
