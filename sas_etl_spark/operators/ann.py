@@ -729,14 +729,290 @@ def raw_finalize_lists(
     return lists.withColumn("vec_norm", l2_norm(vec_col))
 
 
-def sq8_decode(vec_col: str = "embedding") -> "F.Column":
+def sq8_decode() -> "F.Column":
     """The stored-codes -> double-vector reconstruction expression
-    (code * scale, exact per element); attached lazily by
-    read_ivf_index so every serving plan sees a vector column named
-    ``vec_col`` regardless of storage layout."""
+    (code * scale, exact per element). It always reads the storage
+    columns ``vec_code``/``vec_scale``; the OUTPUT column name is the
+    caller's withColumn target (read_ivf_index attaches it lazily
+    under the metadata's vec_col so every serving plan sees the same
+    vector column regardless of storage layout)."""
     return F.transform(
         "vec_code", lambda c: c.cast("double") * F.col("vec_scale")
     )
+
+
+# -- product quantization (FAISS IVF-PQ family) -------------------------
+
+#: PQ defaults: m subspaces x k codewords over 64-dim embeddings ->
+#: 8 stored code bytes per vector (vs 64 for SQ8, 512 for raw doubles).
+PQ_M = 8
+PQ_K = 256
+PQ_ITERS = 1
+PQ_DIST_DP = 4  # rounded squared-L2 for assignment determinism
+PQ_MEAN_DP = 6  # Lloyd mean element rounding (dp)
+
+
+def _pq_subvectors(vecs: DataFrame, m: int, dsub: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, subspace, subvec array<double>) — each vector split into m
+    contiguous dsub-dim slices, the PQ decomposition. One inline
+    projection, no shuffle."""
+    return vecs.select(
+        F.col(id_col),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.transform(
+                            F.slice(vec_col, s * dsub + 1, dsub),
+                            lambda x: x.cast("double"),
+                        ).alias("subvec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ),
+    )
+
+
+def collect_pq_codebooks(codebooks: DataFrame) -> dict:
+    """Materialize the (subspace, code_id, codeword) relation as
+    {subspace: ndarray[k, dsub]} with row index == code_id — BOUNDED
+    by construction (m x k rows, e.g. 8 x 256 x 8 doubles = 128 KB),
+    the same prepared-statement pattern as the probe-grid collect."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(r["subspace"], []).append((r["code_id"], r["codeword"]))
+    out = {}
+    for s, items in by_s.items():
+        items.sort()
+        assert [c for c, _ in items] == list(range(len(items)))
+        out[s] = np.asarray([w for _, w in items], dtype=np.float64)
+    return out
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebook_arrays: dict,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round_dp: int = PQ_DIST_DP,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each vector to its m PQ codes + reconstructed norm in ONE
+    Arrow-batched numpy pass (mapInPandas): per subspace, code =
+    argmin over the rounded squared-L2 distance to the k codewords
+    (np.argmin's first-index IS the lower-code_id tiebreak because
+    codebook rows are code_id-ordered), and ``vec_norm`` =
+    ||concat(codeword[code_s])|| — the norm of the RECONSTRUCTION, so
+    serving arithmetic is a pure function of the stored codes (the
+    SQ8 norm trick). The codebooks ride the closure (m x k x dsub
+    doubles — 128 KB at the defaults); candidate distances never ship
+    anywhere. Rounded-distance determinism: the per-element
+    (x - c)^2 left-sum over dsub <= 8 elements is evaluated in index
+    order by numpy and by DuckDB's list fold alike, so the oracle
+    replays the argmin exactly (ties at the round boundary broken by
+    code_id on both sides).
+
+    Output: (id, *extra_cols, pq_code array<smallint>, vec_norm) —
+    no shuffle, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vecs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {s: np.ascontiguousarray(a) for s, a in codebook_arrays.items()}
+    )
+    in_cols = [id_col, *extra_cols, vec_col]
+    shipped = vecs.select(*in_cols)
+    extra_schema = "".join(
+        f", {c} {t}"
+        for c, t in zip(
+            extra_cols,
+            [dict(vecs.dtypes)[c] for c in extra_cols],
+        )
+    )
+    out_schema = (
+        f"{id_col} long{extra_schema}, pq_code array<smallint>, "
+        "vec_norm double"
+    )
+
+    def encode(batches):
+        cbs = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((n, m), dtype=np.int16)
+            rec = np.empty_like(X)
+            # chunk rows so the (chunk, k, dsub) distance tensor stays
+            # ~32 MB at the defaults regardless of Arrow batch size
+            step = 2048
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                for s in range(m):
+                    C = cbs[s]
+                    Xs = X[lo:hi, s * dsub : (s + 1) * dsub]
+                    d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                    cs = np.argmin(np.round(d, dist_round_dp), axis=1)
+                    codes[lo:hi, s] = cs
+                    rec[lo:hi, s * dsub : (s + 1) * dsub] = C[cs]
+            norms = np.sqrt((rec * rec).sum(axis=1))
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            out["pq_code"] = list(codes)
+            out["vec_norm"] = norms
+            yield pd.DataFrame(out)
+
+    return shipped.mapInPandas(encode, out_schema)
+
+
+def pq_train_codebooks(
+    train: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = PQ_ITERS,
+    dist_round_dp: int = PQ_DIST_DP,
+    mean_round_dp: int = PQ_MEAN_DP,
+) -> DataFrame:
+    """Train the m per-subspace codebooks (k-means over SUBVECTORS,
+    squared-L2 — PQ quantizes residual magnitude, so cosine is the
+    wrong metric here) with the repo's deterministic k-means recipe:
+    seeds = the k lowest train ids' subvectors (code_id = id rank),
+    each Lloyd iteration = rounded-distance argmin assignment (lower
+    code_id tiebreak, run in the numpy encode kernel) + per-position
+    means rounded at ``mean_round_dp`` (empty cells keep their
+    previous codeword) — so the published codebooks are a
+    deterministic function of the training set that an external
+    engine recomputes row-for-row (q_ivf_pq_build's oracle unrolls
+    these CTEs, the q_pagerank pattern). Assignment FLOPs run
+    vectorized (numpy over Arrow batches); the bounded means
+    (m x k x dsub cells) aggregate relationally.
+
+    Returns (subspace, code_id, codeword array<double>)."""
+    from pyspark.sql import Window
+
+    dsub = dim // m
+    sub = _pq_subvectors(train, m, dsub, id_col, vec_col)
+    rank = Window.partitionBy("subspace").orderBy(F.col(id_col).asc())
+    codebooks = (
+        sub.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "subspace",
+            (F.col("_rn") - 1).cast("int").alias("code_id"),
+            F.col("subvec").alias("codeword"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        arrays = collect_pq_codebooks(codebooks)
+        assigned = pq_encode(
+            train, arrays, m, dsub, id_col, vec_col, dist_round_dp
+        ).select(
+            id_col, F.posexplode("pq_code").alias("subspace", "code_id")
+        )
+        means = (
+            assigned.join(sub, [id_col, "subspace"])
+            .select(
+                "subspace",
+                "code_id",
+                F.posexplode("subvec").alias("pos", "val"),
+            )
+            .groupBy("subspace", "code_id", "pos")
+            .agg(F.round(F.avg("val"), mean_round_dp).alias("mv"))
+            .groupBy("subspace", "code_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda st: st["mv"],
+                ).alias("codeword")
+            )
+        )
+        codebooks = (
+            codebooks.alias("p")
+            .join(
+                means.alias("n"),
+                ["subspace", "code_id"],
+                "left",
+            )
+            .select(
+                "subspace",
+                "code_id",
+                F.coalesce(F.col("n.codeword"), F.col("p.codeword")).alias(
+                    "codeword"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return codebooks
+
+
+def pq_finalize_lists(
+    lists: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round_dp: int = PQ_DIST_DP,
+) -> DataFrame:
+    """Convert raw inverted-list rows (id, centroid_id, vec) to the
+    product-quantized storage schema: m smallint codes per vector
+    (8 code bytes at the defaults — 1/8 of SQ8, 1/64 of raw doubles)
+    plus the reconstructed-vector norm. Membership (centroid_id) is
+    untouched: quantization happens after the IVF argmax, so the
+    assignment map — and q_ivf_build's oracle — is layout-independent,
+    exactly like SQ8."""
+    dsub = dim // m
+    return pq_encode(
+        lists,
+        collect_pq_codebooks(codebooks),
+        m,
+        dsub,
+        id_col,
+        vec_col,
+        dist_round_dp,
+        extra_cols=("centroid_id",),
+    )
+
+
+def pq_decode_lists(
+    lists: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the PQ reconstruction as ``vec_col`` relationally: one
+    BROADCAST join per subspace against the k-row codebook slice (no
+    shuffle, no Python) and an array concat — the JVM-view twin of the
+    kernel's numpy gather, used by read_ivf_index so every consumer
+    sees a vector column regardless of storage layout."""
+    out = lists
+    for s in range(m):
+        cb_s = codebooks.filter(F.col("subspace") == s).select(
+            F.col("code_id").alias(f"_c{s}"),
+            F.col("codeword").alias(f"_w{s}"),
+        )
+        out = out.join(
+            F.broadcast(cb_s),
+            F.element_at("pq_code", s + 1).cast("int") == F.col(f"_c{s}"),
+        )
+    vec = F.concat(*[F.col(f"_w{s}") for s in range(m)])
+    out = out.withColumn(vec_col, vec)
+    return out.drop(*[f"_c{s}" for s in range(m)], *[f"_w{s}" for s in range(m)])
 
 
 def build_ivf_index(
@@ -813,7 +1089,7 @@ def build_ivf_index(
     oracles replay exactly and the recall-vs-exact pin bounds."""
     from sas_etl_spark.sources.snapshots import write_snapshot
 
-    if quantize not in (None, "int8"):
+    if quantize not in (None, "int8", "pq8"):
         raise ValueError(f"unknown quantize mode: {quantize!r}")
 
     embd = emb.select(
@@ -844,17 +1120,31 @@ def build_ivf_index(
     # scans of lineage) before both consumers below
     centroids = centroids.localCheckpoint(eager=True)
     lists = ivf_lists(embd, centroids, id_col, vec_col, dim, sim_round_dp)
+    meta = {"id_col": id_col, "vec_col": vec_col, "quantize": quantize}
+    out: dict[str, int] = {}
     if quantize == "int8":
         lists = sq8_finalize_lists(lists, vec_col)
+    elif quantize == "pq8":
+        # PQ codebooks train on the SAME deterministic sample as the
+        # coarse k-means (the FAISS recipe: both quantizers from one
+        # training set); codes encode the FULL corpus.
+        pq_dim = dim if dim is not None else 64
+        codebooks = pq_train_codebooks(
+            train, PQ_M, PQ_K, id_col, vec_col, pq_dim,
+            iters=PQ_ITERS, dist_round_dp=PQ_DIST_DP,
+            mean_round_dp=PQ_MEAN_DP,
+        ).localCheckpoint(eager=True)
+        lists = pq_finalize_lists(
+            lists, codebooks, PQ_M, pq_dim, id_col, vec_col, PQ_DIST_DP
+        )
+        out["codebooks"] = write_snapshot(codebooks, f"{table_dir}/codebooks")
+        meta.update({"pq_m": PQ_M, "pq_k": PQ_K, "pq_dim": pq_dim})
     else:
         lists = raw_finalize_lists(lists, vec_col)
-    cv = write_snapshot(centroids, f"{table_dir}/centroids")
-    lv = write_snapshot(lists, f"{table_dir}/lists")
-    _write_index_meta(
-        table_dir,
-        {"id_col": id_col, "vec_col": vec_col, "quantize": quantize},
-    )
-    return {"centroids": cv, "lists": lv}
+    out["centroids"] = write_snapshot(centroids, f"{table_dir}/centroids")
+    out["lists"] = write_snapshot(lists, f"{table_dir}/lists")
+    _write_index_meta(table_dir, meta)
+    return out
 
 
 def _write_index_meta(table_dir: str, meta: dict) -> None:
@@ -874,7 +1164,11 @@ def _write_index_meta(table_dir: str, meta: dict) -> None:
 def _read_index_meta(table_dir: str) -> dict:
     """The persisted ``_index_meta.json``, or the historical defaults
     for pre-metadata indexes (all built with 'vec_id'/'embedding',
-    uncompressed)."""
+    uncompressed). Only a MISSING file falls back to defaults; a
+    present-but-unparseable file raises (ADVICE r12) — silently
+    defaulting on corruption would mis-key the delta merge or drop the
+    SQ8 decode and surface as an unrelated missing-column error far
+    from the damaged artifact."""
     import json
     import os
 
@@ -882,12 +1176,18 @@ def _read_index_meta(table_dir: str) -> dict:
     try:
         with open(meta_path) as f:
             meta = json.load(f)
-    except (OSError, ValueError):
+    except FileNotFoundError:
         meta = {}
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt index metadata {meta_path}: {e}"
+        ) from e
     return {
         "id_col": str(meta.get("id_col", "vec_id")),
         "vec_col": str(meta.get("vec_col", "embedding")),
         "quantize": meta.get("quantize"),
+        "pq_m": int(meta.get("pq_m", PQ_M)),
+        "pq_dim": int(meta.get("pq_dim", 64)),
     }
 
 
@@ -936,7 +1236,10 @@ def read_ivf_index(
             broadcast_if_small(delta.select(id_col)), id_col, "left_anti"
         ).unionByName(delta)
     if meta["quantize"] == "int8" and "vec_code" in lists.columns:
-        lists = lists.withColumn(meta["vec_col"], sq8_decode(meta["vec_col"]))
+        lists = lists.withColumn(meta["vec_col"], sq8_decode())
+    elif meta["quantize"] == "pq8" and "pq_code" in lists.columns:
+        codebooks = read_snapshot(spark, f"{table_dir}/codebooks")
+        lists = pq_decode_lists(lists, codebooks, meta["pq_m"], meta["vec_col"])
     return centroids, lists
 
 
@@ -1015,6 +1318,11 @@ def ivf_upsert(
     # exactly as the build did, so the merged table stays one layout
     if meta["quantize"] == "int8":
         assigned = sq8_finalize_lists(assigned, vec_col)
+    elif meta["quantize"] == "pq8":
+        codebooks = read_snapshot(spark, f"{table_dir}/codebooks")
+        assigned = pq_finalize_lists(
+            assigned, codebooks, meta["pq_m"], meta["pq_dim"], id_col, vec_col
+        )
     else:
         assigned = raw_finalize_lists(assigned, vec_col)
     if mode == "mor":

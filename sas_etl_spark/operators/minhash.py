@@ -393,6 +393,108 @@ def band_signature_rows(
     return sh, bands
 
 
+def _write_neardup_meta(table_dir: str, meta: dict) -> None:
+    """Atomically publish the index's signature parameters (the same
+    ``_index_meta.json`` idiom as build_ivf_index): an index queried
+    or appended with DIFFERENT shingle_n/num_hashes/num_bands than it
+    was built with computes incomparable band hashes and silently
+    drops candidate pairs — the exact failure class the IVF metadata
+    fixed for id/layout columns (ADVICE r12)."""
+    from sas_etl_spark.operators.ann import _write_index_meta
+
+    _write_index_meta(table_dir, meta)
+
+
+def _read_neardup_meta(table_dir: str) -> dict:
+    """The persisted ``_index_meta.json``, or the historical defaults
+    for pre-metadata indexes (all built with doc_id / 3-gram shingles
+    / 128 hashes / 32 bands). Missing file -> defaults; a
+    present-but-unparseable file raises (same contract as the IVF
+    reader — a corrupt artifact must fail at the root cause)."""
+    import json
+    import os
+
+    meta_path = os.path.join(table_dir, "_index_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        meta = {}
+    except ValueError as e:
+        raise ValueError(f"corrupt index metadata {meta_path}: {e}") from e
+    return {
+        "id_col": str(meta.get("id_col", "doc_id")),
+        "shingle_n": int(meta.get("shingle_n", 3)),
+        "num_hashes": int(meta.get("num_hashes", NUM_HASHES)),
+        "num_bands": int(meta.get("num_bands", NUM_BANDS)),
+    }
+
+
+def _resolve_neardup_params(
+    table_dir: str,
+    shingle_n: int | None,
+    num_hashes: int | None,
+    num_bands: int | None,
+) -> tuple[int, int, int]:
+    """Resolve signature parameters against the persisted metadata:
+    ``None`` (the default) takes the index's own value; an explicit
+    value must MATCH it — a mismatch raises instead of silently
+    computing band hashes the index can never join against."""
+    meta = _read_neardup_meta(table_dir)
+    resolved = []
+    for name, given in (
+        ("shingle_n", shingle_n),
+        ("num_hashes", num_hashes),
+        ("num_bands", num_bands),
+    ):
+        stored = meta[name]
+        if given is not None and int(given) != stored:
+            raise ValueError(
+                f"near-dup index at {table_dir} was built with "
+                f"{name}={stored}, got {name}={given}: mismatched "
+                "signature parameters produce disjoint band hashes "
+                "and silently drop every candidate pair"
+            )
+        resolved.append(stored)
+    return resolved[0], resolved[1], resolved[2]
+
+
+def _read_neardup_bands(spark, table_dir: str, id_col: str) -> DataFrame:
+    """The index's MERGED band relation: the current base snapshot
+    with re-ingested ids dropped (anti-join against the delta id set,
+    size-gated broadcast) and the merge-on-read delta unioned in —
+    the read half of append_neardup_index(mode="mor"), byte-for-byte
+    the read_ivf_index delta-merge shape. Serving plans see one bands
+    relation whether or not a compaction has run."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    bands = read_snapshot(spark, f"{table_dir}/bands")
+    delta = _read_bands_delta_if_any(spark, table_dir)
+    if delta is not None:
+        bands = bands.join(
+            broadcast_if_small(delta.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        ).unionByName(delta)
+    return bands
+
+
+def _read_bands_delta_if_any(spark, table_dir: str):
+    """The current bands_delta snapshot, or None when never published."""
+    import os
+
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    delta_dir = f"{table_dir}/bands_delta"
+    if not os.path.isdir(delta_dir):
+        return None
+    try:
+        return read_snapshot(spark, delta_dir)
+    except (FileNotFoundError, OSError):
+        return None
+
+
 def build_neardup_index(
     master: DataFrame,
     table_dir: str,
@@ -411,51 +513,134 @@ def build_neardup_index(
     what near_dup_pairs_between does scan-side — pays the corpus-wide
     signature cost on every batch. The persisted table is (id, band,
     h): num_bands rows x 24 bytes per doc, independent of document
-    length, hash-partitionable by (band, h) for the candidate join.
-    Maintenance is append-only (a new batch's band rows union in —
-    signatures never change for immutable docs) with the same
-    snapshot versioning/time-travel as every other artifact."""
+    length, laid out Hive-partitioned BY BAND (num_bands directories):
+    any band-selective read prunes (num_bands-1)/num_bands of the
+    artifact at plan time, and a compaction can rewrite
+    per-partition. Maintenance is append-only (a new batch's band
+    rows union in — signatures never change for immutable docs) with
+    the same snapshot versioning/time-travel as every other artifact;
+    the signature parameters persist in ``_index_meta.json`` so
+    queries and appends resolve them from the artifact instead of
+    trusting callers to repeat them (a mismatch computes incomparable
+    band hashes and silently drops every candidate pair)."""
     from sas_etl_spark.sources.snapshots import write_snapshot
 
     _, bands = band_signature_rows(
         master, id_col, text_col, shingle_n, num_hashes, num_bands,
         out_id=id_col,
     )
-    return write_snapshot(bands, f"{table_dir}/bands")
+    v = write_snapshot(bands, f"{table_dir}/bands", partition_by=("_band",))
+    _write_neardup_meta(
+        table_dir,
+        {
+            "id_col": id_col,
+            "shingle_n": shingle_n,
+            "num_hashes": num_hashes,
+            "num_bands": num_bands,
+        },
+    )
+    return v
 
 
 def append_neardup_index(
     new_docs: DataFrame,
     table_dir: str,
-    id_col: str = "doc_id",
+    id_col: str | None = None,
     text_col: str = "text",
-    shingle_n: int = 3,
-    num_hashes: int = NUM_HASHES,
-    num_bands: int = NUM_BANDS,
+    shingle_n: int | None = None,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+    mode: str = "cow",
 ) -> int:
     """Fold a new (already-accepted) batch into the persisted band
-    index: compute ONLY the batch's band rows and publish base ∪ batch
-    as the next immutable snapshot version — the ingest-cadence
+    index: compute ONLY the batch's band rows — the ingest-cadence
     maintenance the build docstring promises. Signatures of immutable
-    docs never change, so this is pure append (keep-newest on id for
-    re-ingested docs, mirroring ivf_upsert's upsert rule); cost is
-    O(|batch| x num_bands) compute + one table rewrite (the COW
-    publish — at 100 TB, partition the bands table by band and
-    rewrite only touched partitions, or adopt the lists_delta
-    merge-on-read pattern from operators/ann.py unchanged)."""
+    docs never change, so this is pure append with keep-newest on id
+    for re-ingested docs (ivf_upsert's upsert rule). Signature
+    parameters resolve from the index's own ``_index_meta.json``
+    (explicit mismatches raise — see _resolve_neardup_params).
+
+    ``mode`` picks the publish strategy — VALUE-identical at read
+    time, different write cost (pinned equal by
+    tests/test_round13_semantics.py), the same two modes as
+    ivf_upsert:
+
+    - ``"mor"`` (merge-on-read — the 100 TB ingest shape):
+      publish the batch's band rows into a SIDE DELTA table
+      (bands_delta) and leave the base untouched — write cost
+      O(accumulated deltas), i.e. O(batch) until compaction, the LSM
+      L0 pattern. _read_neardup_bands merges on read (base anti-join
+      delta ids, union delta; size-gated broadcast). Call
+      neardup_compact when the delta grows past read-amplification
+      comfort. At a 1000:1 master/batch ratio this removes the
+      O(index) rewrite that made COW the per-ingest bill.
+    - ``"cow"`` (copy-on-write, default): rewrite base ∪ batch as the
+      next immutable version (band-partitioned). Right while the
+      index is small or refreshes are rare; the only mode whose
+      artifact is a single self-contained table version."""
     from sas_etl_spark.operators.broadcast import broadcast_if_small
     from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
 
     spark = new_docs.sparkSession
-    base = read_snapshot(spark, f"{table_dir}/bands")
+    meta = _read_neardup_meta(table_dir)
+    id_col = id_col if id_col is not None else meta["id_col"]
+    shingle_n, num_hashes, num_bands = _resolve_neardup_params(
+        table_dir, shingle_n, num_hashes, num_bands
+    )
     _, bands = band_signature_rows(
         new_docs, id_col, text_col, shingle_n, num_hashes, num_bands,
         out_id=id_col,
     )
+    if mode == "mor":
+        prior = _read_bands_delta_if_any(spark, table_dir)
+        if prior is not None:
+            # keep-newest within the delta itself: this batch replaces
+            # any delta rows it re-ingests
+            prior = prior.join(
+                broadcast_if_small(bands.select(id_col).distinct()),
+                id_col,
+                "left_anti",
+            )
+            bands = prior.unionByName(bands)
+        return write_snapshot(bands, f"{table_dir}/bands_delta")
+    if mode != "cow":
+        raise ValueError(f"unknown append_neardup_index mode: {mode!r}")
+    base = read_snapshot(spark, f"{table_dir}/bands")
     survivors = base.join(
         broadcast_if_small(bands.select(id_col).distinct()), id_col, "left_anti"
     )
-    return write_snapshot(survivors.unionByName(bands), f"{table_dir}/bands")
+    return write_snapshot(
+        survivors.unionByName(bands),
+        f"{table_dir}/bands",
+        partition_by=("_band",),
+    )
+
+
+def neardup_compact(spark, table_dir: str) -> int:
+    """Fold the accumulated merge-on-read bands delta into the base:
+    publish base-anti-join-delta ∪ delta as the bands table's next
+    band-partitioned version, then publish an EMPTY delta (same
+    schema) so readers atomically switch to the compacted base — the
+    one O(index) write the MOR mode defers, byte-for-byte ivf_compact
+    over the bands schema. Delta-id broadcast size-gated: by
+    compaction time the delta is at its LARGEST, exactly when an
+    unconditional broadcast is most dangerous."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+    from sas_etl_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    id_col = _read_neardup_meta(table_dir)["id_col"]
+    delta = _read_bands_delta_if_any(spark, table_dir)
+    if delta is None:
+        raise ValueError(f"no bands_delta published under {table_dir}")
+    base = read_snapshot(spark, f"{table_dir}/bands")
+    merged = base.join(
+        broadcast_if_small(delta.select(id_col).distinct()),
+        id_col,
+        "left_anti",
+    ).unionByName(delta)
+    v = write_snapshot(merged, f"{table_dir}/bands", partition_by=("_band",))
+    write_snapshot(delta.limit(0), f"{table_dir}/bands_delta")
+    return v
 
 
 def neardup_query_index(
@@ -464,11 +649,11 @@ def neardup_query_index(
     batch: DataFrame,
     master: DataFrame,
     threshold: float = 0.8,
-    id_col: str = "doc_id",
+    id_col: str | None = None,
     text_col: str = "text",
-    shingle_n: int = 3,
-    num_hashes: int = NUM_HASHES,
-    num_bands: int = NUM_BANDS,
+    shingle_n: int | None = None,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
 ) -> DataFrame:
     """Query a new batch against the PERSISTED band index: batch band
     rows compute scan-side (bounded — one ingest snapshot) and
@@ -478,12 +663,22 @@ def neardup_query_index(
     the serve-many half of build_neardup_index's regime. Returns
     (batch_id, master_id, jaccard >= threshold) with exact-Jaccard
     verification, identical semantics to near_dup_pairs_between
-    (recall ~1 - 5e-8 at j >= 0.8 under 32x4 banding)."""
-    from sas_etl_spark.operators.broadcast import broadcast_if_small
-    from sas_etl_spark.sources.snapshots import read_snapshot
+    (recall ~1 - 5e-8 at j >= 0.8 under 32x4 banding).
 
-    bands_m = read_snapshot(spark, f"{table_dir}/bands").select(
-        F.col(id_col).alias("master_id"), "_band", "_h"
+    Signature parameters resolve from the index's persisted
+    ``_index_meta.json`` (explicit mismatches raise), and the bands
+    relation is the MERGED view — base plus any uncompacted
+    merge-on-read delta (_read_neardup_bands) — so serving is correct
+    mid-ingest, before a neardup_compact has folded the delta in."""
+    from sas_etl_spark.operators.broadcast import broadcast_if_small
+
+    meta = _read_neardup_meta(table_dir)
+    id_col = id_col if id_col is not None else meta["id_col"]
+    shingle_n, num_hashes, num_bands = _resolve_neardup_params(
+        table_dir, shingle_n, num_hashes, num_bands
+    )
+    bands_m = _read_neardup_bands(spark, table_dir, meta["id_col"]).select(
+        F.col(meta["id_col"]).alias("master_id"), "_band", "_h"
     )
     sh_b, bands_b = band_signature_rows(
         batch, id_col, text_col, shingle_n, num_hashes, num_bands,

@@ -714,6 +714,69 @@ def q_neardup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("batch_id", "master_id", "jaccard")
 
 
+#: (applicationId, sf_dir) -> table_dir of the MOR-maintained near-dup
+#: index fixture (base build + one uncompacted merge-on-read append).
+_NEARDUP_MOR_DIRS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "q_neardup_mor_serve",
+    oracle=_INC_NEARDUP_ORACLE,
+    tags=("dedup", "llm", "governance", "scale", "index"),
+)
+def q_neardup_mor_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup serving over an UNCOMPACTED merge-on-read delta — the
+    ingest-cadence maintenance shape for the persisted signature
+    index (VERDICT r12 item 1): the index is built on only HALF the
+    master corpus, the other half lands via
+    append_neardup_index(mode="mor") — an O(batch) bands_delta
+    publish, the base table untouched (the LSM L0 pattern ivf_upsert
+    established; the COW twin rewrites the whole bands table per
+    ingest, O(index) — at a 1000:1 master/batch ratio that rewrite IS
+    the maintenance bill). Serving reads the MERGED view (base
+    anti-join delta ids ∪ delta, size-gated broadcast) and the
+    function REFUSES to answer if the delta is empty, so a green row
+    proves the delta path actually served.
+
+    Same fixture and the SAME oracle relation as
+    q_incremental_neardup / q_neardup_index_serve (shared SQL
+    constant): the oracle is the brute-force batch x FULL-master
+    ground truth, so a green hash proves base ∪ delta equals the
+    full-master index — a dropped delta row, a broken read-side
+    merge, or a mis-keyed anti-join flips it. neardup_compact's
+    fold-and-empty is pinned value-identical to this uncompacted view
+    (and to the COW twin) by tests/test_round13_semantics.py."""
+    import os
+
+    from sas_etl_spark.operators.minhash import (
+        _read_bands_delta_if_any,
+        append_neardup_index,
+        build_neardup_index,
+        neardup_query_index,
+    )
+    from sas_etl_spark.scratch import scratch_dir
+
+    batch, master = _neardup_fixture(spark, sf_dir)
+    base_half = master.filter(F.col("doc_id") % 2 == 0)
+    ingest_half = master.filter(F.col("doc_id") % 2 != 0)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table_dir = _NEARDUP_MOR_DIRS.get(key)
+    if table_dir is None or not os.path.isdir(os.path.join(table_dir, "bands")):
+        table_dir = scratch_dir(spark, "neardup_mor")
+        build_neardup_index(base_half, table_dir)
+        append_neardup_index(ingest_half, table_dir, mode="mor")
+        _NEARDUP_MOR_DIRS[key] = table_dir
+    delta = _read_bands_delta_if_any(spark, table_dir)
+    if delta is None or delta.limit(1).count() == 0:
+        raise RuntimeError(
+            "q_neardup_mor_serve requires an uncompacted bands_delta: "
+            f"none found under {table_dir} — the MOR path did not run"
+        )
+    return neardup_query_index(
+        spark, table_dir, batch, master, threshold=0.8
+    ).select("batch_id", "master_id", "jaccard")
+
+
 # -- two-sample Kolmogorov-Smirnov drift --------------------------------
 
 #: Reference source for the KS comparison and the alpha=0.05 two-sample

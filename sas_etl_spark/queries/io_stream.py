@@ -903,8 +903,11 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     session during the window would see the mutated value — single-
     writer sessions only (the same contract as the snapshot tables).
     """
+    import logging
+
     from pyspark.sql import Window
 
+    from sas_etl_spark.streaming import stateful
     from sas_etl_spark.streaming.stateful import (
         running_user_totals,
         running_user_totals_v2,
@@ -927,7 +930,15 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             table = run_bounded_to_memory(out, spark, mode="update")
         except Exception:
             # probe passed but the stream failed mid-run (version skew
-            # the import probe can't see): degrade to the v1 twin.
+            # the import probe can't see): degrade to the v1 twin —
+            # LOUDLY (ADVICE r12): both lanes attest the same
+            # relation, so a silent fallback would hide a permanent
+            # v2 regression behind a green check forever.
+            logging.getLogger(__name__).warning(
+                "transformWithState v2 stream failed mid-run; "
+                "degrading to the applyInPandasWithState v1 twin",
+                exc_info=True,
+            )
             table = None
         finally:
             if prev is None:
@@ -938,6 +949,7 @@ def q_stream_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass", prev
                 )
+    stateful.LAST_TOTALS_LANE = "v1" if table is None else "v2"
     if table is None:
         out = running_user_totals(events.select("user_id", "value"))
         table = run_bounded_to_memory(out, spark, mode="update")

@@ -54,100 +54,95 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 12 window. Composition (50 = 6 + 12 + 25 + 7):
-    # -- (a) NEW this round: the production-posture pretrain
-    # composite (VERDICT r11 item 1: LSH edges at the >= 0.8
-    # operating point, exact all-pairs oracle), snapshot time travel
-    # as a first-class attested read (item 7), and the baseline-JPEG
-    # decode lane (item 5 — huffman + dequant + IDCT + YCbCr,
-    # stdlib+numpy, block-exact fixture), plus the merge-on-read +
-    # LSM-compaction attestation q_ivf_compact (closes the mor mode's
-    # unit-test-only status) and snapshot retention q_snapshot_vacuum
-    # (the lakehouse VACUUM semantics; v1 attested unreadable), and
-    # the persisted near-dup signature index q_neardup_index_serve
-    # (build-once/serve-many for MinHash-LSH, the q_ivf_serve regime).
-    "q_pretrain_pipeline_prod",
-    "q_snapshot_time_travel",
-    "q_jpeg_features",
-    "q_ivf_compact",
-    "q_snapshot_vacuum",
+    # ROUND 13 window. Composition (50 = 5 + 8 + 37):
+    # -- (a) NEW this round (VERDICT r12 items 1, 2, 6, 8): the
+    # merge-on-read near-dup index maintenance attested over an
+    # UNCOMPACTED bands_delta (q_neardup_mor_serve), the
+    # product-quantized IVF build/serve pair, the streaming twin
+    # of the incremental near-dup ingest, and the non-degenerate
+    # (gradient blocks, standard quant tables) JPEG decode lane.
+    # Registered-so-far entries lead; four oldest-r8 sentinels
+    # hold the remaining slots and are displaced 1:1 as the
+    # round registers the rest.
+    "q_neardup_mor_serve",
+    # -- (b) code changed this round, re-attest: the near-dup
+    # index serve over the band-partitioned, metadata-carrying,
+    # delta-merging artifact; the v2-stream lane-observability
+    # rewrite; and the IVF family over the loud-on-corruption
+    # metadata reader (ADVICE r12).
     "q_neardup_index_serve",
-    # -- (b) code changed this round, re-attest: the v2-streaming
-    # runtime fallback (ADVICE r11), exact-accumulator rewrites of
-    # the bootstrap CI and the BM25 stats row + its two dependents
-    # (ADVICE r11), the pretrain composite refactor (shared
-    # downstream with the prod twin), and the IVF family over the
-    # metadata-carrying, size-gated (and int8-compressed, item 2)
-    # index artifact.
     "q_stream_stateful_totals_v2",
-    "q_bootstrap_ci",
-    "q_bm25",
-    "q_rrf_hybrid",
-    "q_retrieval_eval",
-    "q_pretrain_pipeline",
     "q_ivf_build",
     "q_ivf_serve",
     "q_ivf_upsert",
     "q_ivf_upsert_serve",
     "q_knn_ivf_batch",
-    "q_image_features",
-    # -- (c) the stalest attestations (VERDICT r11 item 4): the
-    # remaining 25 r6-cohort rows — after this round no attestation
-    # predates r7.
-    "q_ngram_contamination",
-    "q_nodupkey",
-    "q_pivot_api",
-    "q_pivot_multi",
-    "q_pricing_summary",
-    "q_project_rename",
-    "q_quality_checks",
-    "q_rank_ntile",
-    "q_rank_tie_modes",
-    "q_rank_ties_mean",
-    "q_regex_extract",
-    "q_repetition_ratio",
-    "q_rfm_segments",
-    "q_running_total",
-    "q_sample",
-    "q_string_funcs",
-    "q_string_funcs2",
-    "q_udaf_weighted",
-    "q_udf_charge",
-    "q_unigram_logprob",
-    "q_union_distinct",
-    "q_univariate_moments",
-    "q_unpivot",
-    "q_weighted_stats",
-    "q_window_rank",
-    # -- (d) regression sentinels, oldest-green-first: the r7 cohort,
-    # alphabetical (7 of 44; the rest rotate through r13+).
-    "q_activity_streaks",
-    "q_anomaly_days",
-    "q_argmax",
-    "q_autocorr",
-    "q_benford",
-    "q_business_days",
-    "q_chunk_dedup",
+    "q_ivf_compact",
+    # -- (c) the stalest attestations (VERDICT r12 item 3): ALL
+    # 37 remaining r7-cohort rows — after this round no
+    # attestation predates r8.
+    "q_chunk_docs",
+    "q_class_balance",
+    "q_cogroup_reconcile",
+    "q_correlated_subquery",
+    "q_cross_source_dups",
+    "q_dedup_stats",
+    "q_embed_dim_stats",
+    "q_ewma",
+    "q_forget_user",
+    "q_fuzzy_match",
+    "q_gini",
+    "q_hhi",
+    "q_incremental_dedup",
+    "q_inverted_index",
+    "q_jaccard_pairs",
+    "q_keyword_extract",
+    "q_length_histogram_log2",
+    "q_linear_regression",
+    "q_mode_per_group",
+    "q_outlier_mad",
+    "q_pagerank",
+    "q_partial_agg_merge",
+    "q_pii_redact",
+    "q_point_in_time_join",
+    "q_pps_sample",
+    "q_psi_drift",
+    "q_range_join",
+    "q_referential_integrity",
+    "q_rolling_stats",
+    "q_schema_evolution",
+    "q_share_of_parent",
+    "q_ship_priority",
+    "q_skipgrams",
+    "q_text_normalize",
+    "q_top_paths",
+    "q_topk_other",
+    "q_url_extract",
+    # -- (d) temporary fill, oldest r8 rows alphabetical;
+    # displaced as the round registers its remaining queries.
+    "q_approx_distinct",
+    "q_asof_event",
+    "q_bigram_logprob",
+    "q_bucketed_join",
 )
 
-#: ROUND 12 window bookkeeping rule (learned twice, r7 and r8): NO
+#: ROUND 13 window bookkeeping rule (learned twice, r7 and r8): NO
 #: @query registration lands without, in the SAME commit, (1) a
-#: DRIVER_PRIORITY slot — displace the LAST block-(d) sentinel to keep
-#: the 50-slot cap, (2) the matching update to
+#: DRIVER_PRIORITY slot — displace the LAST block-(d) temporary
+#: sentinel to keep the 50-slot cap, (2) the matching update to
 #: tests/test_registry_order.py's must-set, (3) `python
 #: scratch/gen_operators_md.py` (as its own follow-up commit — the
 #: ledger records the attestation commit), and (4) a full-suite rerun
 #: on the settled tree. Queries registered this round so far:
-#: q_pretrain_pipeline_prod, q_snapshot_time_travel, q_jpeg_features,
-#: q_ivf_compact, q_snapshot_vacuum, q_neardup_index_serve (all
-#: windowed).
+#: q_neardup_mor_serve (windowed). Planned: q_ivf_pq_build,
+#: q_ivf_pq_serve, q_stream_neardup, q_jpeg_gradient — each displaces
+#: one block-(d) r8 sentinel.
 #:
-#: ROUND 13 window plan: (1) new/changed queries per the ledger's
-#: changed column, then (2) sentinels oldest-green-first — after r12
-#: the stalest rows are the remaining 33 r7-cohort rows
-#: (q_cross_source_dups, q_dedup_stats, q_embed_dim_stats, q_ewma,
-#: ...; read the full order from OPERATORS.md's Last-attested
-#: column).
+#: ROUND 14 window plan: (1) new/changed queries per the ledger's
+#: changed column, then (2) sentinels oldest-green-first — after r13
+#: the stalest rows are the 40-row r8 cohort (q_approx_distinct,
+#: q_asof_event, ...; read the full order from OPERATORS.md's
+#: Last-attested column).
 
 
 def query(

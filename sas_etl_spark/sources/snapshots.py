@@ -48,13 +48,28 @@ def current_version(table_dir: str) -> int:
         return int(f.read().strip())
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: tuple[str, ...] | list[str] | None = None,
+) -> int:
     """Publish ``df`` as the table's next immutable version and swing
-    the pointer to it; returns the new version number."""
+    the pointer to it; returns the new version number.
+
+    ``partition_by`` lays the version out Hive-partitioned
+    (``col=value/`` subdirectories): readers get partition pruning on
+    those columns for free, and a compaction that rewrites the table
+    can rewrite per-partition. Versioning is unaffected — the
+    partition tree lives INSIDE the immutable ``v=<N>/`` directory,
+    so time travel and the atomic pointer see one file set either
+    way."""
     os.makedirs(table_dir, exist_ok=True)
     version = (_versions(table_dir)[-1] + 1) if _versions(table_dir) else 1
     staging = tempfile.mkdtemp(prefix=f"_staging_v{version}_", dir=table_dir)
-    df.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(staging, "data"))
     final = os.path.join(table_dir, f"v={version}")
     os.rename(os.path.join(staging, "data"), final)  # atomic publish
     os.rmdir(staging)

@@ -184,6 +184,16 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
     )
 
 
+#: Which implementation lane the last running-user-totals stream
+#: actually ran ("v2" = transformWithState, "v1" = the
+#: applyInPandasWithState twin, None = never run this process).
+#: Observability for the silent v2->v1 degradation (ADVICE r12):
+#: both lanes attest the same relation, so without this record (and
+#: the paired log warning at the fallback site) a permanent v2
+#: regression would stay green and invisible indefinitely.
+LAST_TOTALS_LANE: str | None = None
+
+
 def supports_transform_with_state(spark) -> bool:
     """Capability probe for the Spark 4 transformWithState PYTHON API.
     The Python lane needs (a) the StatefulProcessor API surface, (b) a

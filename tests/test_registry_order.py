@@ -40,35 +40,37 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the 12 queries whose code (or transitive helper/oracle) changed in
-#: round 12 — the v2-streaming runtime fallback, the
-#: exact-accumulator rewrites (bootstrap CI; the BM25 stats row and
-#: its two dependents), the pretrain composite refactor (shared
-#: downstream with the new prod twin), and the IVF family over the
-#: metadata-carrying / size-gated / int8-compressed index artifact.
+#: the 8 queries whose code (or transitive helper/oracle) changed in
+#: round 13 — the near-dup index serve over the band-partitioned,
+#: metadata-carrying, delta-merging artifact (minhash rework), the
+#: v2-streaming lane-observability rewrite, and the IVF family over
+#: the loud-on-corruption metadata reader (ADVICE r12).
 RE_ATTESTS = {
-    "q_stream_stateful_totals_v2", "q_bootstrap_ci", "q_bm25",
-    "q_rrf_hybrid", "q_retrieval_eval", "q_pretrain_pipeline",
-    "q_ivf_build", "q_ivf_serve", "q_ivf_upsert", "q_ivf_upsert_serve",
-    "q_knn_ivf_batch", "q_image_features",
+    "q_neardup_index_serve", "q_stream_stateful_totals_v2", "q_ivf_build",
+    "q_ivf_serve", "q_ivf_upsert", "q_ivf_upsert_serve", "q_knn_ivf_batch",
+    "q_ivf_compact",
 }
-#: The stalest-attestation rotation: the remaining 25 r6-cohort rows
-#: (after this round no attestation predates r7) plus the oldest 7
-#: r7-cohort rows as fill, oldest-green-first.
+#: The stalest-attestation rotation: ALL 37 remaining r7-cohort rows
+#: (after this round no attestation predates r8) plus four oldest-r8
+#: temporary fills displaced 1:1 as the round registers its remaining
+#: planned queries.
 SENTINELS = {
-    "q_ngram_contamination", "q_nodupkey", "q_pivot_api",
-    "q_pivot_multi", "q_pricing_summary", "q_project_rename",
-    "q_quality_checks", "q_rank_ntile", "q_rank_tie_modes",
-    "q_rank_ties_mean", "q_regex_extract", "q_repetition_ratio",
-    "q_rfm_segments", "q_running_total", "q_sample", "q_string_funcs",
-    "q_string_funcs2", "q_udaf_weighted", "q_udf_charge",
-    "q_unigram_logprob", "q_union_distinct", "q_univariate_moments",
-    "q_unpivot", "q_weighted_stats", "q_window_rank",
-    "q_activity_streaks", "q_anomaly_days", "q_argmax", "q_autocorr",
-    "q_benford", "q_business_days", "q_chunk_dedup",
+    "q_chunk_docs", "q_class_balance", "q_cogroup_reconcile",
+    "q_correlated_subquery", "q_cross_source_dups", "q_dedup_stats",
+    "q_embed_dim_stats", "q_ewma", "q_forget_user", "q_fuzzy_match",
+    "q_gini", "q_hhi", "q_incremental_dedup", "q_inverted_index",
+    "q_jaccard_pairs", "q_keyword_extract", "q_length_histogram_log2",
+    "q_linear_regression", "q_mode_per_group", "q_outlier_mad",
+    "q_pagerank", "q_partial_agg_merge", "q_pii_redact",
+    "q_point_in_time_join", "q_pps_sample", "q_psi_drift", "q_range_join",
+    "q_referential_integrity", "q_rolling_stats", "q_schema_evolution",
+    "q_share_of_parent", "q_ship_priority", "q_skipgrams",
+    "q_text_normalize", "q_top_paths", "q_topk_other", "q_url_extract",
+    "q_approx_distinct", "q_asof_event", "q_bigram_logprob",
+    "q_bucketed_join",
 }
 
 
@@ -91,21 +93,19 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round12_rotation_targets_inside_window() -> None:
-    """Round-12 plan (VERDICT r11 items 1-7): the new queries and this
+def test_round13_rotation_targets_inside_window() -> None:
+    """Round-13 plan (VERDICT r12 items 1-8): the new queries and this
     round's changed-code queries must all sit in slots 0-49."""
     must = {
-        "q_pretrain_pipeline_prod", "q_snapshot_time_travel",
-        "q_jpeg_features", "q_ivf_compact", "q_snapshot_vacuum",
-        "q_neardup_index_serve",
+        "q_neardup_mor_serve",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round12_window_finishes_attestation() -> None:
-    """The r12 window must drain the never-attested backlog (recomputed
-    from pre-r12 CORRECTNESS artifacts, no hand list) and spend every
+def test_round13_window_finishes_attestation() -> None:
+    """The r13 window must drain the never-attested backlog (recomputed
+    from pre-r13 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
