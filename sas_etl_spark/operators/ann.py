@@ -538,6 +538,7 @@ def ivf_topk_batch_vectorized(
     sim_col: str = "sim",
     round_dp: int = 4,
     probe_round_dp: int = 4,
+    pq_codebooks: dict | None = None,
 ) -> DataFrame:
     """The VECTORIZED serving fast path: same routing + same results
     as ivf_topk_batch_from (pinned by
@@ -614,7 +615,16 @@ def ivf_topk_batch_vectorized(
     # same per-element products as the JVM decode, so results are
     # bit-identical before the shared round.
     decode_codes = "vec_code" in lists.columns
-    if decode_codes:
+    # PQ-compressed index: ship the m smallint codes (8 bytes/vector
+    # at the defaults — another 8x under SQ8) and gather the
+    # reconstruction from the broadcast codebooks in the kernel
+    # (vmat = concat(codebook_s[code_s])), the FAISS IVF-PQ serve.
+    decode_pq = pq_codebooks is not None and "pq_code" in lists.columns
+    if decode_pq:
+        pq_mats = {int(s): a for s, a in pq_codebooks.items()}
+        bc_pq = lists.sparkSession.sparkContext.broadcast(pq_mats)
+        shipped = lists.select(id_col, "centroid_id", "pq_code", "vec_norm")
+    elif decode_codes:
         shipped = lists.select(
             id_col, "centroid_id", "vec_code", "vec_scale", "vec_norm"
         )
@@ -630,7 +640,22 @@ def ivf_topk_batch_vectorized(
                 if entry is None:
                     continue
                 qids, qt, qnorms = entry
-                if decode_codes:
+                if decode_pq:
+                    cbs = bc_pq.value
+                    codes = np.stack(
+                        [
+                            np.asarray(c, dtype=np.int64)
+                            for c in sub["pq_code"]
+                        ]
+                    )
+                    vmat = np.concatenate(
+                        [
+                            cbs[s][codes[:, s]]
+                            for s in range(codes.shape[1])
+                        ],
+                        axis=1,
+                    )
+                elif decode_codes:
                     codes = np.stack(
                         [
                             np.asarray(c, dtype=np.float64)
@@ -743,9 +768,17 @@ def sq8_decode() -> "F.Column":
 
 # -- product quantization (FAISS IVF-PQ family) -------------------------
 
-#: PQ defaults: m subspaces x k codewords over 64-dim embeddings ->
-#: 8 stored code bytes per vector (vs 64 for SQ8, 512 for raw doubles).
-PQ_M = 8
+#: PQ defaults: m subspaces x k codewords over 64-dim embeddings.
+#: m=32 (dsub=2) is the measured operating point that holds the 0.05
+#: recall bar on the UNSTRUCTURED test embeddings (PQ's adversarial
+#: case — random vectors have no low-dim structure to exploit; the
+#: sf0.1 sweep in SCALE.md reads m=8/16/32 recall 0.32/0.44/0.51 vs
+#: raw 0.51) while still storing 0.53x the SQ8 bytes and 0.11x raw.
+#: Structured real-world embeddings admit m=8-16 (8-16 code bytes,
+#: 0.26-0.34x SQ8) at the same bar; m persists per-index in
+#: _index_meta.json, so the knob is an argument, not a rebuild of
+#: serving code.
+PQ_M = 32
 PQ_K = 256
 PQ_ITERS = 1
 PQ_DIST_DP = 4  # rounded squared-L2 for assignment determinism
@@ -1200,7 +1233,7 @@ def _resolve_id_col(table_dir: str, id_col: str | None) -> str:
 
 
 def read_ivf_index(
-    spark, table_dir: str, id_col: str | None = None
+    spark, table_dir: str, id_col: str | None = None, decode: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, lists) read back from the persisted index — current
     versions; pass explicit versions via read_snapshot for time
@@ -1235,6 +1268,11 @@ def read_ivf_index(
         lists = lists.join(
             broadcast_if_small(delta.select(id_col)), id_col, "left_anti"
         ).unionByName(delta)
+    if not decode:
+        # serve-lean view: keep the stored codes only (the vectorized
+        # kernel reconstructs from the broadcast codebooks; a PQ
+        # decode here would be m joins the kernel never needs)
+        return centroids, lists
     if meta["quantize"] == "int8" and "vec_code" in lists.columns:
         lists = lists.withColumn(meta["vec_col"], sq8_decode())
     elif meta["quantize"] == "pq8" and "pq_code" in lists.columns:

@@ -519,19 +519,27 @@ class _BitWriter:
             self._n = 0
 
 
-def jpeg_encode(arr: "np.ndarray") -> bytes:
+def jpeg_encode(arr: "np.ndarray", quant: "np.ndarray | None" = None) -> bytes:
     """Baseline-sequential JFIF-style encode of an (h, w, 3) uint8 RGB
-    array: YCbCr (rounded), per-component 8x8 FDCT, UNIT quantization
-    tables, zigzag, the uniform huffman tables above, interleaved
-    1x1-sampled MCUs. Dimensions must be multiples of 8 (the fixture's
-    case; general padding is an encoder concern, not a decode one).
-    AC magnitudes past category 10 raise — unreachable for the smooth
-    content this fixture/test lane encodes."""
+    array: YCbCr (rounded), per-component 8x8 FDCT, quantization by
+    ``quant`` (an 8x8 table written to DQT in zigzag order and shared
+    by all three components; None = UNIT tables, the bit-exact
+    fixture's identity path), zigzag, the uniform huffman tables
+    above, interleaved 1x1-sampled MCUs. Dimensions must be multiples
+    of 8 (the fixture's case; general padding is an encoder concern,
+    not a decode one). AC magnitudes past category 10 raise —
+    unreachable for the smooth content this fixture/test lane
+    encodes."""
     import struct
 
     h, w, _ = arr.shape
     if h % 8 or w % 8:
         raise ValueError("jpeg_encode requires multiple-of-8 dimensions")
+    q = (
+        np.ones((8, 8), dtype=np.float64)
+        if quant is None
+        else np.asarray(quant, dtype=np.float64)
+    )
     rgb = arr.astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     planes = [
@@ -558,7 +566,7 @@ def jpeg_encode(arr: "np.ndarray") -> bytes:
         for bx in range(w // 8):
             for ci, plane in enumerate(planes):
                 blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = np.round(m @ blk @ m.T).astype(np.int64)
+                coef = np.round((m @ blk @ m.T) / q).astype(np.int64)
                 seq = [int(coef[r_, c_]) for r_, c_ in zz]
                 diff = seq[0] - preds[ci]
                 preds[ci] = seq[0]
@@ -594,7 +602,8 @@ def jpeg_encode(arr: "np.ndarray") -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    qtab = bytes([0]) + bytes([1] * 64)  # table 0, 8-bit, all ones
+    zz_q = [int(q[r_, c_]) for r_, c_ in zz]  # DQT stores zigzag order
+    qtab = bytes([0]) + bytes(zz_q)  # table 0, 8-bit
     sof_body = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
         struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3)
     )
@@ -613,6 +622,104 @@ def jpeg_encode(arr: "np.ndarray") -> bytes:
         + seg(0xFFDA, sos_body)
         + bytes(bw.buf)
         + b"\xff\xd9"
+    )
+
+
+#: The standard JPEG LUMINANCE quantization table (ITU-T T.81 Annex
+#: K.1, the quality-50 reference every codec derives its scaled
+#: tables from) — the REAL dequantize+IDCT operating point the
+#: gradient lane attests (the unit-table fixture exercises the
+#: identity path only).
+JPEG_STD_LUMA = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+
+
+def jpeg_gradient_array(width: int, height: int, img_idx: int) -> "np.ndarray":
+    """Deterministic smooth GRAY gradient: pixel (x, y) in every
+    channel is (img_idx % 100) + 2*x + 3*y — monotone (no mod-256
+    sawtooth edges, so per-block AC energy stays in the low
+    frequencies the standard table quantizes finely), bounded < 256
+    for the fixture's dims (w <= 32, h <= 24), and a pure integer
+    function of (i, x, y) an oracle recomputes."""
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    v = (img_idx % 100) + 2 * x + 3 * y
+    return np.repeat(v[..., None], 3, axis=2).astype(np.uint8)
+
+
+def write_jpeg_gradient_fixture(out_dir: str, n_images: int = 64) -> None:
+    """Deterministic gradient corpus encoded with the STANDARD
+    luminance table (non-unit dequantize path): image i is
+    8*(1 + i%4) x 8*(1 + i%3)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    q = np.asarray(JPEG_STD_LUMA, dtype=np.float64)
+    for i in range(n_images):
+        w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+        with open(os.path.join(out_dir, f"jpg_{i:05d}.jpg"), "wb") as f:
+            f.write(jpeg_encode(jpeg_gradient_array(w, h, i), quant=q))
+
+
+def jpeg_gradient_error_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"jpg_(\d+)\.jpg$",
+) -> DataFrame:
+    """Decode the gradient-fixture JPEGs and measure the decoded
+    pixels against the ANALYTIC source image regenerated inside the
+    kernel from the (i, x, y) spec: per image -> (img_id, width,
+    height, max_abs_err, mean_abs_err*1e6 as an exact long). The
+    expected-array regeneration is inlined (no module references) so
+    the closure ships by value like every decoder in this module."""
+    decode = _make_jpeg_decoder()
+
+    def run(batches):
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, ws, hs, mx, mn = [], [], [], [], []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                i = int(_re.search(id_pattern, str(path)).group(1))
+                w, h, rgb = decode(bytes(content))
+                x = _np.arange(w, dtype=_np.int64)[None, :]
+                y = _np.arange(h, dtype=_np.int64)[:, None]
+                exp = (i % 100) + 2 * x + 3 * y
+                err = _np.abs(
+                    rgb.astype(_np.int64) - exp[..., None]
+                )
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                mx.append(int(err.max()))
+                # exact integer micro-mean: sum*1e6 // count arithmetic
+                mn.append(int(err.sum() * 1_000_000) // int(err.size))
+            yield _pd.DataFrame(
+                {
+                    "img_id": _np.asarray(ids, dtype=_np.int64),
+                    "width": _np.asarray(ws, dtype=_np.int32),
+                    "height": _np.asarray(hs, dtype=_np.int32),
+                    "max_abs_err": _np.asarray(mx, dtype=_np.int64),
+                    "mean_abs_err_u": _np.asarray(mn, dtype=_np.int64),
+                }
+            )
+
+    return df.select(path_col, content_col).mapInPandas(
+        run,
+        "img_id long, width int, height int, max_abs_err long, "
+        "mean_abs_err_u long",
     )
 
 

@@ -666,6 +666,26 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_INDEX_DIRS: dict[tuple[str, str], str] = {}
 
 
+def _ensure_neardup_index(spark: SparkSession, sf_dir: str, master: DataFrame) -> str:
+    """Build-if-absent: the session's persisted band-signature index
+    over the fixture master — shared by the batch serve
+    (q_neardup_index_serve) and the streaming ingest twin
+    (q_stream_neardup in io_stream.py), which is the point: one
+    artifact, many consumers."""
+    import os
+
+    from sas_etl_spark.operators.minhash import build_neardup_index
+    from sas_etl_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table_dir = _NEARDUP_INDEX_DIRS.get(key)
+    if table_dir is None or not os.path.isdir(os.path.join(table_dir, "bands")):
+        table_dir = scratch_dir(spark, "neardup_index")
+        build_neardup_index(master, table_dir)
+        _NEARDUP_INDEX_DIRS[key] = table_dir
+    return table_dir
+
+
 @query(
     "q_neardup_index_serve",
     oracle=_INC_NEARDUP_ORACLE,
@@ -694,21 +714,10 @@ def q_neardup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the artifact-served pairs equal the brute-force ground truth —
     a stale index, a wrong band row, or a broken candidate join flips
     it."""
-    import os
-
-    from sas_etl_spark.operators.minhash import (
-        build_neardup_index,
-        neardup_query_index,
-    )
-    from sas_etl_spark.scratch import scratch_dir
+    from sas_etl_spark.operators.minhash import neardup_query_index
 
     batch, master = _neardup_fixture(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    table_dir = _NEARDUP_INDEX_DIRS.get(key)
-    if table_dir is None or not os.path.isdir(os.path.join(table_dir, "bands")):
-        table_dir = scratch_dir(spark, "neardup_index")
-        build_neardup_index(master, table_dir)
-        _NEARDUP_INDEX_DIRS[key] = table_dir
+    table_dir = _ensure_neardup_index(spark, sf_dir, master)
     return neardup_query_index(
         spark, table_dir, batch, master, threshold=0.8
     ).select("batch_id", "master_id", "jaccard")

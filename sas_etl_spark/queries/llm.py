@@ -1058,6 +1058,302 @@ def q_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- product-quantized IVF (FAISS IVF-PQ family) ------------------------
+
+#: PQ hyperparameters shared by q_ivf_pq_build / q_ivf_pq_serve and
+#: their oracles (generated from these — change here, change
+#: everywhere). Values re-exported from operators/ann.py so the
+#: artifact and the SQL replay can never drift apart.
+_PQ_M = 32  # subspaces (the measured 0.05-recall operating point)
+_PQ_K = 256  # codewords per subspace (k lowest train ids seed)
+_PQ_DSUB = 2  # dims per subspace (64 / m)
+_PQ_ITERS = 1  # Lloyd refinement iterations per subspace
+_PQ_DIST_DP = 4  # rounded squared-L2 assignment determinism (dp)
+_PQ_MEAN_DP = 6  # Lloyd mean element rounding (dp)
+
+#: (applicationId, sf_dir) -> table_dir of the PQ-compressed index
+#: (separate from _IVF_INDEX_DIRS: the SQ8 serve lane must keep its
+#: own artifact — the two layouts are compared, not shared).
+_IVF_PQ_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent: the PQ-quantized twin of _ensure_ivf_index
+    (same corpus split, same coarse-quantizer knobs, storage layout
+    quantize='pq8')."""
+    import os
+
+    from sas_etl_spark.operators.ann import build_ivf_index
+    from sas_etl_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _IVF_PQ_INDEX_DIRS.get(key)
+    if cached is not None and os.path.isdir(os.path.join(cached, "codebooks")):
+        return cached
+    table_dir = scratch_dir(spark, "ivf_pq_index")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 100)
+    build_ivf_index(
+        emb, table_dir, n_centroids=_IVF_N, refine_iters=_IVF_ITERS,
+        sim_round_dp=_IVF_SIM_DP, mean_round_dp=_IVF_MEAN_DP,
+        train_ppm=_IVF_TRAIN_PPM, train_seed=_IVF_TRAIN_SEED,
+        quantize="pq8",
+    )
+    _IVF_PQ_INDEX_DIRS[key] = table_dir
+    return table_dir
+
+
+def _pq_ctes(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    dsub: int = _PQ_DSUB,
+    iters: int = _PQ_ITERS,
+    dist_dp: int = _PQ_DIST_DP,
+    mean_dp: int = _PQ_MEAN_DP,
+    src: str = "corpus",
+) -> str:
+    """DuckDB CTE chain recomputing the PQ codebooks + codes from the
+    corpus (assumes ``train`` and ``{src}`` CTEs exist — the
+    _ivf_index_ctes pattern): per subspace s, seeds = the k lowest
+    TRAIN ids' subvectors (code_id = id rank), each Lloyd iteration =
+    argmin over the rounded left-fold squared-L2 (lower code_id
+    tiebreak) + per-position rounded means (empty cells keep the
+    previous codeword), then the full-``src`` encode ``pcode{s}`` and
+    the reconstruction ``prec`` (codeword concat). Every knob matches
+    operators/ann.py::pq_train_codebooks / pq_encode; the kernel's
+    numpy (x-c)^2 row sums and DuckDB's index-order fold agree
+    bit-for-bit over dsub <= 8 elements, so the artifact is the same
+    deterministic function of (corpus, seed) in both engines."""
+
+    def assign(name: str, cents: str, subsrc: str) -> str:
+        return f"""
+    {name} as materialized (
+        select vec_id, code_id from (
+            select t.vec_id, c.code_id,
+                   row_number() over (
+                       partition by t.vec_id
+                       order by round(list_reduce(list_prepend(0.0,
+                                    list_transform(range(1, {dsub + 1}),
+                                        j -> (t.sv[j] - c.cw[j])
+                                             * (t.sv[j] - c.cw[j]))),
+                                    (a, x) -> a + x), {dist_dp}) asc,
+                                c.code_id asc
+                   ) as rn
+            from {subsrc} t cross join {cents} c
+        ) z where rn = 1
+    )"""
+
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""
+    pt{s} as materialized (
+        select vec_id, list_transform(embedding[{lo}:{hi}],
+                                      x -> cast(x as double)) as sv
+        from train
+    ),
+    pc{s}_0 as materialized (
+        select cast(row_number() over (order by vec_id) as int) - 1
+                   as code_id,
+               sv as cw
+        from (select vec_id, sv from pt{s} order by vec_id limit {k}) seeds
+    )""")
+        for i in range(1, iters + 1):
+            parts.append(assign(f"pa{s}_{i}", f"pc{s}_{i - 1}", f"pt{s}"))
+            parts.append(f"""
+    pm{s}_{i} as materialized (
+        select code_id, array_agg(mv order by pos) as cw from (
+            select code_id, pos, round(avg(val), {mean_dp}) as mv
+            from (
+                select a.code_id,
+                       unnest(t.sv) as val,
+                       generate_subscripts(t.sv, 1) as pos
+                from pa{s}_{i} a join pt{s} t using (vec_id)
+            ) u group by code_id, pos
+        ) g group by code_id
+    ),
+    pc{s}_{i} as materialized (
+        select p.code_id, coalesce(n.cw, p.cw) as cw
+        from pc{s}_{i - 1} p left join pm{s}_{i} n using (code_id)
+    )""")
+        parts.append(f"""
+    ps{s} as materialized (
+        select vec_id, list_transform(embedding[{lo}:{hi}],
+                                      x -> cast(x as double)) as sv
+        from {src}
+    )""")
+        parts.append(assign(f"pcode{s}", f"pc{s}_{iters}", f"ps{s}"))
+        parts.append(f"""
+    pw{s} as materialized (
+        select a.vec_id, a.code_id, c.cw
+        from pcode{s} a join pc{s}_{iters} c using (code_id)
+    )""")
+    concat = " || ".join(f"pw{s}.cw" for s in range(m))
+    joins = " ".join(f"join pw{s} using (vec_id)" for s in range(1, m))
+    parts.append(f"""
+    pcodes as materialized (
+        {" union all ".join(f"select vec_id, {s} as subspace, code_id from pcode{s}" for s in range(m))}
+    ),
+    prec as materialized (
+        select vec_id, {concat} as rvec
+        from pw0 {joins}
+    )""")
+    return ",".join(parts)
+
+
+@query(
+    "q_ivf_pq_build",
+    oracle=f"""
+    with {_ivf_index_ctes()},
+    {_pq_ctes()},
+    fp as (
+        select a.centroid_id,
+               cast(p.subspace as bigint) as subspace,
+               p.vec_id * 256 + p.code_id as fpv
+        from pcodes p join afinal a using (vec_id)
+    )
+    select centroid_id, subspace,
+           cast(count(*) as bigint) as n_vecs,
+           cast(sum(fpv) as bigint) as sum_fp,
+           cast(bit_xor(fpv) as bigint) as xor_fp
+    from fp group by centroid_id, subspace
+    """,
+    tags=("similarity", "ann", "scale", "index", "compression"),
+)
+def q_ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZED IVF index build + publish, content-attested
+    (VERDICT r12 item 2 — SQ8's successor): 64-dim vectors split into
+    m=32 contiguous subspaces, each quantized against a
+    k=256 per-subspace codebook trained by the repo's
+    deterministic k-means recipe on the SAME seeded 25% sample as the
+    coarse quantizer (operators/ann.pq_train_codebooks: seeds = the k
+    lowest train ids' subvectors, rounded squared-L2 argmin with
+    lower-code tiebreak, 6dp Lloyd means), so each stored vector is
+    32 code bytes + one reconstructed norm — 0.53x SQ8's measured
+    artifact bytes, 0.11x raw doubles (sf0.1; m=8/16 trade recall
+    for 0.26/0.34x SQ8 — see the SCALE.md m-sweep). Coarse membership (centroid_id) is assigned
+    on the FULL-precision vectors before quantization, exactly like
+    SQ8, so the IVF map is layout-independent.
+
+    The attested relation reads the PUBLISHED artifact back and
+    fingerprints the exact code assignment per (centroid, subspace):
+    count + sum + bit_xor over vec_id*256+code — any flipped code,
+    dropped vector, or drifted codebook changes it. The oracle
+    recomputes coarse k-means, PQ codebook training, and the
+    full-corpus encode from the raw parquet in unrolled CTEs
+    (_ivf_index_ctes + _pq_ctes, the q_pagerank pattern), so a green
+    hash proves the two-level quantizer end to end. Serving is
+    q_ivf_pq_serve."""
+    from sas_etl_spark.operators.ann import read_ivf_index
+
+    table_dir = _ensure_ivf_pq_index(spark, sf_dir)
+    _, lists = read_ivf_index(spark, table_dir, decode=False)
+    return (
+        lists.select(
+            "centroid_id",
+            "vec_id",
+            F.posexplode("pq_code").alias("subspace", "code"),
+        )
+        .select(
+            "centroid_id",
+            F.col("subspace").cast("long").alias("subspace"),
+            (F.col("vec_id") * 256 + F.col("code")).cast("long").alias("fpv"),
+        )
+        .groupBy("centroid_id", "subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("fpv").cast("long").alias("sum_fp"),
+            F.bit_xor("fpv").cast("long").alias("xor_fp"),
+        )
+    )
+
+
+@query(
+    "q_ivf_pq_serve",
+    oracle=f"""
+    with {_ivf_index_ctes()},
+    q as (
+        select vec_id as qid, embedding as qv
+        from embeddings where vec_id < 100
+    ),
+    probes as (
+        select qid, centroid_id, qv from (
+            select q.qid, c.centroid_id, q.qv,
+                   row_number() over (
+                       partition by q.qid
+                       order by round(cast(list_cosine_similarity(
+                                          c.cvec, q.qv) as double),
+                                      {_IVF_SIM_DP}) desc,
+                                c.centroid_id
+                   ) as rn
+            from q cross join c{_IVF_ITERS} c
+        ) t where rn <= {_IVF_NPROBE}
+    ),
+    {_pq_ctes()},
+    scored as (
+        -- score against the PQ RECONSTRUCTION (codeword concat);
+        -- rvec is double[], engaging DuckDB's double distance path
+        select p.qid, f.vec_id,
+               round(cast(list_cosine_similarity(
+                          r.rvec, p.qv) as double), {_IVF_SIM_DP}) as sim
+        from probes p
+        join afinal f using (centroid_id)
+        join prec r using (vec_id)
+    ),
+    ranked as (
+        select qid, vec_id, sim,
+               row_number() over (partition by qid
+                                  order by sim desc, vec_id) as rank
+        from scored
+    )
+    select cast(qid as bigint) as qid,
+           cast(vec_id as bigint) as vec_id,
+           sim,
+           cast(rank as bigint) as rank
+    from ranked where rank <= 10
+    """,
+    tags=("similarity", "ann", "scale", "index", "compression"),
+)
+def q_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY batched ANN from the PQ-compressed artifact — the
+    IVF-PQ serving shape (FAISS's default at billion scale): routing
+    is identical to q_ivf_serve (broadcast probe grid, top-4
+    rounded-cosine centroids per query), but candidate
+    lists ship through Arrow as 32 smallint codes + one norm per
+    vector (measured artifact: 0.53x SQ8, 0.11x raw at sf0.1 — the
+    serve-byte reduction VERDICT r12 item 2 targets, at the m that
+    HOLDS the 0.05 recall bar on these unstructured fixture vectors;
+    see SCALE.md's m-sweep for the recall/bytes frontier) and the vectorized
+    kernel gathers reconstructions from the 128 KB broadcast
+    codebooks (vmat = concat(codebook_s[code_s])) before the same
+    numpy matmul. The oracle replays coarse build + codebook training
+    + encode + reconstruction + scoring in unrolled CTEs, so the
+    green hash attests the compressed serving path end to end; the
+    recall-vs-exact operating point is pinned by
+    tests/test_round13_semantics.py and measured at scale in
+    SCALE.md."""
+    from sas_etl_spark.operators.ann import (
+        collect_pq_codebooks,
+        ivf_topk_batch_vectorized,
+        read_ivf_index,
+    )
+    from sas_etl_spark.sources.snapshots import read_snapshot
+
+    table_dir = _ensure_ivf_pq_index(spark, sf_dir)
+    centroids, lists = read_ivf_index(spark, table_dir, decode=False)
+    cbs = collect_pq_codebooks(
+        read_snapshot(spark, f"{table_dir}/codebooks")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk_batch_vectorized(
+        centroids, lists, queries, k=10,
+        nprobe=_IVF_NPROBE, round_dp=_IVF_SIM_DP,
+        probe_round_dp=_IVF_SIM_DP, pq_codebooks=cbs,
+    )
+
+
 #: Upsert-regime corpus split: the base index is built over 8/10 of
 #: the corpus; the incremental batch re-ingests decile 3 (upsert
 #: REPLACE path — its ids already hold index rows) and adds decile 7

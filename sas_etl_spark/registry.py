@@ -65,6 +65,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # hold the remaining slots and are displaced 1:1 as the
     # round registers the rest.
     "q_neardup_mor_serve",
+    "q_ivf_pq_build",
+    "q_ivf_pq_serve",
+    "q_stream_neardup",
+    "q_jpeg_gradient",
     # -- (b) code changed this round, re-attest: the near-dup
     # index serve over the band-partitioned, metadata-carrying,
     # delta-merging artifact; the v2-stream lane-observability
@@ -118,12 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_top_paths",
     "q_topk_other",
     "q_url_extract",
-    # -- (d) temporary fill, oldest r8 rows alphabetical;
-    # displaced as the round registers its remaining queries.
-    "q_approx_distinct",
-    "q_asof_event",
-    "q_bigram_logprob",
-    "q_bucketed_join",
 )
 
 #: ROUND 13 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -134,9 +132,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: scratch/gen_operators_md.py` (as its own follow-up commit — the
 #: ledger records the attestation commit), and (4) a full-suite rerun
 #: on the settled tree. Queries registered this round so far:
-#: q_neardup_mor_serve (windowed). Planned: q_ivf_pq_build,
-#: q_ivf_pq_serve, q_stream_neardup, q_jpeg_gradient — each displaces
-#: one block-(d) r8 sentinel.
+#: q_neardup_mor_serve, q_ivf_pq_build, q_ivf_pq_serve,
+#: q_stream_neardup, q_jpeg_gradient (all windowed) — the round's
+#: planned registrations are complete and the window is exactly
+#: 5 new + 8 re-attests + 37 r7-stale rows. NOTE: jpeg_encode gained
+#: a quant parameter (None default) for the gradient lane;
+#: q_jpeg_features' artifact is BYTE-identical under the default
+#: (round(x/1.0) == round(x), DQT all-ones == its own zigzag) and was
+#: re-verified green at sf0.01 — a value-identical refactor, no
+#: re-attest slot spent.
 #:
 #: ROUND 14 window plan: (1) new/changed queries per the ledger's
 #: changed column, then (2) sentinels oldest-green-first — after r13

@@ -54,9 +54,7 @@ RE_ATTESTS = {
     "q_ivf_compact",
 }
 #: The stalest-attestation rotation: ALL 37 remaining r7-cohort rows
-#: (after this round no attestation predates r8) plus four oldest-r8
-#: temporary fills displaced 1:1 as the round registers its remaining
-#: planned queries.
+#: (after this round no attestation predates r8).
 SENTINELS = {
     "q_chunk_docs", "q_class_balance", "q_cogroup_reconcile",
     "q_correlated_subquery", "q_cross_source_dups", "q_dedup_stats",
@@ -69,8 +67,6 @@ SENTINELS = {
     "q_referential_integrity", "q_rolling_stats", "q_schema_evolution",
     "q_share_of_parent", "q_ship_priority", "q_skipgrams",
     "q_text_normalize", "q_top_paths", "q_topk_other", "q_url_extract",
-    "q_approx_distinct", "q_asof_event", "q_bigram_logprob",
-    "q_bucketed_join",
 }
 
 
@@ -97,7 +93,8 @@ def test_round13_rotation_targets_inside_window() -> None:
     """Round-13 plan (VERDICT r12 items 1-8): the new queries and this
     round's changed-code queries must all sit in slots 0-49."""
     must = {
-        "q_neardup_mor_serve",
+        "q_neardup_mor_serve", "q_ivf_pq_build", "q_ivf_pq_serve",
+        "q_stream_neardup", "q_jpeg_gradient",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"

@@ -331,3 +331,71 @@ def test_transform_with_state_v2_survives_micro_batches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_stream_neardup_converges_to_batch_and_is_idempotent(spark, tmp_path):
+    """The streaming near-dup ingest (VERDICT r12 item 6) must (a)
+    actually process MULTIPLE micro-batches (pairs snapshot versions
+    accumulate), (b) converge to the one-shot batch relation served
+    from the same persisted index, and (c) be idempotent under batch
+    replay (union-distinct merge: re-applying a micro-batch leaves
+    the pairs table value-unchanged, the at-least-once contract)."""
+    from sas_etl_spark.catalog import load_table
+    from sas_etl_spark.operators.minhash import (
+        build_neardup_index,
+        neardup_query_index,
+    )
+    from sas_etl_spark.queries.io_stream import neardup_ingest_batch
+    from sas_etl_spark.sources.snapshots import current_version, read_snapshot
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    planted = batch.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    master = docs.filter(F.col("doc_id") % 3 != 0).unionByName(planted)
+    index_dir = str(tmp_path / "nd_idx")
+    build_neardup_index(master, index_dir)
+
+    src = str(tmp_path / "nd_src")
+    batch.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs_table = str(tmp_path / "nd_pairs")
+
+    def apply_batch(bdf, epoch_id):
+        neardup_ingest_batch(spark, index_dir, pairs_table, bdf, master)
+
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # (a) several micro-batches each published a version
+    assert current_version(pairs_table) >= 2
+
+    def pairs(df):
+        return {
+            (r.batch_id, r.master_id, r.jaccard) for r in df.collect()
+        }
+
+    streamed = pairs(read_snapshot(spark, pairs_table))
+    oneshot = pairs(
+        neardup_query_index(spark, index_dir, batch, master, 0.8).select(
+            "batch_id", "master_id", "jaccard"
+        )
+    )
+    # (b) batch/stream equivalence
+    assert streamed == oneshot and len(streamed) > 0
+
+    # (c) replaying one micro-batch is a no-op on the VALUE (a new
+    # version publishes, same rows — exactly-once semantics by merge)
+    replay = batch.limit(37)
+    neardup_ingest_batch(spark, index_dir, pairs_table, replay, master)
+    assert pairs(read_snapshot(spark, pairs_table)) == streamed
