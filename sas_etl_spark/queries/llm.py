@@ -1846,9 +1846,14 @@ _SPLIT_BUCKET_SQL = """
 """
 
 
-@query(
-    "q_ngram_contamination",
-    oracle=f"""
+#: The exact 13-gram train/test contamination relation (GPT-3
+#: appendix-C decontamination), shared VERBATIM by
+#: q_ngram_contamination (the exact scan-side form) and
+#: q_bloom_contamination (the bloom-prefiltered 100 TB form) — one
+#: ground truth, two plans, so a green hash on the bloom twin PROVES
+#: the prefiltered path computes the exact relation (the
+#: q_neardup_index_serve / q_incremental_neardup shared-SQL precedent).
+_NGRAM_CONTAM_ORACLE = f"""
     with t as (
         select doc_id, string_split(text, ' ') as toks,
                {_SPLIT_BUCKET_SQL} as bucket
@@ -1866,7 +1871,12 @@ _SPLIT_BUCKET_SQL = """
     from g join train using (gram)
     where g.bucket >= 90
     group by g.doc_id
-    """,
+    """
+
+
+@query(
+    "q_ngram_contamination",
+    oracle=_NGRAM_CONTAM_ORACLE,
     tags=("llm", "dedup", "text"),
 )
 def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,6 +2103,190 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vb, "b_id")
         .select("a_id", "b_id", F.round(cosine("_va", "_vb"), 6).alias("sim"))
         .filter(F.col("sim") >= 0.99)
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle="""
+    with aug as (
+        select vec_id, embedding from embeddings
+        union all
+        select vec_id + 1000000 as vec_id,
+               list_transform(embedding, x -> cast(x * 2 as float)) as embedding
+        from embeddings where vec_id % 25 = 0
+    ),
+    p as (
+        select b.vec_id as b_id, cast(count(*) as bigint) as n
+        from aug a join aug b on a.vec_id < b.vec_id
+        where round(cast(list_cosine_similarity(a.embedding, b.embedding)
+                         as double), 6) >= 0.99
+        group by b.vec_id
+    )
+    select g.vec_id,
+           coalesce(p.n, cast(0 as bigint)) as n_dups_lower,
+           cast(case when p.n is null then 1 else 0 end as int) as kept
+    from aug g left join p on g.vec_id = p.b_id
+    """,
+    tags=("llm", "dedup", "similarity", "ann", "scale"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — SEMANTIC deduplication by embedding-cluster blocking
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"; the D4 family): k-means-cluster
+    the corpus embeddings, compute pairwise cosine only WITHIN each
+    cluster, and drop every document whose similarity to a
+    lower-keyed cluster-mate reaches the threshold — keep-lowest-id is
+    the registry's deterministic representative rule (the paper's
+    lowest-centroid-similarity variant is a one-line swap of the
+    max_by key). Output per corpus row: the count of lower-keyed
+    duplicates found and the kept/dropped decision — the relation a
+    curation pipeline's filter stage consumes.
+
+    Clustering reuses the IVF build recipe wholesale (same knobs as
+    q_ivf_build: seeded 25% sha-sample, 16 seed centroids, 2 rounded
+    Lloyd iterations, rounded-cosine assignment with lower-id
+    tiebreak), so the blocking layer is the same deterministic
+    machinery the ANN family already attests. The fixture plants
+    semantic duplicates exactly as q_near_dup_embedding does (vec_id %
+    25 == 0 copied to vec_id + 1e6, scaled by 2.0): power-of-two
+    scaling is IEEE-exact and cosine is scale-invariant BIT-for-bit,
+    so each planted copy's rounded similarity to every centroid equals
+    its original's and the pair lands in the same cluster
+    deterministically — within-cluster candidate recall for all
+    >= 0.99 pairs is exactly 1, which is what lets the cluster-blocked
+    path be hash-attested against the brute-force all-pairs ORACLE
+    (the all-pairs form exists only there): a green row proves the
+    sub-quadratic plan computes the exact >= tau dedup relation.
+
+    Plan shape (the 100 TB path): one broadcast assign per vector
+    (centroid count grows with the corpus — the paper runs 100k
+    clusters for LAION; 100k x 64 doubles broadcasts at ~50 MB, and
+    beyond that assignment routes through the persisted IVF index),
+    then a self-join keyed on centroid_id whose per-key fan-out is
+    cluster size — bounded by n/k, a constant by construction — never
+    the corpus. No all-pairs stage exists outside the oracle."""
+    from sas_etl_spark.operators.ann import ivf_assign, kmeans_refine, seed_centroids
+    from sas_etl_spark.operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.unionByName(planted)
+    # clustering runs on double-cast vectors (the build_ivf_index
+    # arithmetic the IVF oracles replay); pair cosines run on the
+    # original floats (the q_near_dup_embedding arithmetic its oracle
+    # replays) — each stage reuses its family's proven boundary rule
+    augd = aug.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    train = augd.filter(
+        hash_bucket("vec_id", 1_000_000, seed=_IVF_TRAIN_SEED) < _IVF_TRAIN_PPM
+    ).localCheckpoint(eager=True)
+    cents = kmeans_refine(
+        train,
+        seed_centroids(train, _IVF_N),
+        _IVF_ITERS,
+        sim_round_dp=_IVF_SIM_DP,
+        mean_round_dp=_IVF_MEAN_DP,
+    ).localCheckpoint(eager=True)
+    assign = ivf_assign(augd, cents, sim_round_dp=_IVF_SIM_DP)
+    labeled = aug.join(assign, "vec_id")
+    va = labeled.select(
+        F.col("vec_id").alias("a_id"), "centroid_id", F.col("embedding").alias("_va")
+    )
+    vb = labeled.select(
+        F.col("vec_id").alias("b_id"), "centroid_id", F.col("embedding").alias("_vb")
+    )
+    dups = (
+        va.join(vb, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine("_va", "_vb"), 6) >= 0.99)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups_lower"))
+    )
+    return aug.join(dups, aug["vec_id"] == dups["b_id"], "left").select(
+        "vec_id",
+        F.coalesce("n_dups_lower", F.lit(0).cast("long")).alias("n_dups_lower"),
+        F.when(F.col("n_dups_lower").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )
+
+
+#: Bloom filter geometry for q_bloom_contamination: m bits, k seeded
+#: xxhash64 positions per key. At the fixture's eval-gram cardinality
+#: the false-positive rate is (1 - exp(-k*n/m))^k ~ 1e-3; every FP is
+#: removed by the exact verify join, so geometry affects COST only.
+_BLOOM_M = 1 << 20
+_BLOOM_K = 2
+
+
+@query(
+    "q_bloom_contamination",
+    oracle=_NGRAM_CONTAM_ORACLE,
+    tags=("llm", "dedup", "text", "scale"),
+)
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered 13-gram decontamination — the 100 TB plan
+    shape for q_ngram_contamination's exact relation (and the oracle
+    IS that query's SQL, shared verbatim, so a green hash proves the
+    prefiltered path computes the exact relation). Production
+    decontamination blooms the SMALL side (the eval suite's grams) and
+    streams the TRAIN corpus map-side against it (the Dolma/CCNet
+    posture): the exact twin shuffles both sides' distinct grams,
+    which at 100 TB means shuffling the train corpus; this plan
+    shuffles NOTHING train-sized.
+
+    The bloom is evaluated relationally, zero Python: the set-bit
+    table (distinct xxhash64 positions of the eval grams, k positions
+    per gram) is at most m = 2^20 rows regardless of eval size — the
+    bloom's fixed-size guarantee, here a broadcast bounded at 8 MB of
+    longs — and membership is k broadcast LEFT SEMI hash joins on the
+    position expression, all map-side. Train grams surviving all k
+    probes (true hits + the ~1e-3 FP tail) are the ONLY train rows
+    that reach a shuffle: the distinct + exact verify join against
+    the eval grams, which removes every false positive, then the
+    per-test-doc distinct count. False negatives are impossible, so
+    exactness needs no caveat. At larger eval suites the position
+    table saturates toward m and the FP tail grows — the knob is m,
+    not the plan."""
+    from sas_etl_spark.operators.sampling import deterministic_split
+    from sas_etl_spark.operators.text import token_ngrams
+
+    docs = deterministic_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    toks = docs.select("doc_id", "split", F.split("text", " ").alias("_toks"))
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(token_ngrams(F.col("_toks"), 13))).alias("gram"),
+    )
+    test_grams = grams.filter(F.col("split") == "test").select("doc_id", "gram")
+
+    def positions(col: str) -> list:
+        return [
+            F.pmod(F.xxhash64(F.lit(s), col), F.lit(_BLOOM_M)) for s in range(_BLOOM_K)
+        ]
+
+    bits = (
+        test_grams.select("gram")
+        .distinct()
+        .select(F.explode(F.array(*positions("gram"))).alias("bit"))
+        .distinct()
+    )
+    survivors = grams.filter(F.col("split") == "train").select("gram")
+    for pos in positions("gram"):
+        survivors = survivors.join(
+            F.broadcast(bits), pos == bits["bit"], "left_semi"
+        )
+    return (
+        test_grams.join(survivors.distinct(), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
     )
 
 

@@ -54,21 +54,24 @@ QUERIES: dict[str, QuerySpec] = {}
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 13 window. Composition (50 = 5 + 8 + 37):
-    # -- (a) NEW this round (VERDICT r12 items 1, 2, 6, 8): the
-    # merge-on-read near-dup index maintenance attested over an
-    # UNCOMPACTED bands_delta (q_neardup_mor_serve), the
-    # product-quantized IVF build/serve pair, the streaming twin
-    # of the incremental near-dup ingest, and the non-degenerate
-    # (gradient blocks, standard quant tables) JPEG decode lane.
-    # Registered-so-far entries lead; four oldest-r8 sentinels
-    # hold the remaining slots and are displaced 1:1 as the
-    # round registers the rest.
+    # ROUND 13 window. Composition (50 = 7 + 8 + 35):
+    # -- (a) NEW this round (VERDICT r12 items 1, 2, 6, 8 plus two
+    # capability additions): the merge-on-read near-dup index
+    # maintenance attested over an UNCOMPACTED bands_delta
+    # (q_neardup_mor_serve), the product-quantized IVF build/serve
+    # pair, the streaming twin of the incremental near-dup ingest,
+    # the non-degenerate (gradient blocks, standard quant tables)
+    # JPEG decode lane, SemDeDup semantic dedup (embedding-cluster
+    # blocking attested against the brute-force all-pairs oracle),
+    # and the bloom-prefiltered decontamination twin (exact-relation
+    # oracle shared verbatim with q_ngram_contamination).
     "q_neardup_mor_serve",
     "q_ivf_pq_build",
     "q_ivf_pq_serve",
     "q_stream_neardup",
     "q_jpeg_gradient",
+    "q_semdedup",
+    "q_bloom_contamination",
     # -- (b) code changed this round, re-attest: the near-dup
     # index serve over the band-partitioned, metadata-carrying,
     # delta-merging artifact; the v2-stream lane-observability
@@ -82,9 +85,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ivf_upsert_serve",
     "q_knn_ivf_batch",
     "q_ivf_compact",
-    # -- (c) the stalest attestations (VERDICT r12 item 3): ALL
-    # 37 remaining r7-cohort rows — after this round no
-    # attestation predates r8.
+    # -- (c) the stalest attestations (VERDICT r12 item 3): 35 of
+    # the 37 remaining r7-cohort rows. The two new capability
+    # registrations (q_semdedup, q_bloom_contamination) displace
+    # the two alphabetically-last r7 rows — q_topk_other and
+    # q_url_extract slide to the HEAD of the round-14 window (one
+    # round past the 6-round re-attest cadence, a deliberate,
+    # documented trade for two new attested operators; both are
+    # untouched single-table aggregations whose code last changed
+    # in round 7).
     "q_chunk_docs",
     "q_class_balance",
     "q_cogroup_reconcile",
@@ -120,8 +129,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_skipgrams",
     "q_text_normalize",
     "q_top_paths",
-    "q_topk_other",
-    "q_url_extract",
 )
 
 #: ROUND 13 window bookkeeping rule (learned twice, r7 and r8): NO
@@ -131,22 +138,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: tests/test_registry_order.py's must-set, (3) `python
 #: scratch/gen_operators_md.py` (as its own follow-up commit — the
 #: ledger records the attestation commit), and (4) a full-suite rerun
-#: on the settled tree. Queries registered this round so far:
+#: on the settled tree. Queries registered this round:
 #: q_neardup_mor_serve, q_ivf_pq_build, q_ivf_pq_serve,
-#: q_stream_neardup, q_jpeg_gradient (all windowed) — the round's
-#: planned registrations are complete and the window is exactly
-#: 5 new + 8 re-attests + 37 r7-stale rows. NOTE: jpeg_encode gained
+#: q_stream_neardup, q_jpeg_gradient, q_semdedup,
+#: q_bloom_contamination (all windowed) — the window is exactly
+#: 7 new + 8 re-attests + 35 r7-stale rows. NOTE: jpeg_encode gained
 #: a quant parameter (None default) for the gradient lane;
 #: q_jpeg_features' artifact is BYTE-identical under the default
 #: (round(x/1.0) == round(x), DQT all-ones == its own zigzag) and was
 #: re-verified green at sf0.01 — a value-identical refactor, no
-#: re-attest slot spent.
+#: re-attest slot spent. q_ngram_contamination's oracle string moved
+#: into the shared _NGRAM_CONTAM_ORACLE constant (byte-identical
+#: value) so q_bloom_contamination attests against the same ground
+#: truth — no re-attest slot spent there either.
 #:
-#: ROUND 14 window plan: (1) new/changed queries per the ledger's
-#: changed column, then (2) sentinels oldest-green-first — after r13
-#: the stalest rows are the 40-row r8 cohort (q_approx_distinct,
-#: q_asof_event, ...; read the full order from OPERATORS.md's
-#: Last-attested column).
+#: ROUND 14 window plan: (1) q_topk_other and q_url_extract FIRST
+#: (the two r7 rows this round's capability registrations displaced),
+#: then (2) new/changed queries per the ledger's changed column, then
+#: (3) sentinels oldest-green-first — after r13 the stalest rows are
+#: the 40-row r8 cohort (q_approx_distinct, q_asof_event, ...; read
+#: the full order from OPERATORS.md's Last-attested column).
 
 
 def query(

@@ -17,8 +17,8 @@ from sas_etl_spark.catalog import load_table  # noqa: E402
 from sas_etl_spark.registry import queries_map  # noqa: E402
 from sas_etl_spark.session import get_spark  # noqa: E402
 
-spark = get_spark("r13-distinct-growth", shuffle_partitions=32)
-spark.conf.set("spark.ui.showConsoleProgress", "false")
+spark = get_spark("r13-distinct-growth", shuffle_partitions=32,
+                  extra_confs={"spark.ui.showConsoleProgress": "false"})
 Q = queries_map()
 
 t0 = time.perf_counter()

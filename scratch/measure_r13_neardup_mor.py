@@ -25,8 +25,8 @@ from sas_etl_spark.operators.minhash import (  # noqa: E402
 )
 from sas_etl_spark.session import get_spark  # noqa: E402
 
-spark = get_spark("r13-nd-mor", shuffle_partitions=32)
-spark.conf.set("spark.ui.showConsoleProgress", "false")
+spark = get_spark("r13-nd-mor", shuffle_partitions=32,
+                  extra_confs={"spark.ui.showConsoleProgress": "false"})
 
 docs = load_table(spark, SFDIR, "documents").select("doc_id", "text")
 # master = 90% of the corpus; each ingest batch = a disjoint 2% slice

@@ -26,8 +26,8 @@ from sas_etl_spark.operators.ann import (  # noqa: E402
 from sas_etl_spark.session import get_spark  # noqa: E402
 from sas_etl_spark.sources.snapshots import read_snapshot  # noqa: E402
 
-spark = get_spark("r13-pq-measure", shuffle_partitions=32)
-spark.conf.set("spark.ui.showConsoleProgress", "false")
+spark = get_spark("r13-pq-measure", shuffle_partitions=32,
+                  extra_confs={"spark.ui.showConsoleProgress": "false"})
 
 emb = load_table(spark, SFDIR, "embeddings")
 corpus = emb.filter(F.col("vec_id") >= 100)

@@ -350,3 +350,36 @@ def test_stream_totals_lane_is_recorded(spark):
     stateful.LAST_TOTALS_LANE = None
     queries_map()["q_stream_stateful_totals_v2"](spark, SF_SMOKE).collect()
     assert stateful.LAST_TOTALS_LANE in ("v1", "v2")
+
+
+def test_semdedup_drops_exactly_the_planted_copies(spark):
+    """q_semdedup's cluster-blocked path must reproduce the brute-force
+    dedup decision: every planted copy (vec_id >= 1e6, the scaled-by-2
+    twin of vec_id - 1e6) is dropped with exactly one lower-keyed
+    duplicate (its original), every base vector is kept — the
+    co-clustering guarantee (power-of-two scaling leaves every rounded
+    cosine bit-identical) made observable, not just hash-attested."""
+    from sas_etl_spark.registry import queries_map
+
+    rows = queries_map()["q_semdedup"](spark, SF_SMOKE).collect()
+    planted = [r for r in rows if r.vec_id >= 1_000_000]
+    base = [r for r in rows if r.vec_id < 1_000_000]
+    assert planted, "fixture must plant copies (vec_id % 25 == 0)"
+    assert all(r.kept == 0 and r.n_dups_lower == 1 for r in planted)
+    assert all(r.kept == 1 and r.n_dups_lower == 0 for r in base)
+    # the decision partitions the corpus: kept + dropped = all rows
+    assert len(planted) + len(base) == len(rows)
+
+
+def test_bloom_contamination_equals_exact_twin(spark):
+    """The bloom-prefiltered plan must compute the EXACT contamination
+    relation (no false negatives by construction; false positives
+    removed by the verify join) — pinned Spark-vs-Spark against
+    q_ngram_contamination, the same ground truth its shared oracle
+    attests cross-engine."""
+    from sas_etl_spark.registry import queries_map
+
+    q = queries_map()
+    bloom = {tuple(r) for r in q["q_bloom_contamination"](spark, SF_SMOKE).collect()}
+    exact = {tuple(r) for r in q["q_ngram_contamination"](spark, SF_SMOKE).collect()}
+    assert bloom == exact
