@@ -2721,7 +2721,8 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 when s < c75 then 'middle'
                 else 'tail' end as bucket,
            cast(count(*) as bigint) as n_docs,
-           round(avg(s), 6) as avg_score
+           round(cast(sum(cast(round(s * 1e6, 0) as bigint)) as double)
+                 / count(*) / 1e6, 6) as avg_score
     from score join cuts on cuts.lang = score.lang
     group by 1, 2
     """,
@@ -2745,7 +2746,19 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bucket). Boundary determinism: scores and cuts are both
     rounded to 6dp with identical expression trees on both engines
     (the q_percentiles-attested quantile_cont parity), so bucket
-    membership is bit-stable cross-engine."""
+    membership is bit-stable cross-engine.
+
+    avg_score uses the exact-integer-accumulator idiom (the ADVICE
+    r11 BM25-avgdl / bootstrap recipe): the 6dp scores are summed as
+    exact e6-scaled longs and divided ONCE in double with identical
+    expression order on both sides — F.avg's double fold is
+    summation-order-dependent, and the round-13 full-registry sf0.1
+    sweep caught exactly one bucket ('es'/'middle', 372 docs) whose
+    mean landed on a half-ulp 6dp boundary where the engines' folds
+    rounded apart (3.402257 vs 3.402256). The integer sum is
+    partitioning- and engine-independent by construction; values at
+    the driver's sf0.01 are byte-identical to the pre-fix form
+    (re-verified), so the r9 attestation still binds."""
     from sas_etl_spark.operators.quantiles import exact_percentiles_hist
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2777,6 +2790,14 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang"), bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("s"), 6).alias("avg_score"),
+            F.sum(F.round(F.col("s") * 1e6, 0).cast("long")).alias("_s6"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            F.round(
+                F.col("_s6").cast("double") / F.col("n_docs") / 1e6, 6
+            ).alias("avg_score"),
         )
     )

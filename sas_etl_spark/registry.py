@@ -154,10 +154,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #:
 #: ROUND 14 window plan: (1) q_topk_other and q_url_extract FIRST
 #: (the two r7 rows this round's capability registrations displaced),
-#: then (2) new/changed queries per the ledger's changed column, then
-#: (3) sentinels oldest-green-first — after r13 the stalest rows are
-#: the 40-row r8 cohort (q_approx_distinct, q_asof_event, ...; read
-#: the full order from OPERATORS.md's Last-attested column).
+#: plus q_ppl_buckets (avg_score moved to the exact-integer
+#: accumulator after the round-13 sf0.1 sweep caught a half-ulp
+#: rounding boundary; values at sf0.01 are byte-identical and
+#: re-verified, so the r9 attestation binds, but the changed code
+#: should re-attest first chance), then (2) new/changed queries per
+#: the ledger's changed column, then (3) sentinels oldest-green-first
+#: — after r13 the stalest rows are the 40-row r8 cohort
+#: (q_approx_distinct, q_asof_event, ...; read the full order from
+#: OPERATORS.md's Last-attested column).
 
 
 def query(
