@@ -13,6 +13,14 @@ Parity rules baked into every spec (SURVEY.md §4.3):
   summation order differs between engines, so raw sums can differ in
   the last ulps; round() far above the accumulated error but far below
   data resolution (money sums -> 2dp, unit-scale avgs -> 6dp).
+  CAVEAT (round-13 sf0.1 sweep finding, q_ppl_buckets): rounding does
+  NOT protect a mean whose true value lands exactly on a half-ulp
+  decimal boundary — engines' fold orders can round apart. For a
+  hash-attested mean OF ALREADY-ROUNDED values, prefer the
+  exact-integer-accumulator idiom: sum e6-scaled longs (or
+  decimal(38,0)), divide ONCE in double with identical expression
+  order on both sides (robust_stats.py bootstrap / retrieval.py
+  avgdl / llm.py q_ppl_buckets are the worked examples).
 - Cast DuckDB integer sums to BIGINT (DuckDB widens to HUGEINT ->
   arrow decimal128, Spark stays int64).
 - Cast Spark row_number()/rank() to long (DuckDB window funcs are
