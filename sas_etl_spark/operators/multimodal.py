@@ -8,11 +8,17 @@ as Arrow-batched pandas iterators (mapInPandas) — the ONLY sanctioned
 Python hot path in the engine (SURVEY.md §2.11) — so each task
 processes whole record batches, never rows.
 
-The container image has no image/audio codecs, so ``decode`` is
-STUBBED: real decoding raises NotImplementedError behind an
-import-try (PIL/soundfile), and the deterministic fake path
-(hash-derived features) keeps the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — real and tested.
+Decoding is REAL for five formats, zero external codecs: binary PPM
+(P6), PNG (stdlib zlib inflate + all five scanline filters), baseline
+JPEG (huffman + dequant + IDCT + YCbCr, stdlib+numpy), WAV/PCM, and
+Y4M frame sampling — see decode_image's signature router and the
+attested q_image_features / q_png_features / q_jpeg_features /
+q_jpeg_gradient / q_audio_features / q_video_frame_sample lanes. The
+one remaining capability gate is WebP (VP8 entropy coding genuinely
+needs an external codec; raises NotImplementedError). The
+deterministic fake-payload path below additionally keeps a
+codec-independent plumbing lane — schema, partitioning, UDF
+signature, batch shape — for tests that don't care about pixels.
 """
 
 from __future__ import annotations
