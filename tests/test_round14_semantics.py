@@ -90,3 +90,83 @@ def test_semdedup_serve_refuses_without_index(spark, tmp_path) -> None:
     )
     with pytest.raises(RuntimeError, match="requires a built semantic index"):
         semdedup_against_index(spark, str(tmp_path / "nope"), batch, 0.99)
+
+
+def _tiny_docs(spark, ids):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo foxtrot tok{i} golf hotel") for i in ids],
+        "doc_id long, text string",
+    ).select("doc_id", "text")
+
+
+def test_maybe_compact_neardup_boundary(spark, tmp_path) -> None:
+    """The compaction trigger (VERDICT r13 item 7): below the
+    threshold the O(batch) delta stays (lazy — the band-partitioned
+    base makes small deltas ~free to read through); at the threshold
+    the fold runs, the delta empties, and the decision + measured
+    stats persist as the _index_meta.json maintenance breadcrumb."""
+    import json
+
+    from sas_etl_spark.operators.maintenance import (
+        index_maintenance_stats,
+        maybe_compact,
+    )
+    from sas_etl_spark.operators.minhash import (
+        _read_bands_delta_if_any,
+        _read_neardup_meta,
+        append_neardup_index,
+        build_neardup_index,
+    )
+
+    d = str(tmp_path / "ndidx")
+    build_neardup_index(_tiny_docs(spark, range(20)), d)
+    append_neardup_index(_tiny_docs(spark, range(100, 104)), d, mode="mor")
+    stats = index_maintenance_stats(spark, d)
+    assert stats["family"] == "neardup"
+    assert 0 < stats["delta_fraction"] < 0.25  # 4/20 of the band rows
+
+    below = maybe_compact(spark, d)  # default threshold 0.25
+    assert below["compacted"] is False
+    delta = _read_bands_delta_if_any(spark, d)
+    assert delta is not None and delta.count() > 0  # delta untouched
+
+    at = maybe_compact(spark, d, max_delta_fraction=stats["delta_fraction"])
+    assert at["compacted"] is True and "version" in at
+    delta = _read_bands_delta_if_any(spark, d)
+    assert delta is None or delta.count() == 0  # folded + emptied
+
+    with open(f"{d}/_index_meta.json") as f:
+        meta = json.load(f)
+    assert meta["maintenance"]["compacted"] is True
+    assert meta["maintenance"]["delta_rows"] == stats["delta_rows"]
+    # the build-written keys survive the breadcrumb merge
+    assert _read_neardup_meta(d)["id_col"] == "doc_id"
+
+
+def test_maybe_compact_ivf_boundary(spark, tmp_path) -> None:
+    """Same policy, IVF family by layout detection; fresh index reads
+    as zero delta and maybe_compact is a recorded no-op."""
+    from pyspark.sql import functions as F
+
+    from sas_etl_spark.operators.ann import _read_index_meta, ivf_upsert
+    from sas_etl_spark.operators.ann import build_ivf_index
+    from sas_etl_spark.operators.maintenance import maybe_compact
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    d = str(tmp_path / "ivfidx")
+    build_ivf_index(vecs(range(40)), d, n_centroids=2, refine_iters=1, dim=3)
+    fresh = maybe_compact(spark, d)
+    assert fresh == {**fresh, "family": "ivf", "delta_rows": 0, "compacted": False}
+
+    ivf_upsert(spark, d, vecs(range(200, 230)), dim=3, mode="mor")
+    decision = maybe_compact(spark, d)  # 30/40 = 0.75 >= 0.25
+    assert decision["compacted"] is True and decision["delta_rows"] == 30
+    # meta still resolves the layout after the breadcrumb write
+    assert _read_index_meta(d)["id_col"] == "vec_id"
