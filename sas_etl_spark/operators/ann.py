@@ -1479,7 +1479,14 @@ def semdedup_against_index(
     batch x master relation whenever qualifying pairs co-cluster —
     guaranteed for IEEE-scaled planted duplicates, fixture-asserted
     for the no-natural-pairs assumption (ADVICE r13); a quantized
-    layout serves reconstructed sims (dedup-grade, not hash-grade)."""
+    layout serves reconstructed sims (dedup-grade, not hash-grade).
+
+    Per-pair scoring is the ivf_topk_batch_from norm trick: the index
+    stores each member's L2 norm (vec_norm) and the batch norm
+    computes once per batch row scan-side, so the within-cluster join
+    pays ONE dot fold per pair instead of dot + two norms —
+    bit-identical to cosine() (same subexpressions, factored out of
+    the pair loop), ~3x less per-pair arithmetic."""
     import os
 
     if not os.path.isdir(os.path.join(table_dir, "centroids")):
@@ -1503,18 +1510,26 @@ def semdedup_against_index(
         F.col(id_col).alias("batch_id"),
         "centroid_id",
         F.col(vec_col).alias("_bv"),
+        l2_norm(vec_col).alias("_bnorm"),
+    )
+    mnorm = (
+        F.col("vec_norm") if "vec_norm" in lists.columns else l2_norm(F.col(vec_col))
     )
     mv = lists.select(
         F.col(id_col).alias("master_id"),
         "centroid_id",
         F.col(vec_col).alias("_mv"),
+        mnorm.alias("_mnorm"),
     )
     return (
         bv.join(mv, "centroid_id")
         .select(
             "batch_id",
             "master_id",
-            F.round(cosine("_bv", "_mv"), sim_round_dp).alias("sim"),
+            F.round(
+                dot("_bv", "_mv") / (F.col("_bnorm") * F.col("_mnorm")),
+                sim_round_dp,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

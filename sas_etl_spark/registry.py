@@ -81,6 +81,44 @@ DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset(
     {("q_tumbling_counts", 14), ("q_weighted_median", 14)}
 )
 
+#: Round-close protocol (promoted to standing protocol in round 14,
+#: VERDICT r13 item 8): after the tree settles, run the FULL-registry
+#: sf0.1 oracle sweep in a fresh process — `SKIP=auto
+#: SFDIR=/root/testdata/sf0.1 python scratch/drive_driver_sf.py` —
+#: and record the artifact path in SCALE.md's round section. Budget
+#: ~80 min. It exists because sf0.01 attestation structurally cannot
+#: see cross-engine boundary effects that need specific value
+#: populations (round 13's only real bug, q_ppl_buckets' half-ulp
+#: mean boundary, surfaced ONLY there). SWEEP_SKIP names the
+#: documented exceptions: queries whose DUCKDB ORACLE is a
+#: brute-force all-pairs (or transitive-closure) form over the
+#: 5,000-document corpus at sf0.1 — 50+ minutes EACH engine-side
+#: (measured rounds 6 and 13; a 40-min capped attempt at seven did
+#: not finish). The SPARK side is sub-quadratic everywhere; it is the
+#: ground-truth oracle that cannot scale. These stay exact-verified
+#: at sf0.01 by the driver and at the ~833-doc intermediate SF by
+#: tests/test_intermediate_sf_parity.py. Embedding-based all-pairs
+#: oracles (2,080 vectors at sf0.1) are FEASIBLE and deliberately
+#: not listed (retired from the skip set in round 13).
+SWEEP_SKIP: frozenset[str] = frozenset(
+    {
+        "q_jaccard_pairs",
+        "q_near_dup_minhash",
+        "q_near_dup_simhash",
+        "q_dup_clusters",
+        "q_containment_pairs",
+        "q_prefix_join",
+        "q_chunk_dedup",
+        "q_fuzzy_match",
+        "q_cross_source_dups",
+        "q_simhash_fingerprints",
+        "q_neardup_apply",
+        "q_pretrain_pipeline",
+        "q_pretrain_pipeline_prod",
+        "q_dedup_containment",
+    }
+)
+
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 14 window. Composition (50 = 2 + 8 + 2 + 38), draining the
     # re-attestation debt VERDICT r13 item 1 names:

@@ -4,6 +4,9 @@ Optional env filters:
   ONLY=q_a,q_b    run just these queries
   SKIP=q_x,q_y    exclude these (e.g. the O(n^2) Jaccard oracles that
                   take 35+ min in DuckDB at sf0.1)
+  SKIP=auto       exclude registry.SWEEP_SKIP — the documented
+                  quadratic-oracle set for the standing round-close
+                  full-registry sf0.1 sweep (VERDICT r13 item 8)
 """
 import hashlib, importlib.util, os, sys
 import duckdb, pandas as pd
@@ -31,7 +34,16 @@ def norm(d):
     return d
 fails = 0
 only = set(filter(None, os.environ.get("ONLY", "").split(",")))
-skip = set(filter(None, os.environ.get("SKIP", "").split(",")))
+_skip_env = os.environ.get("SKIP", "")
+if _skip_env == "auto":
+    sys.path.insert(0, "/root/repo")
+    from sas_etl_spark.registry import SWEEP_SKIP
+
+    skip = set(SWEEP_SKIP)
+    print("SKIP=auto ->", len(skip), "quadratic-oracle queries skipped:",
+          ",".join(sorted(skip)))
+else:
+    skip = set(filter(None, _skip_env.split(",")))
 for name, fn in sorted(Q.items()):
     if name not in O: continue
     if only and name not in only: continue
