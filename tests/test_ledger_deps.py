@@ -8,7 +8,6 @@ walker in plans/deps.py closes that hole; these tests pin it.
 
 from __future__ import annotations
 
-import importlib.util
 import pathlib
 
 from sas_etl_spark import registry
@@ -59,15 +58,12 @@ def test_closure_reaches_universal_reader() -> None:
 
 
 def test_synthetic_helper_edit_flags_dependents() -> None:
-    """End-to-end on the generator's own compare: take the real
+    """End-to-end on the ledger's own compare (importable from
+    plans/ledger.py since the round-14 extraction): take the real
     builders.py source, apply a one-token edit inside stream_events,
     and assert the segment comparison the ledger uses reports a
     change for exactly that helper."""
-    spec = importlib.util.spec_from_file_location(
-        "gen_operators_md", REPO / "scratch" / "gen_operators_md.py"
-    )
-    gen = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(gen)
+    from sas_etl_spark.plans import ledger as gen
 
     src = (REPO / "sas_etl_spark" / "streaming" / "builders.py").read_text()
     before = gen.function_segments(src)
