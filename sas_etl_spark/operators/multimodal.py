@@ -8,14 +8,15 @@ as Arrow-batched pandas iterators (mapInPandas) — the ONLY sanctioned
 Python hot path in the engine (SURVEY.md §2.11) — so each task
 processes whole record batches, never rows.
 
-Decoding is REAL for five formats, zero external codecs: binary PPM
+Decoding is REAL for six formats, zero external codecs: binary PPM
 (P6), PNG (stdlib zlib inflate + all five scanline filters), baseline
-JPEG (huffman + dequant + IDCT + YCbCr, stdlib+numpy), WAV/PCM, and
-Y4M frame sampling — see decode_image's signature router and the
-attested q_image_features / q_png_features / q_jpeg_features /
-q_jpeg_gradient / q_audio_features / q_video_frame_sample lanes. The
-one remaining capability gate is WebP (VP8 entropy coding genuinely
-needs an external codec; raises NotImplementedError). The
+JPEG (huffman + dequant + IDCT + YCbCr, stdlib+numpy), lossless WebP
+(full VP8L in operators/webp.py — round 14), WAV/PCM, and Y4M frame
+sampling — see decode_image's signature router and the attested
+q_image_features / q_png_features / q_jpeg_features / q_jpeg_gradient
+/ q_audio_features / q_video_frame_sample lanes. The one remaining
+capability gate is LOSSY WebP (VP8 boolean arithmetic coding + the
+intra-prediction stack genuinely needs an external codec). The
 deterministic fake-payload path below additionally keeps a
 codec-independent plumbing lane — schema, partitioning, UDF
 signature, batch shape — for tests that don't care about pixels.
@@ -57,19 +58,25 @@ def decode_image(payload: bytes) -> "np.ndarray":
     the stdlib-zlib lane (decode_png — inflate + per-scanline
     unfilter), baseline JPEG via decode_jpeg (huffman + dequant +
     IDCT + YCbCr, stdlib+numpy — VERDICT r11 item 5), PPM via
-    decode_ppm. WebP (VP8 entropy coding) genuinely requires an
-    external codec this container lacks and raises — the one
-    remaining capability gate in the modality family."""
+    decode_ppm, lossless WebP via operators/webp.decode_webp (full
+    VP8L: huffman + LZ77 + color cache + all four transforms — round
+    14). LOSSY WebP (VP8 boolean arithmetic coding) is the one
+    remaining codec gate and raises inside decode_webp."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from sas_etl_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "WebP decode requires an external codec library; JPEG (baseline), "
-        "PNG, PPM, WAV and Y4M all decode for real here (decode_jpeg / "
-        "decode_png / decode_ppm / decode_wav / video_frame_sample_stats)"
+        "unrecognized image signature; JPEG (baseline), PNG, PPM, lossless "
+        "WebP (VP8L), WAV and Y4M all decode for real here (decode_jpeg / "
+        "decode_png / decode_ppm / webp.decode_webp / decode_wav / "
+        "video_frame_sample_stats); lossy WebP needs an external codec"
     )
 
 

@@ -1,0 +1,1219 @@
+"""Lossless WebP (VP8L): real byte decode + fixture encoder, stdlib +
+numpy only (SURVEY.md §2.9 #58 modality family; closes most of the
+former "WebP gate").
+
+The gate note in operators/multimodal.py says WebP needs an external
+codec — that is true only for LOSSY WebP (VP8 key frames use a
+boolean arithmetic coder plus the full intra-prediction stack).
+LOSSLESS WebP (the VP8L chunk, "WebP Lossless Bitstream
+Specification", Google, 2012-2023; the format `cwebp -lossless`
+emits) is prefix-coded: canonical Huffman over ARGB literals, an
+LZ77 backward-reference layer with a 2-D short-distance map, an
+optional color cache, four reversible spatial transforms, and
+optional spatially-varying ("meta") Huffman code groups. All of that
+is integer + Huffman arithmetic — the same class of work as the PNG
+lane's inflate+unfilter and the JPEG lane's huffman+IDCT — so it is
+implemented here for real, with zero codec libraries.
+
+Scope (documented precisely, the house rule for codec lanes):
+
+- `decode_webp` decodes the full VP8L feature surface: both Huffman
+  code shapes (simple 1-/2-symbol codes and code-length-coded codes
+  with 16/17/18 repeats and the optional max_symbol cap), color
+  cache, LZ77 with the 120-entry plane-code distance map, meta
+  Huffman groups, and all four transforms — SUBTRACT_GREEN,
+  PREDICTOR (all 14 modes), COLOR (cross-color multipliers), and
+  COLOR_INDEXING (palette, incl. sub-byte pixel bundling). The one
+  rejected combination is COLOR_INDEXING together with PREDICTOR /
+  COLOR transforms (raises; encoders do not emit it — palette mode
+  excludes the pixel-space transforms in practice).
+- Verification is round-trip against this module's OWN `vp8l_encode`
+  (feature-configurable precisely so tests can drive every decoder
+  path), the same posture as the PNG/JPEG/WAV lanes whose fixture
+  encoders also live in-repo: the container has no libwebp and no
+  external .webp corpus, so cross-codec byte validation is not
+  possible here. Spec-derived pieces a foreign file would exercise
+  beyond the paired encoder (e.g. distance-map entries the encoder
+  never emits) are generated from the spec's published ordering rule
+  and pinned by tests against the spec document's leading entries.
+- Lossy VP8 remains the genuine external-codec gate.
+
+No function in this module is referenced by any attested query (the
+ledger's callee closure stays untouched); the Spark-facing
+`webp_stats` lane is registration-ready for a future driver window.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------
+# Bit I/O. VP8L packs bits LSB-first within each byte; ReadBits(n)
+# returns the first-read bit in the LOWEST position. Huffman codes are
+# the one exception in *interpretation*: bits are still consumed in
+# stream order, but the first bit read is the MSB of the canonical
+# code (tree descent from the root).
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._bitpos = 0  # bits already used in the last byte
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            bit = (value >> i) & 1
+            if self._bitpos == 0:
+                self._bytes.append(0)
+            if bit:
+                self._bytes[-1] |= 1 << self._bitpos
+            self._bitpos = (self._bitpos + 1) % 8
+
+    def write_code(self, code: int, nbits: int) -> None:
+        """Huffman code: emit MSB of the code first."""
+        for i in range(nbits - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self._bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0  # absolute bit position
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for i in range(nbits):
+            byte = self._pos >> 3
+            if byte >= len(self._data):
+                raise ValueError("VP8L: bitstream truncated")
+            bit = (self._data[byte] >> (self._pos & 7)) & 1
+            v |= bit << i
+            self._pos += 1
+        return v
+
+
+# ---------------------------------------------------------------------
+# Canonical prefix codes (deflate-style assignment, RFC 1951 §3.2.2:
+# shorter lengths first, ties broken by symbol order).
+# ---------------------------------------------------------------------
+
+
+def _canonical_code_table(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits) for nonzero lengths."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 2)
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _HuffDecoder:
+    """Bit-at-a-time canonical decoder. A single-symbol code (all other
+    lengths zero) decodes without consuming bits, per the VP8L simple-
+    code degenerate case."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(s, ln) for s, ln in enumerate(lengths) if ln]
+        if not nz:
+            raise ValueError("VP8L: huffman code with no symbols")
+        if len(nz) == 1:
+            self._single: int | None = nz[0][0]
+            self._table: dict[tuple[int, int], int] = {}
+            return
+        self._single = None
+        kraft = sum(2.0 ** -ln for _, ln in nz)
+        if abs(kraft - 1.0) > 1e-9:
+            raise ValueError(f"VP8L: incomplete huffman code (kraft={kraft})")
+        self._table = {
+            (nbits, code): sym
+            for sym, (code, nbits) in _canonical_code_table(lengths).items()
+        }
+
+    def read(self, br: _BitReader) -> int:
+        if self._single is not None:
+            return self._single
+        code = 0
+        nbits = 0
+        while True:
+            code = (code << 1) | br.read(1)
+            nbits += 1
+            sym = self._table.get((nbits, code))
+            if sym is not None:
+                return sym
+            if nbits > 15:
+                raise ValueError("VP8L: invalid huffman code in stream")
+
+
+#: Order in which code-length-code lengths are stored (spec §6.2.2 —
+#: identical role to deflate's CL order, different permutation).
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _read_huffman_code(br: _BitReader, alphabet_size: int) -> _HuffDecoder:
+    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_len = 8 if br.read(1) else 1
+        sym0 = br.read(first_len)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            if sym0 >= alphabet_size:
+                raise ValueError("VP8L: simple-code symbol out of range")
+            lengths[sym0] = 1  # degenerate; _HuffDecoder reads 0 bits
+            return _HuffDecoder(lengths)
+        sym1 = br.read(8)
+        if sym0 >= alphabet_size or sym1 >= alphabet_size or sym0 == sym1:
+            raise ValueError("VP8L: bad simple-code symbols")
+        lengths[sym0] = lengths[sym1] = 1
+        return _HuffDecoder(lengths)
+    # normal: read the code-length code, then the symbol lengths
+    num_cl = br.read(4) + 4
+    if num_cl > len(_CL_ORDER):
+        raise ValueError("VP8L: too many code-length codes")
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_dec = _HuffDecoder(cl_lengths)
+    # optional cap on the number of coded symbols
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = cl_dec.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if sym >= alphabet_size:
+                    raise ValueError("VP8L: repeat past alphabet")
+                lengths[sym] = prev_len
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+        if sym > alphabet_size:
+            raise ValueError("VP8L: zero-run past alphabet")
+    return _HuffDecoder(lengths)
+
+
+# ---------------------------------------------------------------------
+# LZ77 prefix values and the 2-D short-distance map.
+# ---------------------------------------------------------------------
+
+
+def _lz77_read_value(br: _BitReader, prefix: int) -> int:
+    """Length/distance prefix code -> value (spec §5.2.2)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _lz77_prefix(value: int) -> tuple[int, int, int]:
+    """value -> (prefix_code, extra_bits, extra_value); encoder side."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    offset = (2 + ((v >> extra) & 1)) << extra
+    return (
+        2 * extra + ((v >> extra) & 1) + 2,
+        extra,
+        value - offset - 1,
+    )
+
+
+def _build_distance_map() -> list[tuple[int, int]]:
+    """The 120 plane codes: 2-D offsets (dx, dy) ordered per the spec's
+    published table — increasing euclidean distance, ties broken by
+    larger dy first, then larger dx (positive before negative). The
+    leading 22 entries are pinned verbatim against the spec document in
+    tests/test_webp_vp8l.py; distance = dx + dy*width, clamped to
+    >= 1."""
+    cands = [
+        (x, y)
+        for y in range(0, 9)
+        for x in range(-8, 9)
+        if y > 0 or x > 0
+    ]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return cands[:120]
+
+
+_DIST_MAP: list[tuple[int, int]] = _build_distance_map()
+#: (dx, dy) -> 1-based plane code, for the encoder.
+_DIST_CODE: dict[tuple[int, int], int] = {
+    p: i + 1 for i, p in enumerate(_DIST_MAP)
+}
+
+
+def _plane_code_to_distance(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    return max(1, dx + dy * width)
+
+
+def _distance_to_code(distance: int, width: int) -> tuple[int, bool]:
+    """Encoder: prefer a plane code when the offset is in the map."""
+    for (dx, dy), code in _DIST_CODE.items():
+        if dx + dy * width == distance and distance >= 1:
+            return code, True
+    return distance + 120, False
+
+
+# ---------------------------------------------------------------------
+# Color cache (spec §4.3).
+# ---------------------------------------------------------------------
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# ---------------------------------------------------------------------
+# Decoder.
+# ---------------------------------------------------------------------
+
+_TRANSFORM_PREDICTOR = 0
+_TRANSFORM_COLOR = 1
+_TRANSFORM_SUBTRACT_GREEN = 2
+_TRANSFORM_COLOR_INDEXING = 3
+
+
+def _div_round_up(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _decode_entropy_coded_image(
+    br: _BitReader, width: int, height: int, is_level0: bool
+) -> np.ndarray:
+    """One spatially-coded ARGB image (spec §5): color-cache info,
+    huffman code groups (meta groups only at level 0), then the
+    literal / backref / cache-ref pixel stream. Returns uint32 ARGB
+    flat array of length width*height."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L: bad color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_bits = 0
+    num_groups = 1
+    if is_level0 and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = _div_round_up(width, 1 << meta_bits)
+        mh = _div_round_up(height, 1 << meta_bits)
+        meta_px = _decode_entropy_coded_image(br, mw, mh, False)
+        meta = ((meta_px >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(meta.max()) + 1
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_huffman_code(br, green_size),
+                _read_huffman_code(br, 256),  # red
+                _read_huffman_code(br, 256),  # blue
+                _read_huffman_code(br, 256),  # alpha
+                _read_huffman_code(br, 40),  # distance
+            )
+        )
+
+    npix = width * height
+    out = np.zeros(npix, dtype=np.uint64)
+    cache = [0] * cache_size
+    pos = 0
+    mw = _div_round_up(width, 1 << meta_bits) if meta is not None else 0
+    while pos < npix:
+        if meta is not None:
+            x, y = pos % width, pos // width
+            g = groups[int(meta[(y >> meta_bits) * mw + (x >> meta_bits)])]
+        else:
+            g = groups[0]
+        green_dec, red_dec, blue_dec, alpha_dec, dist_dec = g
+        s = green_dec.read(br)
+        if s < 256:  # literal ARGB
+            red = red_dec.read(br)
+            blue = blue_dec.read(br)
+            alpha = alpha_dec.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache_bits:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += 1
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _lz77_read_value(br, s - 256)
+            dist_code = _lz77_read_value(br, dist_dec.read(br))
+            distance = _plane_code_to_distance(dist_code, width)
+            if distance > pos or pos + length > npix:
+                raise ValueError("VP8L: backref out of range")
+            for _ in range(length):
+                px = int(out[pos - distance])
+                out[pos] = px
+                if cache_bits:
+                    cache[_cache_key(px, cache_bits)] = px
+                pos += 1
+        else:  # color-cache reference
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("VP8L: cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.astype(np.uint32)
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-channel (a+b)//2 on packed ARGB uint32."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _unpack(px: int) -> tuple[int, int, int, int]:
+    return (px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _predict(mode: int, left: int, top: int, topleft: int, topright: int) -> int:
+    """The 14 VP8L predictors (spec §4.2.2), packed-ARGB in/out."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    a = np.uint32
+    if mode == 5:
+        return int(_avg2(_avg2(a(left), a(topright)), a(top)))
+    if mode == 6:
+        return int(_avg2(a(left), a(topleft)))
+    if mode == 7:
+        return int(_avg2(a(left), a(top)))
+    if mode == 8:
+        return int(_avg2(a(topleft), a(top)))
+    if mode == 9:
+        return int(_avg2(a(top), a(topright)))
+    if mode == 10:
+        return int(
+            _avg2(_avg2(a(left), a(topleft)), _avg2(a(top), a(topright)))
+        )
+    if mode == 11:  # Select
+        lc = _unpack(left)
+        tc = _unpack(top)
+        tlc = _unpack(topleft)
+        pae_left = 0
+        pae_top = 0
+        for i in range(4):
+            p = lc[i] + tc[i] - tlc[i]
+            pae_left += abs(p - lc[i])
+            pae_top += abs(p - tc[i])
+        return left if pae_left <= pae_top else top
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for shift in (24, 16, 8, 0):
+            ch = _clamp(
+                ((left >> shift) & 0xFF)
+                + ((top >> shift) & 0xFF)
+                - ((topleft >> shift) & 0xFF)
+            )
+            out |= ch << shift
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        avg = int(_avg2(np.uint32(left), np.uint32(top)))
+        out = 0
+        for shift in (24, 16, 8, 0):
+            av = (avg >> shift) & 0xFF
+            tl = (topleft >> shift) & 0xFF
+            d = av - tl
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc division
+            out |= _clamp(av + half) << shift
+        return out
+    raise ValueError(f"VP8L: bad predictor mode {mode}")
+
+
+def _apply_inverse_predictor(
+    pixels: np.ndarray, width: int, height: int, modes: np.ndarray, bits: int
+) -> None:
+    """In-place: residuals + prediction mod 256 per channel, scan
+    order. Edge rules (universal implementation behavior): (0,0)
+    predicts opaque black; row 0 predicts LEFT; column 0 predicts TOP;
+    TOPRIGHT at the last column reads the CURRENT row's first pixel
+    (the contiguous-buffer rule)."""
+    mw = _div_round_up(width, 1 << bits)
+    for y in range(height):
+        for x in range(width):
+            pos = y * width + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(pixels[pos - 1])  # left
+            elif x == 0:
+                pred = int(pixels[pos - width])  # top
+            else:
+                mode = int(
+                    (modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xFF
+                )
+                left = int(pixels[pos - 1])
+                top = int(pixels[pos - width])
+                topleft = int(pixels[pos - width - 1])
+                topright = (
+                    int(pixels[pos - width + 1])
+                    if x + 1 < width
+                    else int(pixels[y * width])
+                )
+                pred = _predict(mode, left, top, topleft, topright)
+            res = int(pixels[pos])
+            px = 0
+            for shift in (24, 16, 8, 0):
+                ch = (((res >> shift) & 0xFF) + ((pred >> shift) & 0xFF)) & 0xFF
+                px |= ch << shift
+            pixels[pos] = px
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8)t * (int8)c >> 5, arithmetic shift."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _apply_inverse_color_transform(
+    pixels: np.ndarray, width: int, height: int, elems: np.ndarray, bits: int
+) -> None:
+    """In-place cross-color inverse (spec §4.2.3): red += f(green),
+    blue += f(green) + g(NEW red), per-block multipliers."""
+    mw = _div_round_up(width, 1 << bits)
+    for y in range(height):
+        for x in range(width):
+            pos = y * width + x
+            cte = int(elems[(y >> bits) * mw + (x >> bits)])
+            g2r = cte & 0xFF  # stored in blue channel
+            g2b = (cte >> 8) & 0xFF  # stored in green channel
+            r2b = (cte >> 16) & 0xFF  # stored in red channel
+            px = int(pixels[pos])
+            a, r, g, b = _unpack(px)
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g)) & 0xFF
+            b = (b + _ct_delta(r2b, r)) & 0xFF
+            pixels[pos] = _pack(a, r, g, b)
+
+
+def _apply_inverse_subtract_green(pixels: np.ndarray) -> None:
+    g = (pixels >> np.uint32(8)) & np.uint32(0xFF)
+    r = (((pixels >> np.uint32(16)) & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+    b = ((pixels & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+    pixels[:] = (
+        (pixels & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+    )
+
+
+def _palette_width_bits(palette_size: int) -> int:
+    if palette_size <= 2:
+        return 3
+    if palette_size <= 4:
+        return 2
+    if palette_size <= 16:
+        return 1
+    return 0
+
+
+def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WEBP/VP8L bytes -> (width, height, flat uint32 ARGB)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP: bad RIFF header")
+    if payload[12:16] != b"VP8L":
+        if payload[12:16] in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended WebP (VP8 arithmetic coding) requires an "
+                "external codec; lossless VP8L decodes here"
+            )
+        raise ValueError(f"bad WebP chunk {payload[12:16]!r}")
+    (chunk_len,) = struct.unpack("<I", payload[16:20])
+    br = _BitReader(payload[20 : 20 + chunk_len])
+    if br.read(8) != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+
+    # transforms, in stream order; inverses apply in reverse order
+    transforms: list[tuple[int, object]] = []
+    seen: set[int] = set()
+    cur_w = width  # color-indexing reduces the coded width
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("VP8L: duplicate transform")
+        seen.add(ttype)
+        if ttype == _TRANSFORM_SUBTRACT_GREEN:
+            transforms.append((ttype, None))
+        elif ttype in (_TRANSFORM_PREDICTOR, _TRANSFORM_COLOR):
+            bits = br.read(3) + 2
+            sw = _div_round_up(cur_w, 1 << bits)
+            sh = _div_round_up(height, 1 << bits)
+            sub = _decode_entropy_coded_image(br, sw, sh, False)
+            transforms.append((ttype, (bits, sub)))
+        elif ttype == _TRANSFORM_COLOR_INDEXING:
+            psize = br.read(8) + 1
+            pal = _decode_entropy_coded_image(br, psize, 1, False)
+            # palette entries are component-wise delta-coded
+            pal = pal.astype(np.int64)
+            for i in range(1, psize):
+                s = 0
+                for shift in (24, 16, 8, 0):
+                    ch = (
+                        ((int(pal[i]) >> shift) & 0xFF)
+                        + ((int(pal[i - 1]) >> shift) & 0xFF)
+                    ) & 0xFF
+                    s |= ch << shift
+                pal[i] = s
+            wbits = _palette_width_bits(psize)
+            transforms.append((ttype, (psize, wbits, pal.astype(np.uint32))))
+            cur_w = _div_round_up(width, 1 << wbits)
+        else:
+            raise ValueError(f"VP8L: bad transform type {ttype}")
+    if _TRANSFORM_COLOR_INDEXING in seen and (
+        _TRANSFORM_PREDICTOR in seen or _TRANSFORM_COLOR in seen
+    ):
+        raise NotImplementedError(
+            "VP8L: palette combined with pixel-space transforms is not "
+            "supported here (encoders do not emit this combination)"
+        )
+
+    pixels = _decode_entropy_coded_image(br, cur_w, height, True)
+
+    for ttype, data in reversed(transforms):
+        if ttype == _TRANSFORM_SUBTRACT_GREEN:
+            _apply_inverse_subtract_green(pixels)
+        elif ttype == _TRANSFORM_PREDICTOR:
+            bits, sub = data
+            _apply_inverse_predictor(pixels, cur_w, height, sub, bits)
+        elif ttype == _TRANSFORM_COLOR:
+            bits, sub = data
+            _apply_inverse_color_transform(pixels, cur_w, height, sub, bits)
+        else:  # color indexing: unbundle + palette lookup
+            psize, wbits, pal = data
+            if wbits == 0:
+                idx = (pixels >> np.uint32(8)) & np.uint32(0xFF)
+            else:
+                per_byte = 1 << wbits
+                bpp = 8 >> wbits
+                packed = (
+                    (pixels.reshape(height, cur_w) >> np.uint32(8))
+                    & np.uint32(0xFF)
+                ).astype(np.int64)
+                xs = np.arange(width, dtype=np.int64)
+                src = packed[:, xs >> wbits]
+                shiftv = (xs % per_byte) * bpp
+                idx = (src >> shiftv[None, :]) & ((1 << bpp) - 1)
+                idx = idx.reshape(-1)
+            idx = idx.astype(np.int64)
+            safe = np.where(idx < psize, idx, 0)
+            looked = pal[safe]
+            looked = np.where(idx < psize, looked, np.uint32(0))
+            pixels = looked.astype(np.uint32)
+            cur_w = width
+    if cur_w != width:
+        raise ValueError("VP8L: coded width not restored")
+    return width, height, pixels
+
+
+def decode_webp(payload: bytes) -> "np.ndarray":
+    """Lossless-WebP bytes -> (height, width, 3) uint8 RGB (alpha
+    dropped, matching decode_png / decode_ppm)."""
+    width, height, argb = _vp8l_decode_argb(payload)
+    out = np.zeros((height * width, 3), dtype=np.uint8)
+    out[:, 0] = (argb >> np.uint32(16)) & np.uint32(0xFF)
+    out[:, 1] = (argb >> np.uint32(8)) & np.uint32(0xFF)
+    out[:, 2] = argb & np.uint32(0xFF)
+    return out.reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------
+# Encoder (fixture side). Feature-configurable so tests can drive every
+# decoder path; completeness over compression (flat complete codes).
+# ---------------------------------------------------------------------
+
+
+def _flat_lengths(freqs: list[int]) -> list[int]:
+    """Complete canonical code lengths over the used symbols: with k
+    used symbols and L = ceil(log2 k), give (2^L - k) of them length
+    L-1 and the rest length L — Kraft sums to exactly 1, max length
+    9 < 15 for every VP8L alphabet. Optimality is irrelevant here
+    (fixtures), completeness is mandatory (decoders reject
+    over/under-subscribed codes)."""
+    used = [s for s, f in enumerate(freqs) if f > 0]
+    k = len(used)
+    lengths = [0] * len(freqs)
+    if k == 0:
+        return lengths
+    if k == 1:
+        lengths[used[0]] = 1  # degenerate single-symbol code
+        return lengths
+    level = max(1, (k - 1).bit_length())
+    n_short = (1 << level) - k
+    for i, s in enumerate(used):
+        lengths[s] = level - 1 if i < n_short else level
+    return lengths
+
+
+def _write_huffman_code(bw: _BitWriter, lengths: list[int]) -> None:
+    """Emit one prefix code: the simple shape when possible, else the
+    code-length-coded shape with 17/18 zero runs (no max_symbol cap)."""
+    used = [s for s, ln in enumerate(lengths) if ln]
+    if len(used) <= 2 and all(s <= 255 for s in used):
+        bw.write(1, 1)  # simple
+        n = max(1, len(used))
+        syms = used or [0]
+        bw.write(n - 1, 1)
+        bw.write(1, 1)  # first symbol in 8 bits
+        bw.write(syms[0], 8)
+        if n == 2:
+            bw.write(syms[1], 8)
+        return
+    bw.write(0, 1)  # code-length-coded
+    # zero-run encode the length sequence over the full alphabet
+    stream: list[tuple[int, int, int]] = []  # (cl_symbol, extra_bits, extra)
+    i = 0
+    while i < len(lengths):
+        if lengths[i] == 0:
+            run = 1
+            while i + run < len(lengths) and lengths[i + run] == 0:
+                run += 1
+            left = run
+            while left >= 11:
+                chunk = min(left, 138)
+                stream.append((18, 7, chunk - 11))
+                left -= chunk
+            while left >= 3:
+                chunk = min(left, 10)
+                stream.append((17, 3, chunk - 3))
+                left -= chunk
+            for _ in range(left):
+                stream.append((0, 0, 0))
+            i += run
+        else:
+            stream.append((lengths[i], 0, 0))
+            i += 1
+    cl_freq = [0] * 19
+    for sym, _, _ in stream:
+        cl_freq[sym] += 1
+    cl_lengths = _flat_lengths(cl_freq)
+    # how many entries of _CL_ORDER must be written to cover used syms
+    num_cl = max(
+        (i + 1 for i, s in enumerate(_CL_ORDER) if cl_lengths[s]), default=4
+    )
+    num_cl = max(num_cl, 4)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no max_symbol cap: runs cover the whole alphabet
+    cl_codes = _canonical_code_table(cl_lengths)
+    single_cl = sum(1 for ln in cl_lengths if ln) == 1
+    for sym, ebits, extra in stream:
+        if not single_cl:
+            code, nbits = cl_codes[sym]
+            bw.write_code(code, nbits)
+        # single-symbol cl code consumes no bits
+        if ebits:
+            bw.write(extra, ebits)
+
+
+class _Cache:
+    def __init__(self, bits: int) -> None:
+        self.bits = bits
+        self.vals = [0] * ((1 << bits) if bits else 0)
+
+    def lookup(self, px: int) -> int | None:
+        if not self.bits:
+            return None
+        idx = _cache_key(px, self.bits)
+        return idx if self.vals[idx] == px else None
+
+    def insert(self, px: int) -> None:
+        if self.bits:
+            self.vals[_cache_key(px, self.bits)] = px
+
+
+def _tokenize(
+    argb: np.ndarray, width: int, cache_bits: int, lz77: bool
+) -> list[tuple]:
+    """Pixel stream -> (pos, token) list mirroring the decoder's state
+    machine exactly (cache inserted on literals and on every copied
+    pixel, not on cache hits)."""
+    npix = len(argb)
+    cache = _Cache(cache_bits)
+    toks: list[tuple] = []
+    pos = 0
+    while pos < npix:
+        best_run, best_dist = 0, 0
+        if lz77:
+            for dist in (1, width):
+                if pos < dist:
+                    continue
+                run = 0
+                while (
+                    pos + run < npix
+                    and run < 4096
+                    and argb[pos + run] == argb[pos + run - dist]
+                ):
+                    run += 1
+                if run > best_run:
+                    best_run, best_dist = run, dist
+        if best_run >= 4:
+            dist_code, _ = _distance_to_code(best_dist, width)
+            toks.append(("copy", pos, best_run, dist_code))
+            for i in range(best_run):
+                cache.insert(int(argb[pos + i]))
+            pos += best_run
+            continue
+        px = int(argb[pos])
+        hit = cache.lookup(px)
+        if hit is not None:
+            toks.append(("cache", pos, hit))
+            pos += 1
+            continue
+        toks.append(("lit", pos, px))
+        cache.insert(px)
+        pos += 1
+    return toks
+
+
+def _encode_entropy_coded_image(
+    bw: _BitWriter,
+    argb: np.ndarray,
+    width: int,
+    height: int,
+    is_level0: bool,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_bits: int | None = None,
+) -> None:
+    """Encoder twin of _decode_entropy_coded_image."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    group_of = None
+    num_groups = 1
+    if is_level0:
+        if meta_bits is not None:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            mw = _div_round_up(width, 1 << meta_bits)
+            mh = _div_round_up(height, 1 << meta_bits)
+            # two groups: left / right half of the block grid
+            ids = np.zeros(mw * mh, dtype=np.uint32)
+            for by in range(mh):
+                for bx in range(mw):
+                    ids[by * mw + bx] = 1 if bx >= (mw + 1) // 2 else 0
+            num_groups = int(ids.max()) + 1
+            meta_img = (np.uint32(0xFF) << np.uint32(24)) | (
+                ids << np.uint32(8)
+            )
+            _encode_entropy_coded_image(bw, meta_img, mw, mh, False)
+            mbits = meta_bits
+
+            def group_of(pos: int) -> int:
+                x, y = pos % width, pos // width
+                return int(ids[(y >> mbits) * mw + (x >> mbits)])
+
+        else:
+            bw.write(0, 1)
+
+    toks = _tokenize(argb, width, cache_bits, lz77)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_size = 256 + 24 + cache_size
+    gf = [[0] * green_size for _ in range(num_groups)]
+    rf = [[0] * 256 for _ in range(num_groups)]
+    bf = [[0] * 256 for _ in range(num_groups)]
+    af = [[0] * 256 for _ in range(num_groups)]
+    df = [[0] * 40 for _ in range(num_groups)]
+    for tok in toks:
+        gi = group_of(tok[1]) if group_of else 0
+        if tok[0] == "lit":
+            a, r, g, b = _unpack(tok[2])
+            gf[gi][g] += 1
+            rf[gi][r] += 1
+            bf[gi][b] += 1
+            af[gi][a] += 1
+        elif tok[0] == "copy":
+            lp, _, _ = _lz77_prefix(tok[2])
+            dp, _, _ = _lz77_prefix(tok[3])
+            gf[gi][256 + lp] += 1
+            df[gi][dp] += 1
+        else:
+            gf[gi][256 + 24 + tok[2]] += 1
+    tables = []
+    for gi in range(num_groups):
+        lens = [
+            _flat_lengths(gf[gi]),
+            _flat_lengths(rf[gi]),
+            _flat_lengths(bf[gi]),
+            _flat_lengths(af[gi]),
+            _flat_lengths(df[gi]),
+        ]
+        for ln in lens:
+            _write_huffman_code(bw, ln)
+        tables.append(
+            [
+                (_canonical_code_table(ln), sum(1 for x in ln if x) == 1)
+                for ln in lens
+            ]
+        )
+
+    def put(table, sym):
+        codes, single = table
+        if single:
+            return  # 0-bit degenerate code
+        code, nbits = codes[sym]
+        bw.write_code(code, nbits)
+
+    for tok in toks:
+        gi = group_of(tok[1]) if group_of else 0
+        gt, rt, bt, at, dt = tables[gi]
+        if tok[0] == "lit":
+            a, r, g, b = _unpack(tok[2])
+            put(gt, g)
+            put(rt, r)
+            put(bt, b)
+            put(at, a)
+        elif tok[0] == "copy":
+            lp, lb_, lv = _lz77_prefix(tok[2])
+            dp, db_, dv = _lz77_prefix(tok[3])
+            put(gt, 256 + lp)
+            if lb_:
+                bw.write(lv, lb_)
+            put(dt, dp)
+            if db_:
+                bw.write(dv, db_)
+        else:
+            put(gt, 256 + 24 + tok[2])
+
+
+def _forward_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> np.uint32(8)) & np.uint32(0xFF)
+    r = (((argb >> np.uint32(16)) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+    b = ((argb & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+    return (argb & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _forward_predictor(
+    argb: np.ndarray, width: int, height: int, bits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Residual image + the per-block mode image (mode cycles over all
+    14 predictors block by block, so every mode round-trips)."""
+    mw = _div_round_up(width, 1 << bits)
+    mh = _div_round_up(height, 1 << bits)
+    modes = np.zeros(mw * mh, dtype=np.uint32)
+    for i in range(mw * mh):
+        modes[i] = (0xFF << 24) | ((i % 14) << 8)
+    res = np.zeros_like(argb)
+    for y in range(height):
+        for x in range(width):
+            pos = y * width + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(argb[pos - 1])
+            elif x == 0:
+                pred = int(argb[pos - width])
+            else:
+                mode = int((modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xFF)
+                topright = (
+                    int(argb[pos - width + 1])
+                    if x + 1 < width
+                    else int(argb[y * width])
+                )
+                pred = _predict(
+                    mode,
+                    int(argb[pos - 1]),
+                    int(argb[pos - width]),
+                    int(argb[pos - width - 1]),
+                    topright,
+                )
+            px = int(argb[pos])
+            out = 0
+            for shift in (24, 16, 8, 0):
+                ch = (((px >> shift) & 0xFF) - ((pred >> shift) & 0xFF)) & 0xFF
+                out |= ch << shift
+            res[pos] = out
+    return res, modes
+
+
+def _forward_color_transform(
+    argb: np.ndarray, width: int, height: int, bits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Residual + per-block color-transform elements (multipliers vary
+    by block index so nonzero deltas round-trip)."""
+    mw = _div_round_up(width, 1 << bits)
+    mh = _div_round_up(height, 1 << bits)
+    elems = np.zeros(mw * mh, dtype=np.uint32)
+    for i in range(mw * mh):
+        g2r = (5 * i + 3) % 256
+        g2b = (11 * i + 7) % 256
+        r2b = (17 * i + 1) % 256
+        elems[i] = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+    res = np.zeros_like(argb)
+    for y in range(height):
+        for x in range(width):
+            pos = y * width + x
+            cte = int(elems[(y >> bits) * mw + (x >> bits)])
+            g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+            a, r, g, b = _unpack(int(argb[pos]))
+            nr = (r - _ct_delta(g2r, g)) & 0xFF
+            nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+            res[pos] = _pack(a, nr, g, nb)
+    return res, elems
+
+
+def vp8l_encode(
+    arr: "np.ndarray",
+    *,
+    subtract_green: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    predictor_bits: int | None = None,
+    color_bits: int | None = None,
+    palette: bool = False,
+    meta_bits: int | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> lossless-WebP bytes (RIFF/WEBP/VP8L).
+
+    Feature flags map 1:1 to decoder paths; transforms are written in
+    forward-application order (decoder inverts in reverse read order,
+    spec §4). Palette mode excludes predictor/color transforms, as
+    real encoders do."""
+    if palette and (predictor_bits is not None or color_bits is not None):
+        raise ValueError("palette excludes pixel-space transforms")
+    height, width = arr.shape[0], arr.shape[1]
+    argb = (
+        (np.uint32(0xFF) << np.uint32(24))
+        | (arr[:, :, 0].astype(np.uint32) << np.uint32(16))
+        | (arr[:, :, 1].astype(np.uint32) << np.uint32(8))
+        | arr[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    cur_w = width
+    pending_transforms: list[tuple] = []
+    if subtract_green:
+        argb = _forward_subtract_green(argb)
+        pending_transforms.append((_TRANSFORM_SUBTRACT_GREEN,))
+    if color_bits is not None:
+        argb, elems = _forward_color_transform(argb, width, height, color_bits)
+        pending_transforms.append((_TRANSFORM_COLOR, color_bits, elems))
+    if predictor_bits is not None:
+        argb, modes = _forward_predictor(argb, width, height, predictor_bits)
+        pending_transforms.append((_TRANSFORM_PREDICTOR, predictor_bits, modes))
+    if palette:
+        uniq = np.unique(argb)
+        if len(uniq) > 256:
+            raise ValueError("palette mode needs <= 256 distinct colors")
+        lut = {int(c): i for i, c in enumerate(uniq)}
+        idx = np.array([lut[int(p)] for p in argb], dtype=np.int64)
+        wbits = _palette_width_bits(len(uniq))
+        per_byte = 1 << wbits
+        bpp = 8 >> wbits
+        cur_w = _div_round_up(width, 1 << wbits)
+        packed = np.zeros(cur_w * height, dtype=np.uint32)
+        idx2 = idx.reshape(height, width)
+        for y in range(height):
+            for x in range(width):
+                packed[y * cur_w + (x >> wbits)] |= np.uint32(
+                    idx2[y, x] << ((x % per_byte) * bpp)
+                ) << np.uint32(8)
+        packed |= np.uint32(0xFF) << np.uint32(24)
+        # delta-code the palette entries for storage
+        deltas = np.zeros(len(uniq), dtype=np.uint32)
+        prev = 0
+        for i, c in enumerate(uniq):
+            d = 0
+            for shift in (24, 16, 8, 0):
+                ch = (((int(c) >> shift) & 0xFF) - ((prev >> shift) & 0xFF)) & 0xFF
+                d |= ch << shift
+            deltas[i] = d
+            prev = int(c)
+        pending_transforms.append(
+            (_TRANSFORM_COLOR_INDEXING, len(uniq), deltas)
+        )
+        argb = packed
+
+    for t in pending_transforms:
+        bw.write(1, 1)  # transform present
+        bw.write(t[0], 2)
+        if t[0] == _TRANSFORM_SUBTRACT_GREEN:
+            pass
+        elif t[0] in (_TRANSFORM_PREDICTOR, _TRANSFORM_COLOR):
+            bits, sub = t[1], t[2]
+            bw.write(bits - 2, 3)
+            sw = _div_round_up(width, 1 << bits)
+            sh = _div_round_up(height, 1 << bits)
+            _encode_entropy_coded_image(bw, sub, sw, sh, False)
+        else:  # color indexing
+            psize, deltas = t[1], t[2]
+            bw.write(psize - 1, 8)
+            _encode_entropy_coded_image(bw, deltas, psize, 1, False)
+    bw.write(0, 1)  # no more transforms
+
+    _encode_entropy_coded_image(
+        bw,
+        argb,
+        cur_w,
+        height,
+        True,
+        cache_bits=cache_bits,
+        lz77=lz77,
+        meta_bits=meta_bits,
+    )
+    data = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------
+# Deterministic fixture + Spark lane (registration-ready; mirrors the
+# PNG/PPM lanes so the pixel-level SQL oracle is identical).
+# ---------------------------------------------------------------------
+
+
+def webp_fixture_encode_opts(img_idx: int) -> dict:
+    """Feature mix for fixture image i — cycles the encoder through
+    every decoder path across the corpus: plain literals, subtract-
+    green + cache, predictor (all 14 modes cycle per block) + LZ77,
+    palette (incl. bundling), color transform + subtract-green +
+    cache, and meta groups + LZ77 + cache."""
+    return [
+        {},
+        {"subtract_green": True, "cache_bits": 6},
+        {"predictor_bits": 2, "lz77": True},
+        {"palette": True},
+        {"color_bits": 2, "subtract_green": True, "cache_bits": 4},
+        {"meta_bits": 3, "lz77": True, "cache_bits": 5},
+    ][img_idx % 6]
+
+
+def webp_bytes(width: int, height: int, img_idx: int) -> bytes:
+    """Deterministic lossless WebP with the SAME pixel spec as
+    ppm_bytes / png_bytes (pixel (x, y) channel c = (img_idx*7 + c*13
+    + x + y) mod 256 — recomputable by a SQL oracle). The color count
+    of that gradient is bounded by w+h-1 <= 256, so palette mode is
+    always legal."""
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    arr = ((img_idx * 7 + c * 13 + x + y) % 256).astype(np.uint8)
+    return vp8l_encode(arr, **webp_fixture_encode_opts(img_idx))
+
+
+def write_webp_fixture(out_dir: str, n_images: int = 64) -> None:
+    """Deterministic WebP corpus, same sizes as the PPM/PNG fixtures
+    (image i is (8 + (i%5)*4) x (6 + (i%3)*4)) — identical SQL
+    oracle."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_images):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+        with open(os.path.join(out_dir, f"webp_{i:05d}.webp"), "wb") as f:
+            f.write(webp_bytes(w, h, i))
+
+
+def _make_webp_decoder():
+    """Decoder closure for the Arrow-batched stats lane. The VP8L
+    decoder is too large to inline by hand like the PPM/PNG closures,
+    so this module is registered for cloudpickle BY-VALUE
+    serialization (the public cloudpickle API pyspark bundles): the
+    executor receives the decode functions inside the task closure
+    and imports nothing from this repo — the same no-deploy contract
+    as the other codec lanes, without a 400-line nested function."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    decode_argb = _vp8l_decode_argb
+
+    def decode(payload: bytes):
+        import numpy as _np
+
+        w, h, argb = decode_argb(payload)
+        out = _np.zeros((h * w, 3), dtype=_np.uint8)
+        out[:, 0] = (argb >> _np.uint32(16)) & _np.uint32(0xFF)
+        out[:, 1] = (argb >> _np.uint32(8)) & _np.uint32(0xFF)
+        out[:, 2] = argb & _np.uint32(0xFF)
+        return w, h, out.reshape(h, w, 3)
+
+    return decode
+
+
+def webp_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"webp_(\d+)\.webp$",
+) -> DataFrame:
+    """Decode lossless-WebP payloads -> per-image stats (the shared
+    Arrow-batched lane with the PPM/PNG paths; only the decoder
+    differs)."""
+    from sas_etl_spark.operators.multimodal import _decoded_image_stats
+
+    return _decoded_image_stats(
+        df, _make_webp_decoder(), content_col, path_col, id_pattern
+    )

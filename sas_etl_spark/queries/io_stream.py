@@ -469,6 +469,46 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_webp_features", oracle=_IMAGE_ORACLE, tags=("multimodal", "io"))
+def q_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode end-to-end (round 14; retires
+    most of the former WebP codec gate): write a deterministic
+    64-image WebP corpus whose encoder cycles through every VP8L
+    feature — plain literals, subtract-green + color cache, the
+    predictor transform (all 14 modes), palette indexing with
+    sub-byte pixel bundling, the cross-color transform, and meta
+    Huffman groups + LZ77 backrefs — read it back distributed via the
+    binaryFile source, and decode INSIDE the Arrow mapInPandas lane:
+    canonical-Huffman symbol streams, LZ77 plane-code distances,
+    color-cache lookups, and all four inverse transforms
+    (operators/webp.py). The pixel spec matches the PPM/PNG fixtures,
+    so the oracle is the SAME pure-SQL pixel regeneration: a green
+    hash attests the full prefix-decode + inverse-transform pipeline
+    pixel-exactly across all six encoder configurations. Lossy VP8
+    (boolean arithmetic coding) remains the one documented codec
+    gate. At 100 TB the shape is unchanged from the other image
+    lanes: object-store listing partitioned across executors, whole
+    files decoded batch-wise, features landing relationally."""
+    from sas_etl_spark.operators.webp import webp_stats, write_webp_fixture
+
+    path = scratch_dir(spark, "webp")
+    write_webp_fixture(path, n_images=64)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(path)
+    )
+    stats = webp_stats(raw.select("path", "content"))
+    return stats.select(
+        "img_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 #: DuckDB twin of the baseline-JPEG decode: the fixture is
 #: per-8x8-block-constant gray (value of block (bx, by) =
 #: (i*7 + bx*13 + by*31) mod 256; image i is 8*(1+i%4) x 8*(1+i%3)),

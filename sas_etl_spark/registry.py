@@ -73,12 +73,16 @@ ATTEST_CADENCE = 6
 #: has passed — the slipped row is then OVERDUE and must be in the next
 #: window unconditionally). Round-14 slips: the window is exactly full
 #: (2 overdue r7 + 10 changed rows + q_semdedup_serve NEW +
-#: q_bloom_contamination re-geometry + 38 of the 40 due r8 rows), so
-#: the two alphabetically-last untouched single-table r8 rows slide to
-#: lead round 15 — the same documented trade round 13 made for
-#: q_topk_other/q_url_extract.
+#: q_bloom_contamination re-geometry + q_webp_features NEW + 37 of
+#: the 40 due r8 rows), so the three alphabetically-last untouched
+#: single-table r8 rows slide to lead round 15 — the same documented
+#: trade round 13 made for q_topk_other/q_url_extract.
 DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset(
-    {("q_tumbling_counts", 14), ("q_weighted_median", 14)}
+    {
+        ("q_tumbling_counts", 14),
+        ("q_weighted_median", 14),
+        ("q_systematic_sample", 14),
+    }
 )
 
 #: Round-close protocol (promoted to standing protocol in round 14,
@@ -143,14 +147,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_snapshot_upsert",
     "q_snapshot_vacuum",
     "q_stream_cdc_upsert",
-    # -- (c) NEW this round (VERDICT r13 item 2): SemDeDup serving
-    # from the persisted semantic index; and re-attest for this
-    # round's derived bloom geometry (VERDICT r13 item 3).
+    # -- (c) NEW this round: SemDeDup serving from the persisted
+    # semantic index (VERDICT r13 item 2); re-attest for this round's
+    # derived bloom geometry (VERDICT r13 item 3); and the lossless-
+    # WebP (VP8L) decode lane (retires most of the WebP codec gate).
     "q_semdedup_serve",
     "q_bloom_contamination",
-    # -- (d) the due 6-round rotation: 38 of the 40 r8-cohort rows
-    # (q_tumbling_counts and q_weighted_median slip one round, see
-    # DOCUMENTED_SLIPS above).
+    "q_webp_features",
+    # -- (d) the due 6-round rotation: 37 of the 40 r8-cohort rows
+    # (q_tumbling_counts, q_weighted_median and q_systematic_sample
+    # slip one round, see DOCUMENTED_SLIPS above).
     "q_approx_distinct",
     "q_asof_event",
     "q_bigram_logprob",
@@ -188,7 +194,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sessionize",
     "q_sliding_distinct_users",
     "q_spearman_corr",
-    "q_systematic_sample",
 )
 
 #: Window bookkeeping rule (learned twice, r7 and r8): NO @query
@@ -201,17 +206,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: rows from the CORRECTNESS artifacts and fails any window that
 #: misses them (slips allowed only via DOCUMENTED_SLIPS, one round,
 #: named). Queries registered in round 14: q_semdedup_serve (the
-#: SemDeDup serve-from-persisted-index form, VERDICT r13 item 2).
-#: q_bloom_contamination re-attests for the derived bloom geometry
-#: (bloom_m_for, VERDICT r13 item 3).
+#: SemDeDup serve-from-persisted-index form, VERDICT r13 item 2);
+#: q_webp_features (the lossless-WebP/VP8L decode lane,
+#: operators/webp.py). q_bloom_contamination re-attests for the
+#: derived bloom geometry (bloom_m_for, VERDICT r13 item 3).
 #:
-#: ROUND 15 window plan: (1) q_tumbling_counts + q_weighted_median
-#: FIRST (this round's DOCUMENTED_SLIPS — overdue at r15), then
-#: (2) any rows the OPERATORS.md ledger flags changed/moved, then
-#: (3) the due rotation: the r9 cohort (41 rows at r13 count; read
-#: the exact set from OPERATORS.md's Last-attested column) — 41 + 2
-#: overfills the 50-slot window only if more than 7 rows change in
-#: round 15; pause registrations or document slips accordingly.
+#: ROUND 15 window plan: (1) q_tumbling_counts + q_weighted_median +
+#: q_systematic_sample FIRST (this round's DOCUMENTED_SLIPS — overdue
+#: at r15), then (2) any rows the OPERATORS.md ledger flags
+#: changed/moved, then (3) the due rotation: the r9 cohort (41 rows
+#: at r13 count; read the exact set from OPERATORS.md's Last-attested
+#: column) — 41 + 3 overfills the 50-slot window only if more than 6
+#: rows change in round 15; pause registrations or document slips
+#: accordingly.
 
 
 def query(

@@ -56,9 +56,10 @@ RE_ATTESTS = {
     "q_snapshot_upsert", "q_snapshot_vacuum", "q_stream_cdc_upsert",
     "q_bloom_contamination",
 }
-#: The due 6-round rotation: 38 of the 40 r8-cohort rows
-#: (q_tumbling_counts and q_weighted_median slip one round via
-#: registry.DOCUMENTED_SLIPS and lead the round-15 window).
+#: The due 6-round rotation: 37 of the 40 r8-cohort rows
+#: (q_tumbling_counts, q_weighted_median and q_systematic_sample slip
+#: one round via registry.DOCUMENTED_SLIPS and lead the round-15
+#: window).
 SENTINELS = {
     "q_approx_distinct", "q_asof_event", "q_bigram_logprob",
     "q_bucketed_join", "q_char_entropy", "q_containment_pairs",
@@ -72,7 +73,6 @@ SENTINELS = {
     "q_new_vs_returning", "q_pctldef", "q_pmi_scores",
     "q_quality_prune", "q_reservoir_sample", "q_sessionize",
     "q_sliding_distinct_users", "q_spearman_corr",
-    "q_systematic_sample",
 }
 
 
@@ -96,9 +96,9 @@ def _attested_before_window_round() -> set[str]:
 
 
 def test_round14_rotation_targets_inside_window() -> None:
-    """Round-14 plan (VERDICT r13 items 1-3): the new query and this
+    """Round-14 plan (VERDICT r13 items 1-3): the new queries and this
     round's re-attests must all sit in slots 0-49."""
-    must = {"q_semdedup_serve"} | RE_ATTESTS
+    must = {"q_semdedup_serve", "q_webp_features"} | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
