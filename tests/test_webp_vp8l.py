@@ -185,3 +185,59 @@ def test_webp_stats_distributed_decode(spark, tmp_path):
         means = arr.mean(axis=(0, 1))
         assert got[i][0] == w and got[i][1] == h
         assert got[i][2:] == (means[0], means[1], means[2])
+
+
+# -- property: round-trip must hold for ANY image under ANY legal
+# feature combination, not just the six fixture mixes ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _image_and_opts(draw):
+    w = draw(st.integers(min_value=1, max_value=20))
+    h = draw(st.integers(min_value=1, max_value=12))
+    # low-cardinality palette sometimes; full-range noise otherwise
+    small_palette = draw(st.booleans())
+    vals = st.integers(min_value=0, max_value=3 if small_palette else 255)
+    arr = np.array(
+        draw(
+            st.lists(
+                st.tuples(vals, vals, vals), min_size=w * h, max_size=w * h
+            )
+        ),
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    opts = {
+        "subtract_green": draw(st.booleans()),
+        "cache_bits": draw(st.sampled_from([0, 1, 4, 8])),
+        "lz77": draw(st.booleans()),
+    }
+    shape = draw(st.sampled_from(["none", "predictor", "color", "palette"]))
+    if shape == "predictor":
+        opts["predictor_bits"] = draw(st.sampled_from([2, 3, 4]))
+    elif shape == "color":
+        opts["color_bits"] = draw(st.sampled_from([2, 3]))
+    elif shape == "palette" and len(
+        np.unique(
+            (arr[:, :, 0].astype(np.uint32) << 16)
+            | (arr[:, :, 1].astype(np.uint32) << 8)
+            | arr[:, :, 2]
+        )
+    ) <= 256:
+        opts["palette"] = True
+    if draw(st.booleans()):
+        opts["meta_bits"] = draw(st.sampled_from([2, 3]))
+    return arr, opts
+
+
+@given(_image_and_opts())
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_property_any_image_any_features(case):
+    """Lossless means LOSSLESS: encode(decode) == identity for random
+    pixel content under randomly drawn feature combinations —
+    including combos the fixture corpus never emits (e.g. predictor +
+    cache + meta groups, 1-bit cache, bundled palette + LZ77)."""
+    arr, opts = case
+    assert (decode_webp(vp8l_encode(arr, **opts)) == arr).all(), opts
