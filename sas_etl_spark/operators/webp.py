@@ -27,16 +27,26 @@ Scope (documented precisely, the house rule for codec lanes):
   rejected combination is COLOR_INDEXING together with PREDICTOR /
   COLOR transforms (raises; encoders do not emit it — palette mode
   excludes the pixel-space transforms in practice).
-- Verification is round-trip against this module's OWN `vp8l_encode`
-  (feature-configurable precisely so tests can drive every decoder
-  path), the same posture as the PNG/JPEG/WAV lanes whose fixture
-  encoders also live in-repo: the container has no libwebp and no
-  external .webp corpus, so cross-codec byte validation is not
-  possible here. Spec-derived pieces a foreign file would exercise
-  beyond the paired encoder (e.g. distance-map entries the encoder
-  never emits) are generated from the spec's published ordering rule
-  and pinned by tests against the spec document's leading entries.
-- Lossy VP8 remains the genuine external-codec gate.
+- Verification is two-layered. (1) In-repo: round-trip against this
+  module's OWN `vp8l_encode` (feature-configurable precisely so
+  tests can drive every decoder path) plus a hypothesis property
+  over random images x random feature combos — the same posture as
+  the PNG/JPEG/WAV lanes. (2) CROSS-CODEC, against the reference
+  implementation: where the system ships libwebp as a shared
+  library (this container does — ctypes, no Python codec package),
+  tests/test_webp_cross_codec.py proves libwebp decodes every
+  stream our encoder emits bit-exactly, our decoder decodes
+  libwebp's own lossless encodes across content that drives its
+  full feature set (predictor transforms, meta groups, palettes,
+  deep LZ77), and the 120-entry plane-code distance map matches a
+  table extracted empirically from libwebp by probing crafted
+  one-backref streams. That probe is load-bearing history: the
+  first, spec-recalled version of the map had a wrong tail domain
+  (codes 97-120), caught only by the reference decoder's own
+  emissions on smooth gradients.
+- Lossy VP8 remains the genuine external-codec gate (the encode
+  side of libwebp-via-ctypes covers test evidence only; the engine's
+  decode lane stays zero-external-codec).
 
 No function in this module is referenced by any attested query (the
 ledger's callee closure stays untouched); the Spark-facing
@@ -256,20 +266,25 @@ def _lz77_prefix(value: int) -> tuple[int, int, int]:
 
 
 def _build_distance_map() -> list[tuple[int, int]]:
-    """The 120 plane codes: 2-D offsets (dx, dy) ordered per the spec's
-    published table — increasing euclidean distance, ties broken by
-    larger dy first, then larger dx (positive before negative). The
-    leading 22 entries are pinned verbatim against the spec document in
-    tests/test_webp_vp8l.py; distance = dx + dy*width, clamped to
+    """The 120 plane codes: 2-D offsets (dx, dy) with dx in [-7, 8]
+    and dy in [0, 7] (dy = 0 requires dx > 0; exactly 8 + 7*16 = 120
+    offsets), ordered by increasing euclidean distance, ties broken
+    by larger dy first, then larger dx (positive before negative).
+    The full table is pinned against the REFERENCE decoder in
+    tests/test_webp_cross_codec.py, which extracts libwebp's own
+    code->offset mapping by probing crafted one-backref streams (the
+    probe caught a wrong tail domain in the first, spec-recalled
+    version of this rule). distance = dx + dy*width, clamped to
     >= 1."""
     cands = [
         (x, y)
-        for y in range(0, 9)
-        for x in range(-8, 9)
+        for y in range(0, 8)
+        for x in range(-7, 9)
         if y > 0 or x > 0
     ]
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
-    return cands[:120]
+    assert len(cands) == 120
+    return cands
 
 
 _DIST_MAP: list[tuple[int, int]] = _build_distance_map()
