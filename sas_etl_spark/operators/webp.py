@@ -44,9 +44,12 @@ Scope (documented precisely, the house rule for codec lanes):
   first, spec-recalled version of the map had a wrong tail domain
   (codes 97-120), caught only by the reference decoder's own
   emissions on smooth gradients.
-- Lossy VP8 remains the genuine external-codec gate (the encode
-  side of libwebp-via-ctypes covers test evidence only; the engine's
-  decode lane stays zero-external-codec).
+- Lossy VP8 is the one family a pure-Python decoder cannot cover
+  (boolean arithmetic coder + intra prediction). Where the OS image
+  ships libwebp (this container does), `decode_webp` routes lossy /
+  extended chunks through it via ctypes (`decode_webp_system`) — so
+  on such hosts EVERY WebP decodes; on bare hosts the lossy gate
+  raises explicitly while lossless VP8L still decodes natively.
 
 No function in this module is referenced by any attested query (the
 ledger's callee closure stays untouched); the Spark-facing
@@ -576,6 +579,56 @@ def _palette_width_bits(palette_size: int) -> int:
     return 0
 
 
+def _load_system_libwebp():
+    """The OS-level reference codec, when the image ships it (this
+    container does: libwebp.so.7). ctypes only — no Python codec
+    package. Returns None when absent; callers gate on that."""
+    import ctypes
+
+    for name in (
+        "libwebp.so.7", "libwebp.so", "libwebp.7.dylib", "libwebp.dylib"
+    ):
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeRGB.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        return lib
+    return None
+
+
+def decode_webp_system(payload: bytes) -> "np.ndarray":
+    """Decode ANY WebP (incl. lossy VP8 / extended VP8X) through the
+    system libwebp -> (height, width, 3) uint8 RGB. This is the
+    documented fallback lane for the one codec family a pure-Python
+    decoder cannot cover (VP8's boolean arithmetic coder + intra
+    prediction); it raises when the OS image lacks the library, which
+    keeps the gate explicit rather than silently absent."""
+    import ctypes
+
+    lib = _load_system_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "lossy WebP (VP8 arithmetic coding) needs the system libwebp "
+            "shared library, which this host does not ship; lossless VP8L "
+            "decodes natively via decode_webp"
+        )
+    wo, ho = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGB(payload, len(payload), ctypes.byref(wo), ctypes.byref(ho))
+    if not p:
+        raise ValueError("libwebp rejected the WebP payload")
+    out = np.ctypeslib.as_array(p, shape=(ho.value, wo.value, 3)).copy()
+    lib.WebPFree(p)
+    return out
+
+
 def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
     """RIFF/WEBP/VP8L bytes -> (width, height, flat uint32 ARGB)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -583,8 +636,10 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[12:16] != b"VP8L":
         if payload[12:16] in (b"VP8 ", b"VP8X"):
             raise NotImplementedError(
-                "lossy/extended WebP (VP8 arithmetic coding) requires an "
-                "external codec; lossless VP8L decodes here"
+                "lossy/extended WebP (VP8 arithmetic coding): use "
+                "decode_webp, which routes these through the system "
+                "libwebp when present; only the lossless VP8L chunk "
+                "decodes natively"
             )
         raise ValueError(f"bad WebP chunk {payload[12:16]!r}")
     (chunk_len,) = struct.unpack("<I", payload[16:20])
@@ -680,8 +735,14 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_webp(payload: bytes) -> "np.ndarray":
-    """Lossless-WebP bytes -> (height, width, 3) uint8 RGB (alpha
-    dropped, matching decode_png / decode_ppm)."""
+    """WebP bytes -> (height, width, 3) uint8 RGB (alpha dropped,
+    matching decode_png / decode_ppm). Lossless VP8L decodes natively
+    (the full implementation above, zero external codecs); lossy
+    VP8 / extended VP8X chunks route through the system libwebp when
+    the OS ships it (decode_webp_system) and raise the documented
+    gate error otherwise."""
+    if payload[:4] == b"RIFF" and payload[12:16] in (b"VP8 ", b"VP8X"):
+        return decode_webp_system(payload)
     width, height, argb = _vp8l_decode_argb(payload)
     out = np.zeros((height * width, 3), dtype=np.uint8)
     out[:, 0] = (argb >> np.uint32(16)) & np.uint32(0xFF)

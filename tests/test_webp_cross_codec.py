@@ -212,3 +212,31 @@ def test_distance_map_matches_reference_decoder():
         assert ours == ref_distance, (
             f"code {code}: ours {ours}, libwebp {ref_distance}"
         )
+
+
+def test_lossy_webp_decodes_through_system_codec():
+    """The lossy lane: a VP8 (arithmetic-coded) file produced by
+    libwebp's lossy encoder decodes through decode_webp's system
+    route — dims exact, pixels near the original within lossy
+    tolerance at quality 90."""
+    _LIB.WebPEncodeRGB.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    rng = np.random.default_rng(7)
+    x = np.arange(64)[None, :, None]
+    y = np.arange(48)[:, None, None]
+    arr = ((x * 2 + y * 3 + rng.integers(0, 4, (48, 64, 3))) % 256).astype(
+        np.uint8
+    )
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGB(arr.tobytes(), 64, 48, 64 * 3, 90.0, ctypes.byref(buf))
+    assert n > 0
+    data = ctypes.string_at(buf, n)
+    _LIB.WebPFree(buf)
+    assert data[12:16] in (b"VP8 ", b"VP8X"), data[12:16]
+    out = W.decode_webp(data)
+    assert out.shape == (48, 64, 3)
+    err = np.abs(out.astype(np.int64) - arr.astype(np.int64)).mean()
+    assert err < 8.0, f"lossy reconstruction error too high: {err}"

@@ -148,11 +148,20 @@ def test_handcrafted_max_symbol_cap():
 
 
 def test_decode_error_paths():
+    from sas_etl_spark.operators.webp import _load_system_libwebp
+
     with pytest.raises(ValueError, match="RIFF"):
         decode_webp(b"JUNKJUNKJUNKJUNKJUNK")
+    # a (garbage) lossy chunk: routed to the system codec when the OS
+    # ships libwebp (which rejects the malformed body), otherwise the
+    # documented NotImplementedError gate
     lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_webp(lossy)
+    if _load_system_libwebp() is None:
+        with pytest.raises(NotImplementedError, match="libwebp"):
+            decode_webp(lossy)
+    else:
+        with pytest.raises(ValueError, match="rejected"):
+            decode_webp(lossy)
     good = webp_bytes(8, 6, 0)
     with pytest.raises(ValueError, match="truncated"):
         decode_webp(good[:-6])
