@@ -484,9 +484,14 @@ def q_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/webp.py). The pixel spec matches the PPM/PNG fixtures,
     so the oracle is the SAME pure-SQL pixel regeneration: a green
     hash attests the full prefix-decode + inverse-transform pipeline
-    pixel-exactly across all six encoder configurations. Lossy VP8
-    (boolean arithmetic coding) remains the one documented codec
-    gate. At 100 TB the shape is unchanged from the other image
+    pixel-exactly across all six encoder configurations. The codec
+    is additionally CROSS-VERIFIED against libwebp where the OS
+    ships it (tests/test_webp_cross_codec.py: our streams decode
+    bit-exactly in the reference decoder and vice versa; the
+    plane-code distance map is pinned against a table extracted from
+    libwebp itself). Lossy VP8 (boolean arithmetic coding) routes
+    through the system libwebp when present and gates explicitly
+    otherwise. At 100 TB the shape is unchanged from the other image
     lanes: object-store listing partitioned across executors, whole
     files decoded batch-wise, features landing relationally."""
     from sas_etl_spark.operators.webp import webp_stats, write_webp_fixture

@@ -9,9 +9,12 @@ Two numbers the 100 TB plan needs:
    session — the relative cost of the codec inside the attested
    mapInPandas shape.
 """
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 from sas_etl_spark.operators import webp
 from sas_etl_spark.operators.multimodal import decode_png, png_bytes

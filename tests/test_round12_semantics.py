@@ -229,8 +229,10 @@ def test_jpeg_idct_matches_textbook_reference():
 
 
 def test_decode_image_routes_jpeg():
-    """decode_image routes by signature: JPEG now decodes for real;
-    only WebP raises."""
+    """decode_image routes by signature: JPEG decodes for real; since
+    round 14 WebP routes to operators/webp (lossless natively, lossy
+    via the system libwebp when present), and only a genuinely
+    unrecognized signature raises."""
     import numpy as np
     import pytest
 
@@ -239,11 +241,13 @@ def test_decode_image_routes_jpeg():
         jpeg_encode,
         jpeg_fixture_array,
     )
+    from sas_etl_spark.operators.webp import webp_bytes
 
     arr = jpeg_fixture_array(16, 8, 5)
     assert np.array_equal(decode_image(jpeg_encode(arr)), arr)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF0000WEBPVP8 ")
+    assert decode_image(webp_bytes(8, 6, 1)).shape == (6, 8, 3)
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        decode_image(b"BM00000000000000")  # BMP: genuinely unrouted
 
 
 def test_vacuum_retains_pointer_and_numbering_never_reuses(spark, tmp_path):
