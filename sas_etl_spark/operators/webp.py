@@ -51,9 +51,10 @@ Scope (documented precisely, the house rule for codec lanes):
   on such hosts EVERY WebP decodes; on bare hosts the lossy gate
   raises explicitly while lossless VP8L still decodes natively.
 
-No function in this module is referenced by any attested query (the
-ledger's callee closure stays untouched); the Spark-facing
-`webp_stats` lane is registration-ready for a future driver window.
+The Spark-facing `webp_stats` lane is attested: `q_webp_features`
+(queries/io_stream.py) writes the six-configuration VP8L fixture,
+decodes it through this module inside mapInPandas, and hash-matches
+the pure-SQL pixel oracle (green in CORRECTNESS_r14).
 """
 
 from __future__ import annotations

@@ -452,9 +452,10 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel regeneration: a green hash attests the entire
     decompress-and-unfilter pipeline pixel-exactly. This closes the
     'compressed format' gap the PPM lane left: same Spark plumbing,
-    real DEFLATE bytes. JPEG remains the documented codec gate
-    (decode_image routes PNG/PPM for real and raises only for
-    entropy-coded formats)."""
+    real DEFLATE bytes. decode_image now routes PNG, baseline JPEG,
+    PPM, and lossless WebP (VP8L) through real native decoders; only
+    lossy VP8 on hosts without a system libwebp still gates
+    (operators/multimodal.py decode_image)."""
     path = scratch_dir(spark, "png")
     write_png_fixture(path, n_images=64)
     raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(path)
