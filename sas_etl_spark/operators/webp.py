@@ -374,7 +374,7 @@ def _decode_entropy_coded_image(
         )
 
     npix = width * height
-    out = np.zeros(npix, dtype=np.uint64)
+    out = np.zeros(npix, dtype=np.uint32)
     cache = [0] * cache_size
     pos = 0
     mw = _div_round_up(width, 1 << meta_bits) if meta is not None else 0
@@ -413,7 +413,7 @@ def _decode_entropy_coded_image(
                 raise ValueError("VP8L: cache index out of range")
             out[pos] = cache[idx]
             pos += 1
-    return out.astype(np.uint32)
+    return out
 
 
 def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -649,6 +649,19 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("VP8L: bad signature byte")
     width = br.read(14) + 1
     height = br.read(14) + 1
+    # DoS guard (round-15 advice): header-declared dims drive the pixel
+    # buffer allocation (up to 16384x16384 = 1 GiB of uint32) BEFORE any
+    # bitstream validation, so bound pixels against what the payload
+    # could plausibly encode. VP8L's max LZ77 run is ~4 Kpx per backref
+    # (prefix code 23 tops out at 2^11 extra bits), so even a
+    # solid-color image needs >= npix/4096 coded symbols; 4096 px/byte
+    # with a 1 Mpx floor therefore never rejects a decodable stream but
+    # caps a 60-byte forged-header bomb at a 4 MB allocation.
+    if width * height > max(1 << 20, chunk_len * 4096):
+        raise ValueError(
+            f"VP8L: declared {width}x{height} exceeds what a "
+            f"{chunk_len}-byte stream can encode"
+        )
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unsupported version")
@@ -735,13 +748,48 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, pixels
 
 
+def _vp8x_embedded_vp8l(payload: bytes) -> bytes | None:
+    """Walk the RIFF sub-chunks of a VP8X container; when the image
+    stream is a single still VP8L chunk (no lossy VP8 frame, no ANMF
+    animation frames — VP8L carries its own alpha, so an ALPH chunk
+    never accompanies it), return a bare RIFF/WEBP/VP8L payload that
+    the native decoder accepts. Returns None when the container needs
+    the system decoder (lossy frame, animation) or is malformed."""
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    vp8l: bytes | None = None
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated container
+        if fourcc in (b"VP8 ", b"ANMF"):
+            return None  # lossy frame / animation: system lane
+        if fourcc == b"VP8L":
+            vp8l = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if vp8l is None:
+        return None
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def decode_webp(payload: bytes) -> "np.ndarray":
     """WebP bytes -> (height, width, 3) uint8 RGB (alpha dropped,
     matching decode_png / decode_ppm). Lossless VP8L decodes natively
-    (the full implementation above, zero external codecs); lossy
-    VP8 / extended VP8X chunks route through the system libwebp when
-    the OS ships it (decode_webp_system) and raise the documented
-    gate error otherwise."""
+    (the full implementation above, zero external codecs) — including
+    VP8L wrapped in a VP8X extended container (metadata/alpha-flagged
+    lossless, round-15 advice: the sub-chunk walk extracts the VP8L
+    stream instead of forcing the system lane). Lossy VP8 and animated
+    containers route through the system libwebp when the OS ships it
+    (decode_webp_system) and raise the documented gate error
+    otherwise."""
+    if payload[:4] == b"RIFF" and payload[12:16] == b"VP8X":
+        inner = _vp8x_embedded_vp8l(payload)
+        if inner is not None:
+            payload = inner
     if payload[:4] == b"RIFF" and payload[12:16] in (b"VP8 ", b"VP8X"):
         return decode_webp_system(payload)
     width, height, argb = _vp8l_decode_argb(payload)
@@ -1252,6 +1300,62 @@ def write_webp_fixture(out_dir: str, n_images: int = 64) -> None:
             f.write(webp_bytes(w, h, i))
 
 
+def vp8x_wrap(payload: bytes) -> bytes:
+    """Re-wrap a bare RIFF/WEBP/VP8L payload in a VP8X extended
+    container: VP8X header chunk (EXIF flag set, canvas dims copied
+    from the VP8L stream header) + a small EXIF metadata chunk + the
+    original VP8L chunk. This is the container shape real encoders
+    emit for 'lossless with metadata'; decode_webp's sub-chunk walk
+    must route it to the native VP8L decoder, not the system lane."""
+    if payload[:4] != b"RIFF" or payload[12:16] != b"VP8L":
+        raise ValueError("vp8x_wrap expects a bare VP8L WebP")
+    (vp8l_len,) = struct.unpack("<I", payload[16:20])
+    body = payload[20 : 20 + vp8l_len]
+    # canvas dims live in the VP8L stream header: signature byte,
+    # then 14-bit (width-1), 14-bit (height-1), LSB-first
+    bits = int.from_bytes(body[1:5], "little")
+    w = (bits & 0x3FFF) + 1
+    h = ((bits >> 14) & 0x3FFF) + 1
+    vp8x = struct.pack("<B3s", 0x08, b"\x00" * 3)  # EXIF flag
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    exif = b"II*\x00\x08\x00\x00\x00\x00\x00"  # minimal TIFF header
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    inner = (
+        b"WEBP"
+        + chunk(b"VP8X", vp8x)
+        + chunk(b"EXIF", exif)
+        + chunk(b"VP8L", body)
+    )
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+
+def write_webp_vp8x_fixture(out_dir: str, n_images: int = 64) -> None:
+    """The write_webp_fixture corpus re-wrapped in VP8X containers
+    (same pixel spec, same SQL oracle) — exercises the extended-
+    container sub-chunk walk end-to-end."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_images):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+        with open(os.path.join(out_dir, f"vp8x_{i:05d}.webp"), "wb") as f:
+            f.write(vp8x_wrap(webp_bytes(w, h, i)))
+
+
+#: One-shot latch for the by-value registration below: the
+#: registration mutates process-global cloudpickle state (how every
+#: later closure referencing this module serializes), is idempotent in
+#: effect, and is INTENTIONALLY permanent for the no-deploy executor
+#: contract — but it should still happen exactly once, not on every
+#: webp_stats call (round-15 advice).
+_PICKLE_BY_VALUE_REGISTERED = False
+
+
 def _make_webp_decoder():
     """Decoder closure for the Arrow-batched stats lane. The VP8L
     decoder is too large to inline by hand like the PPM/PNG closures,
@@ -1264,12 +1368,24 @@ def _make_webp_decoder():
 
     from pyspark import cloudpickle
 
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    global _PICKLE_BY_VALUE_REGISTERED
+    if not _PICKLE_BY_VALUE_REGISTERED:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _PICKLE_BY_VALUE_REGISTERED = True
     decode_argb = _vp8l_decode_argb
+    unwrap_vp8x = _vp8x_embedded_vp8l
 
     def decode(payload: bytes):
         import numpy as _np
 
+        if payload[:4] == b"RIFF" and payload[12:16] == b"VP8X":
+            inner = unwrap_vp8x(payload)
+            if inner is None:
+                raise NotImplementedError(
+                    "VP8X without an embedded VP8L still image (lossy "
+                    "frame or animation) has no native decode lane"
+                )
+            payload = inner
         w, h, argb = decode_argb(payload)
         out = _np.zeros((h * w, 3), dtype=_np.uint8)
         out[:, 0] = (argb >> _np.uint32(16)) & _np.uint32(0xFF)
