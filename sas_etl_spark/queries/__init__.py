@@ -14,6 +14,7 @@ from sas_etl_spark.queries import (  # noqa: F401
     corpus_index,
     cube_sample,
     events_stream,
+    hypothesis_tests,
     io_stream,
     joins,
     llm,

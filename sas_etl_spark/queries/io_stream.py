@@ -11,7 +11,7 @@ nothing leaks across verify/test invocations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sas_etl_spark.catalog import load_table
@@ -505,6 +505,116 @@ def q_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     stats = webp_stats(raw.select("path", "content"))
+    return stats.select(
+        "img_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+#: DuckDB twin of the perceptual-hash dedup: regenerate every pixel
+#: from the fixture spec, reduce to integer grayscale, map pixels to
+#: 4x4 grid cells with the same floor-division rule, threshold each
+#: cell mean against the image mean by CROSS-MULTIPLICATION (integer-
+#: exact, no float division), pack bits, and count images per hash.
+_PHASH_ORACLE = """
+with dims as (
+  select i, 8 + (i % 5) * 4 as w, 6 + (i % 3) * 4 as h
+  from range(64) t(i)
+),
+px as (
+  select i, w, h, unnest(range(w * h)) as p
+  from dims
+),
+g as (
+  select i, w, h, (p % w) as x, (p // w) as y,
+         (((i * 7 + (p % w) + (p // w)) % 256)
+          + ((i * 7 + 13 + (p % w) + (p // w)) % 256)
+          + ((i * 7 + 26 + (p % w) + (p // w)) % 256)) // 3 as gray
+  from px
+),
+cells as (
+  select i, (y * 4 // h) * 4 + (x * 4 // w) as cell,
+         sum(gray) as cs, count(*) as cn
+  from g group by i, (y * 4 // h) * 4 + (x * 4 // w)
+),
+tot as (
+  select i, sum(cs) as ts, sum(cn) as tn from cells group by i
+),
+ph as (
+  select c.i,
+         cast(sum(case when c.cs * t.tn > t.ts * c.cn
+                       then 1 << cell else 0 end) as bigint) as phash
+  from cells c join tot t on c.i = t.i group by c.i
+)
+select d.i as img_id, cast(d.w as integer) as width,
+       cast(d.h as integer) as height, ph.phash,
+       cast(count(*) over (partition by ph.phash) as bigint) as n_dup
+from dims d join ph on d.i = ph.i
+"""
+
+
+@query("q_image_phash", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup", "llm"))
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (round 15) — the image-modality
+    twin of the text fingerprint lanes: decode the 64-image PPM
+    corpus distributed via binaryFile, block-average each image's
+    integer grayscale down to a 4x4 thumbnail inside the Arrow
+    mapInPandas lane, threshold cells against the image mean by
+    integer cross-multiplication, pack the 16 bits into a hash, and
+    count images sharing each hash (brightness-shifted gradients
+    collapse together — the near-duplicate grouping a curation
+    pipeline runs before training). The oracle recomputes every step
+    in pure SQL from the pixel formula, so a green hash attests
+    decode + downsample + threshold + bit-pack + dedup-group
+    end-to-end (operators/multimodal.py image_phash). At 100 TB:
+    decode is embarrassingly parallel over the object-store listing;
+    the dedup group-by is a map-side-combined exchange on a 64-bit
+    key."""
+    from sas_etl_spark.operators.multimodal import image_phash, write_ppm_fixture
+
+    path = scratch_dir(spark, "phash_ppm")
+    write_ppm_fixture(path, n_images=64)
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.ppm").load(path)
+    hashed = image_phash(raw.select("path", "content"))
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "img_id",
+        "width",
+        "height",
+        "phash",
+        F.count(F.lit(1)).over(w).alias("n_dup"),
+    )
+
+
+@query("q_webp_vp8x", oracle=_IMAGE_ORACLE, tags=("multimodal", "io"))
+def q_webp_vp8x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-container WebP decode (round 15): the 64-image VP8L
+    corpus re-wrapped in VP8X containers — the shape real encoders
+    emit for 'lossless with metadata' (VP8X header chunk + EXIF chunk
+    + the VP8L stream). decode routes through the RIFF sub-chunk walk
+    (operators/webp.py _vp8x_embedded_vp8l) to the NATIVE VP8L
+    decoder inside the Arrow mapInPandas lane — no system libwebp
+    involved — and the pixel spec matches the PPM/PNG/WebP fixtures,
+    so the oracle is the same pure-SQL pixel regeneration. A green
+    hash attests container parsing + chunk routing + the full VP8L
+    pipeline on metadata-flagged lossless files, the dominant
+    lossless shape in web-scraped corpora."""
+    from sas_etl_spark.operators.webp import webp_stats, write_webp_vp8x_fixture
+
+    path = scratch_dir(spark, "webp_vp8x")
+    write_webp_vp8x_fixture(path, n_images=64)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(path)
+    )
+    stats = webp_stats(
+        raw.select("path", "content"), id_pattern=r"vp8x_(\d+)\.webp$"
+    )
     return stats.select(
         "img_id",
         "width",

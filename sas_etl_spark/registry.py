@@ -71,19 +71,12 @@ ATTEST_CADENCE = 6
 #: registrations / changed-code re-attests. Entries are valid ONLY for
 #: the round they name (the staleness test fails an entry whose round
 #: has passed — the slipped row is then OVERDUE and must be in the next
-#: window unconditionally). Round-14 slips: the window is exactly full
-#: (2 overdue r7 + 10 changed rows + q_semdedup_serve NEW +
-#: q_bloom_contamination re-geometry + q_webp_features NEW + 37 of
-#: the 40 due r8 rows), so the three alphabetically-last untouched
-#: single-table r8 rows slide to lead round 15 — the same documented
-#: trade round 13 made for q_topk_other/q_url_extract.
-DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset(
-    {
-        ("q_tumbling_counts", 14),
-        ("q_weighted_median", 14),
-        ("q_systematic_sample", 14),
-    }
-)
+#: window unconditionally). Round 15 carries no slips: the window
+#: holds all three r14 slips (now overdue), the full due r9 cohort,
+#: both changed rows, and the five round-15 registrations — with the
+#: one leftover slot spent pulling q_ab_test forward from the r10
+#: cohort (shrinks round 16's due rotation to 39).
+DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset()
 
 #: Round-close protocol (promoted to standing protocol in round 14,
 #: VERDICT r13 item 8): after the tree settles, run the FULL-registry
@@ -124,76 +117,71 @@ SWEEP_SKIP: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 14 window. Composition (50 = 2 + 8 + 2 + 38), draining the
-    # re-attestation debt VERDICT r13 item 1 names:
-    # -- (a) OVERDUE: the two r7 rows round 13's capability
-    # registrations displaced (documented one-round slip, now due
-    # unconditionally).
-    "q_topk_other",
-    "q_url_extract",
-    # -- (b) changed/moved since their attestation (OPERATORS.md
-    # flags, recomputed on the settled r13 tree): q_ppl_buckets'
-    # exact-integer-accumulator fix (f46c537, post-r9-attestation);
-    # q_incremental_neardup + the snapshot/CDC family over the r13
-    # minhash/write_snapshot helper rework; q_jpeg_features over the
-    # jpeg_encode quant parameter (byte-identical artifact, re-attest
-    # anyway); q_ngram_contamination over the shared-oracle-constant
-    # move (byte-identical value, re-attest anyway).
-    "q_ppl_buckets",
-    "q_incremental_neardup",
-    "q_jpeg_features",
-    "q_ngram_contamination",
-    "q_snapshot_time_travel",
-    "q_snapshot_upsert",
-    "q_snapshot_vacuum",
-    "q_stream_cdc_upsert",
-    # -- (c) NEW this round: SemDeDup serving from the persisted
-    # semantic index (VERDICT r13 item 2); re-attest for this round's
-    # derived bloom geometry (VERDICT r13 item 3); and the lossless-
-    # WebP (VP8L) decode lane (retires most of the WebP codec gate).
-    "q_semdedup_serve",
-    "q_bloom_contamination",
+    # ROUND 15 window. Composition (50 = 5 + 2 + 3 + 39 + 1):
+    # -- (a) NEW this round: the VP8X extended-container WebP lane
+    # (round-15 advice item 1 made attestable), perceptual-hash image
+    # dedup, and the PROC TTEST / NPAR1WAY / ANOVA hypothesis-test
+    # family (queries/hypothesis_tests.py).
+    "q_webp_vp8x",
+    "q_image_phash",
+    "q_ttest_welch",
+    "q_mannwhitney",
+    "q_anova_oneway",
+    # -- (b) changed since their attestation: q_webp_features over the
+    # round-15 webp hardening (uint32 pixel buffer + forged-dims
+    # bound + VP8X routing in the shared decoder closure);
+    # q_png_features over its codec-gate docstring fix (comment-only,
+    # re-attest anyway — the ledger diffs source segments).
     "q_webp_features",
-    # -- (d) the due 6-round rotation: 37 of the 40 r8-cohort rows
-    # (q_tumbling_counts, q_weighted_median and q_systematic_sample
-    # slip one round, see DOCUMENTED_SLIPS above).
-    "q_approx_distinct",
-    "q_asof_event",
-    "q_bigram_logprob",
-    "q_bucketed_join",
-    "q_char_entropy",
-    "q_containment_pairs",
-    "q_cramers_v",
-    "q_date_dim",
-    "q_date_format",
-    "q_date_funcs",
-    "q_dedup_firstlast",
-    "q_domain_mixture",
-    "q_epoch_shuffle",
-    "q_exact_dup",
-    "q_funnel",
-    "q_gap_fill",
-    "q_golden_record",
-    "q_gopher_rules",
-    "q_hierarchy_flatten",
-    "q_impute_group_mean",
-    "q_intnx_intck",
-    "q_json_nested",
-    "q_kfold_assign",
-    "q_latency_percentiles",
-    "q_max_concurrency",
-    "q_mixture_epochs",
-    "q_mom_growth",
-    "q_moving_avg",
-    "q_neardup_apply",
-    "q_new_vs_returning",
-    "q_pctldef",
-    "q_pmi_scores",
-    "q_quality_prune",
-    "q_reservoir_sample",
-    "q_sessionize",
-    "q_sliding_distinct_users",
-    "q_spearman_corr",
+    "q_png_features",
+    # -- (c) OVERDUE: the three r8 rows round 14's full window slipped
+    # (DOCUMENTED_SLIPS r14, expired — unconditional this round).
+    "q_tumbling_counts",
+    "q_weighted_median",
+    "q_systematic_sample",
+    # -- (d) the due 6-round rotation: the full r9 cohort (39 rows).
+    "q_anti_join",
+    "q_append_sink",
+    "q_bpe_merges",
+    "q_contamination",
+    "q_cosine_pairs",
+    "q_csv_roundtrip",
+    "q_cube",
+    "q_dataset_compare",
+    "q_dedup_containment",
+    "q_doc_embed_join",
+    "q_doc_fingerprint",
+    "q_doc_quality",
+    "q_dsir_weights",
+    "q_grouping_sets",
+    "q_json_roundtrip",
+    "q_k_anonymity",
+    "q_ks_drift",
+    "q_lang_id",
+    "q_left_join_null",
+    "q_min_per_group_join",
+    "q_mixture_apply",
+    "q_multi_split",
+    "q_near_dup_embedding",
+    "q_near_dup_simhash",
+    "q_ngram_diversity",
+    "q_percentiles",
+    "q_pii_luhn",
+    "q_semantic_decontam",
+    "q_stream_dedup",
+    "q_stream_exactly_once_sink",
+    "q_stream_join",
+    "q_stream_quality_gate",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful_totals",
+    "q_stream_tumbling",
+    "q_temperature_mixture",
+    "q_winsorize",
+    "q_zipf_fit",
+    # -- (e) one slot left over: pull the alphabetically-first r10 row
+    # forward (early rotation — round 16's due cohort drops to 39).
+    "q_ab_test",
 )
 
 #: Window bookkeeping rule (learned twice, r7 and r8): NO @query
@@ -205,20 +193,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: code: tests/test_attestation_staleness.py recomputes due/overdue
 #: rows from the CORRECTNESS artifacts and fails any window that
 #: misses them (slips allowed only via DOCUMENTED_SLIPS, one round,
-#: named). Queries registered in round 14: q_semdedup_serve (the
-#: SemDeDup serve-from-persisted-index form, VERDICT r13 item 2);
-#: q_webp_features (the lossless-WebP/VP8L decode lane,
-#: operators/webp.py). q_bloom_contamination re-attests for the
-#: derived bloom geometry (bloom_m_for, VERDICT r13 item 3).
+#: named). Queries registered in round 15: q_webp_vp8x (VP8X
+#: extended-container lossless decode), q_image_phash (perceptual-
+#: hash image dedup), q_ttest_welch / q_mannwhitney / q_anova_oneway
+#: (the PROC TTEST / NPAR1WAY / ANOVA family,
+#: queries/hypothesis_tests.py).
 #:
-#: ROUND 15 window plan: (1) q_tumbling_counts + q_weighted_median +
-#: q_systematic_sample FIRST (this round's DOCUMENTED_SLIPS — overdue
-#: at r15), then (2) any rows the OPERATORS.md ledger flags
-#: changed/moved, then (3) the due rotation: the r9 cohort (41 rows
-#: at r13 count; read the exact set from OPERATORS.md's Last-attested
-#: column) — 41 + 3 overfills the 50-slot window only if more than 6
-#: rows change in round 15; pause registrations or document slips
-#: accordingly.
+#: ROUND 16 window plan: (1) any rows the settled-tree ledger flags
+#: changed/moved, then (2) the due rotation: the r10 cohort MINUS
+#: q_ab_test (attested early this round) = 39 rows — 39 + changed +
+#: new registrations must fit 50; pause registrations or document
+#: slips accordingly.
 
 
 def query(

@@ -40,39 +40,34 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the 10 rows the settled-r13-tree ledger flags changed/moved (the
-#: q_ppl_buckets accumulator fix, the minhash/write_snapshot helper
-#: rework family, the byte-identical-but-re-attest jpeg/ngram pair),
-#: the two r7 rows round 13's registrations displaced, and
-#: q_bloom_contamination re-attesting its derived geometry (VERDICT
-#: r13 items 1 and 3).
+#: the two rows the settled-r14-tree ledger flags changed
+#: (q_webp_features over the round-15 webp hardening, q_png_features
+#: over its codec-gate docstring fix).
 RE_ATTESTS = {
-    "q_topk_other", "q_url_extract",
-    "q_ppl_buckets", "q_incremental_neardup", "q_jpeg_features",
-    "q_ngram_contamination", "q_snapshot_time_travel",
-    "q_snapshot_upsert", "q_snapshot_vacuum", "q_stream_cdc_upsert",
-    "q_bloom_contamination",
+    "q_webp_features", "q_png_features",
 }
-#: The due 6-round rotation: 37 of the 40 r8-cohort rows
-#: (q_tumbling_counts, q_weighted_median and q_systematic_sample slip
-#: one round via registry.DOCUMENTED_SLIPS and lead the round-15
-#: window).
+#: The due/overdue 6-round rotation: the three r8 rows round 14
+#: slipped (now overdue, unconditional), the full r9 cohort (39), and
+#: q_ab_test pulled forward from the r10 cohort into the one leftover
+#: slot.
 SENTINELS = {
-    "q_approx_distinct", "q_asof_event", "q_bigram_logprob",
-    "q_bucketed_join", "q_char_entropy", "q_containment_pairs",
-    "q_cramers_v", "q_date_dim", "q_date_format", "q_date_funcs",
-    "q_dedup_firstlast", "q_domain_mixture", "q_epoch_shuffle",
-    "q_exact_dup", "q_funnel", "q_gap_fill", "q_golden_record",
-    "q_gopher_rules", "q_hierarchy_flatten", "q_impute_group_mean",
-    "q_intnx_intck", "q_json_nested", "q_kfold_assign",
-    "q_latency_percentiles", "q_max_concurrency", "q_mixture_epochs",
-    "q_mom_growth", "q_moving_avg", "q_neardup_apply",
-    "q_new_vs_returning", "q_pctldef", "q_pmi_scores",
-    "q_quality_prune", "q_reservoir_sample", "q_sessionize",
-    "q_sliding_distinct_users", "q_spearman_corr",
+    "q_tumbling_counts", "q_weighted_median", "q_systematic_sample",
+    "q_anti_join", "q_append_sink", "q_bpe_merges", "q_contamination",
+    "q_cosine_pairs", "q_csv_roundtrip", "q_cube", "q_dataset_compare",
+    "q_dedup_containment", "q_doc_embed_join", "q_doc_fingerprint",
+    "q_doc_quality", "q_dsir_weights", "q_grouping_sets",
+    "q_json_roundtrip", "q_k_anonymity", "q_ks_drift", "q_lang_id",
+    "q_left_join_null", "q_min_per_group_join", "q_mixture_apply",
+    "q_multi_split", "q_near_dup_embedding", "q_near_dup_simhash",
+    "q_ngram_diversity", "q_percentiles", "q_pii_luhn",
+    "q_semantic_decontam", "q_stream_dedup",
+    "q_stream_exactly_once_sink", "q_stream_join",
+    "q_stream_quality_gate", "q_stream_session", "q_stream_sliding",
+    "q_stream_stateful_totals", "q_stream_tumbling",
+    "q_temperature_mixture", "q_winsorize", "q_zipf_fit", "q_ab_test",
 }
 
 
@@ -95,17 +90,20 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round14_rotation_targets_inside_window() -> None:
-    """Round-14 plan (VERDICT r13 items 1-3): the new queries and this
-    round's re-attests must all sit in slots 0-49."""
-    must = {"q_semdedup_serve", "q_webp_features"} | RE_ATTESTS
+def test_round15_rotation_targets_inside_window() -> None:
+    """Round-15 plan: the five new registrations and this round's
+    re-attests must all sit in slots 0-49."""
+    must = {
+        "q_webp_vp8x", "q_image_phash", "q_ttest_welch",
+        "q_mannwhitney", "q_anova_oneway",
+    } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round14_window_finishes_attestation() -> None:
-    """The r14 window must drain the never-attested backlog (recomputed
-    from pre-r14 CORRECTNESS artifacts, no hand list) and spend every
+def test_round15_window_finishes_attestation() -> None:
+    """The r15 window must drain the never-attested backlog (recomputed
+    from pre-r15 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
