@@ -94,6 +94,16 @@ def test_reference_decoder_accepts_our_streams(mix):
     assert (_lib_decode_rgb(enc) == arr).all(), f"mix={mix}"
 
 
+@pytest.mark.parametrize("mix", range(6))
+def test_reference_decoder_accepts_our_vp8x_containers(mix):
+    """Round 15: the VP8X containers vp8x_wrap emits (VP8X header +
+    EXIF + VP8L chunks) must decode bit-exactly in libwebp too — the
+    container framing is spec-compliant, not just the VP8L payload."""
+    arr = _gradient(24, 14, mix)
+    enc = W.vp8x_wrap(W.vp8l_encode(arr, **W.webp_fixture_encode_opts(mix)))
+    assert (_lib_decode_rgb(enc) == arr).all(), f"mix={mix}"
+
+
 def _reference_cases():
     rng = np.random.default_rng(42)
     x = np.arange(320)[None, :, None]
