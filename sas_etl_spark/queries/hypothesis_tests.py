@@ -262,6 +262,127 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+# -- Kruskal-Wallis ---------------------------------------------------
+
+_KW_CLASSES = ("A", "N", "R")
+
+
+def _kw_terms() -> tuple[str, str]:
+    """Fixed-order textual sums over the per-class named columns (the
+    same float-fold-divergence answer as _anova_terms)."""
+    n = " + ".join(f"n{i}" for i in range(len(_KW_CLASSES)))
+    r2_over_n = " + ".join(f"r{i} * r{i} / n{i}" for i in range(len(_KW_CLASSES)))
+    return n, r2_over_n
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=f"""
+    with hist as (
+        select cast(l_quantity as bigint) as q,
+               {", ".join(
+                   f"cast(count(*) filter (l_returnflag = '{c}') as bigint)"
+                   f" as c{i}"
+                   for i, c in enumerate(_KW_CLASSES)
+               )},
+               cast(count(*) as bigint) as t
+        from lineitem group by cast(l_quantity as bigint)
+    ),
+    ranked as (
+        select *,
+               coalesce(sum(t) over (order by q
+                                     rows between unbounded preceding
+                                     and 1 preceding), 0) as below
+        from hist
+    ),
+    g as (
+        select
+        {", ".join(
+            f"cast(sum(c{i}) as double) as n{i}, "
+            f"cast(sum(c{i} * (2 * below + t + 1)) as double) / 2.0 as r{i}"
+            for i in range(len(_KW_CLASSES))
+        )},
+               cast(sum(cast(t as hugeint) * t * t - t) as double) as ties
+        from ranked
+    )
+    select cast({_kw_terms()[0]} as bigint) as n_obs,
+           {len(_KW_CLASSES)} as k_groups,
+           round((12.0 / (({_kw_terms()[0]}) * (({_kw_terms()[0]}) + 1))
+                  * ({_kw_terms()[1]})
+                  - 3.0 * (({_kw_terms()[0]}) + 1))
+                 / (1.0 - ties / (({_kw_terms()[0]}) * ({_kw_terms()[0]})
+                                  * ({_kw_terms()[0]}) - ({_kw_terms()[0]}))),
+                 6) as h_stat
+    from g
+    """,
+    tags=("agg", "stats"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across k groups (SAS: PROC NPAR1WAY WILCOXON
+    with a k-level CLASS — the k-sample rank test printed alongside
+    the two-sample Wilcoxon): does the quantity distribution differ
+    across return-flag classes? Emits N, k, and the tie-corrected H.
+
+    Machinery is q_mannwhitney's histogram-rank idiom extended to k
+    classes: per-value conditional counts (one map-side-combined
+    groupBy, 50 result rows), a prefix-sum window over DISTINCT
+    values only, per-class rank sums via the doubled integer form,
+    and H = (12/(N(N+1)) * sum_g(R_g^2/n_g) - 3(N+1)) / (1 -
+    sum(t^3-t)/(N^3-N)) as one fixed-order textual expression over
+    the named per-class columns (the _anova_terms device). The class
+    list is part of the operator definition (PROC NPAR1WAY CLASS
+    levels). t^3 tie sums ride decimal(38,0) / hugeint.
+
+    Scale: identical to q_mannwhitney — the plan's only row-scale
+    work is the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        *[
+            F.count(F.when(F.col("l_returnflag") == c, 1)).alias(f"c{i}")
+            for i, c in enumerate(_KW_CLASSES)
+        ],
+        F.count(F.lit(1)).alias("t"),
+    )
+    below_w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "below", F.coalesce(F.sum("t").over(below_w), F.lit(0))
+    )
+    aggs = []
+    for i in range(len(_KW_CLASSES)):
+        aggs.append(F.sum(f"c{i}").cast("double").alias(f"n{i}"))
+        aggs.append(
+            (
+                F.sum(
+                    F.col(f"c{i}") * (2 * F.col("below") + F.col("t") + 1)
+                ).cast("double")
+                / 2.0
+            ).alias(f"r{i}")
+        )
+    aggs.append(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("ties")
+    )
+    g = ranked.agg(*aggs)
+    n, r2_over_n = _kw_terms()
+    k = len(_KW_CLASSES)
+    return g.select(
+        F.expr(f"cast({n} as bigint)").alias("n_obs"),
+        F.lit(k).alias("k_groups"),
+        F.round(
+            F.expr(
+                f"(12.0 / (({n}) * (({n}) + 1)) * ({r2_over_n})"
+                f" - 3.0 * (({n}) + 1))"
+                f" / (1.0 - ties / (({n}) * ({n}) * ({n}) - ({n})))"
+            ),
+            6,
+        ).alias("h_stat"),
+    )
+
+
 # -- one-way ANOVA ----------------------------------------------------
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")

@@ -73,9 +73,8 @@ ATTEST_CADENCE = 6
 #: has passed — the slipped row is then OVERDUE and must be in the next
 #: window unconditionally). Round 15 carries no slips: the window
 #: holds all three r14 slips (now overdue), the full due r9 cohort,
-#: both changed rows, and the five round-15 registrations — with the
-#: one leftover slot spent pulling q_ab_test forward from the r10
-#: cohort (shrinks round 16's due rotation to 39).
+#: both changed rows, and the six round-15 registrations — exactly
+#: full.
 DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset()
 
 #: Round-close protocol (promoted to standing protocol in round 14,
@@ -117,7 +116,7 @@ SWEEP_SKIP: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 15 window. Composition (50 = 5 + 2 + 3 + 39 + 1):
+    # ROUND 15 window. Composition (50 = 6 + 2 + 3 + 39):
     # -- (a) NEW this round: the VP8X extended-container WebP lane
     # (round-15 advice item 1 made attestable), perceptual-hash image
     # dedup, and the PROC TTEST / NPAR1WAY / ANOVA hypothesis-test
@@ -179,9 +178,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_temperature_mixture",
     "q_winsorize",
     "q_zipf_fit",
-    # -- (e) one slot left over: pull the alphabetically-first r10 row
-    # forward (early rotation — round 16's due cohort drops to 39).
-    "q_ab_test",
+    # -- (e) the 50th slot: q_kruskal_wallis, the sixth round-15
+    # registration (the k-group NPAR1WAY rank test, landed late in the
+    # round after the five above).
+    "q_kruskal_wallis",
 )
 
 #: Window bookkeeping rule (learned twice, r7 and r8): NO @query
@@ -195,15 +195,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: misses them (slips allowed only via DOCUMENTED_SLIPS, one round,
 #: named). Queries registered in round 15: q_webp_vp8x (VP8X
 #: extended-container lossless decode), q_image_phash (perceptual-
-#: hash image dedup), q_ttest_welch / q_mannwhitney / q_anova_oneway
-#: (the PROC TTEST / NPAR1WAY / ANOVA family,
-#: queries/hypothesis_tests.py).
+#: hash image dedup), and q_ttest_welch / q_mannwhitney /
+#: q_kruskal_wallis / q_anova_oneway (the PROC TTEST / NPAR1WAY /
+#: ANOVA family, queries/hypothesis_tests.py).
 #:
 #: ROUND 16 window plan: (1) any rows the settled-tree ledger flags
-#: changed/moved, then (2) the due rotation: the r10 cohort MINUS
-#: q_ab_test (attested early this round) = 39 rows — 39 + changed +
-#: new registrations must fit 50; pause registrations or document
-#: slips accordingly.
+#: changed/moved, then (2) the due rotation: the full r10 cohort (40
+#: rows) — 40 + changed + new registrations must fit 50; pause
+#: registrations or document slips accordingly.
 
 
 def query(

@@ -50,9 +50,7 @@ RE_ATTESTS = {
     "q_webp_features", "q_png_features",
 }
 #: The due/overdue 6-round rotation: the three r8 rows round 14
-#: slipped (now overdue, unconditional), the full r9 cohort (39), and
-#: q_ab_test pulled forward from the r10 cohort into the one leftover
-#: slot.
+#: slipped (now overdue, unconditional) and the full r9 cohort (39).
 SENTINELS = {
     "q_tumbling_counts", "q_weighted_median", "q_systematic_sample",
     "q_anti_join", "q_append_sink", "q_bpe_merges", "q_contamination",
@@ -67,7 +65,7 @@ SENTINELS = {
     "q_stream_exactly_once_sink", "q_stream_join",
     "q_stream_quality_gate", "q_stream_session", "q_stream_sliding",
     "q_stream_stateful_totals", "q_stream_tumbling",
-    "q_temperature_mixture", "q_winsorize", "q_zipf_fit", "q_ab_test",
+    "q_temperature_mixture", "q_winsorize", "q_zipf_fit",
 }
 
 
@@ -95,7 +93,7 @@ def test_round15_rotation_targets_inside_window() -> None:
     re-attests must all sit in slots 0-49."""
     must = {
         "q_webp_vp8x", "q_image_phash", "q_ttest_welch",
-        "q_mannwhitney", "q_anova_oneway",
+        "q_mannwhitney", "q_kruskal_wallis", "q_anova_oneway",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"

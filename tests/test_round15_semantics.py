@@ -101,6 +101,36 @@ def test_mannwhitney_matches_numpy_reference(spark):
         assert r.z_stat == pytest.approx(z, abs=1e-4)
 
 
+def test_kruskal_wallis_matches_numpy_reference(spark):
+    import duckdb
+
+    from sas_etl_spark.queries.hypothesis_tests import (
+        _KW_CLASSES,
+        q_kruskal_wallis,
+    )
+
+    df = duckdb.sql(
+        f"""select l_returnflag, cast(l_quantity as bigint) as q
+            from '{SF_SMOKE}/lineitem.parquet'"""
+    ).df()
+    vals = df.q.to_numpy().astype(float)
+    ranks = _avg_ranks(vals)
+    n = len(vals)
+    k = len(_KW_CLASSES)
+    r2_over_n = sum(
+        ranks[(df.l_returnflag == c).to_numpy()].sum() ** 2
+        / int((df.l_returnflag == c).sum())
+        for c in _KW_CLASSES
+    )
+    h = 12.0 / (n * (n + 1)) * r2_over_n - 3.0 * (n + 1)
+    _, t_counts = np.unique(vals, return_counts=True)
+    ties = float((t_counts.astype(np.float64) ** 3 - t_counts).sum())
+    h_corr = h / (1.0 - ties / (n**3 - n))
+    row = q_kruskal_wallis(spark, SF_SMOKE).collect()[0]
+    assert row.n_obs == n and row.k_groups == k
+    assert row.h_stat == pytest.approx(h_corr, rel=1e-6)
+
+
 def test_anova_matches_numpy_reference(spark):
     df = _orders_with_segment()
     groups = [
