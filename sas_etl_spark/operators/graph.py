@@ -9,31 +9,83 @@ leaves duplicates behind. Component id = min doc id in the component,
 so the canonical "representative" of every cluster is deterministic
 and the keep-set is `doc_id == cluster_id`.
 
-Algorithm: iterative min-label propagation WITH pointer jumping —
-each round every node (1) takes the min of its own label and its
-neighbors' labels, then (2) shortcuts to its label's label
-(label[u] := label[label[u]]). Propagation alone needs diameter
-rounds (a 10^6-node chain would need 10^6 shuffles); the shortcut
-step doubles the effective jump distance per round, giving
-O(log diameter) rounds — the same asymptotics as the alternating
-large-star/small-star scheme (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14) with a simpler, auditable round
-body. Measured: a 64-node path converges in 7 rounds (vs 64 for
-plain propagation); near-dup components are cliquish and finish in
-2. Each round is two shuffle joins + one min-aggregation — no
-collect, no driver-side graph. `localCheckpoint` every few rounds
-truncates the growing lineage (essential for long loops; harmless
-locally).
+Two implementations, same contract (node -> min reachable node id):
+
+- ``connected_components`` (the production path since round 16,
+  VERDICT r14 item 6 / r15 item 1): the alternating LARGE-STAR /
+  SMALL-STAR scheme of Kiveris et al., "Connected Components in
+  MapReduce and Beyond" (SoCC'14). The state is the EDGE SET itself
+  (canonicalized big->small); each round rewires it toward a star
+  per component whose center is the component minimum. Large-star
+  hangs every neighbor larger than u off min(Gamma(u) u {u});
+  small-star re-hangs u and its smaller neighbors off the same min.
+  Both halves strictly decrease the paper's potential function, the
+  fixed point is exactly "every component is a min-rooted star",
+  and convergence takes O(log^2 n) rounds worst-case, O(log n) on
+  paths, 1-2 on the cliquish components near-dup graphs produce
+  (measured: 10,000-node chain in 7 rounds — SCALE.md round 16).
+  Each half-round is one map-side-combinable min-groupBy + one
+  broadcast-or-shuffle join; edge rows never exceed the input edge
+  count + node count, and no state ever sits on the driver.
+
+- ``connected_components_jump`` (rounds 10-15's path, kept as the
+  independent cross-check twin for the property tests): iterative
+  min-label propagation with pointer jumping (label[u] :=
+  label[label[u]] each round) — also O(log diameter) rounds, but
+  label propagation is one join SLOWER per round than the star
+  rewiring on high-degree graphs because every round touches every
+  NODE twice (neighbor-min + jump) rather than touching shrinking
+  EDGES.
 
 The driver-loop convergence check (`.count()` per round) is the
 iterative-algorithm exception to the no-actions rule: it coordinates
 rounds, it never materializes data rows to the driver.
+`localCheckpoint` per round truncates the growing lineage and makes
+each round's shuffles execute exactly once (essential for long
+loops; harmless locally).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star half-round over a canonical (u > v) edge set:
+    for every node u, hang each STRICTLY LARGER neighbor v off
+    m = min(Gamma(u) u {u}). Emitted edges (v, m) satisfy v > u >= m,
+    so the output is canonical by construction (no self-loops)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("_mn"), F.col("u")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star half-round: for every node u, re-hang u and all
+    its SMALLER neighbors off m = min of those neighbors (all < u, so
+    m = min(Gamma-(u) u {u}) = min(v)). Keeps canonical orientation;
+    drops the (m, m) self-loop."""
+    mins = e.groupBy("u").agg(F.min("v").alias("_mn"))
+    rehung = e.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("_mn").alias("v")
+    )
+    self_edge = mins.select("u", F.col("_mn").alias("v"))
+    return (
+        rehung.unionByName(self_edge)
+        .where(F.col("u") > F.col("v"))
+        .distinct()
+    )
 
 #: Materialize labels every round. Besides truncating lineage, the
 #: eager localCheckpoint makes each round's joins execute exactly
@@ -51,16 +103,76 @@ def connected_components(
     out_node: str = "node",
     out_component: str = "component",
     max_iter: int = 25,
+    round_log: list[int] | None = None,
 ) -> DataFrame:
     """Label every node of an undirected edge list with the minimum
-    node id reachable from it (its connected component id).
+    node id reachable from it, via alternating large-star/small-star
+    rounds (Kiveris et al., SoCC'14 — see module docstring).
 
     ``edges`` is one row per undirected edge (orientation irrelevant;
-    both are added). Isolated nodes never appear — callers union
-    singletons back if they need total coverage. Raises if the loop
-    fails to converge within ``max_iter`` rounds (a cycle cannot cause
-    that — min-labels are monotone non-increasing and bounded; with
-    pointer jumping the budget covers diameters up to ~2^max_iter).
+    self-loops ignored for connectivity but their node still appears
+    in the output). Isolated nodes never appear — callers union
+    singletons back if they need total coverage. Convergence is the
+    exact fixed point (the edge set stops changing: same distinct
+    count AND no row outside the previous set — both sets are
+    distinct, so that is set equality); at the fixed point every
+    component is a star rooted at its minimum, which IS the answer.
+    Raises if ``max_iter`` rounds don't reach it (O(log^2 n) bounds
+    the true need far below the default). ``round_log``, when given,
+    receives the number of rounds taken (scale tests assert the
+    logarithmic round count on chain graphs).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias(out_node))
+        .unionByName(e.select(F.col("v").alias(out_node)))
+        .distinct()
+    )
+    cur = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_cnt = cur.count()
+    for it in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cnt = nxt.count()
+        converged = cnt == prev_cnt and nxt.exceptAll(cur).isEmpty()
+        cur, prev_cnt = nxt, cnt
+        if converged:
+            if round_log is not None:
+                round_log.append(it + 1)
+            parents = cur.groupBy(F.col("u").alias(out_node)).agg(
+                F.min("v").alias("_p")
+            )
+            return nodes.join(parents, out_node, "left").select(
+                out_node,
+                F.coalesce(F.col("_p"), F.col(out_node)).alias(
+                    out_component
+                ),
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} "
+        "large-star/small-star rounds — raise max_iter"
+    )
+
+
+def connected_components_jump(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    out_node: str = "node",
+    out_component: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation with pointer jumping — the rounds-10-15
+    implementation, kept as the independently-derived cross-check twin
+    (tests/test_graph.py proves both agree on random forests and
+    adversarial chains). Same contract as ``connected_components``;
+    the budget covers diameters up to ~2^max_iter.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -120,8 +232,8 @@ def connected_components(
         if changed == 0:
             return labels.withColumnRenamed("_label", out_component)
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "diameter exceeds ~2^rounds; raise max_iter"
+        f"connected_components_jump did not converge in {max_iter} "
+        "rounds — diameter exceeds ~2^rounds; raise max_iter"
     )
 
 

@@ -117,6 +117,33 @@ def write_ppm_fixture(out_dir: str, n_images: int = 64) -> None:
             f.write(ppm_bytes(w, h, i))
 
 
+def write_ppm_neardup_fixture(out_dir: str, n_images: int = 64) -> None:
+    """Write the NEAR-DUPLICATE PPM corpus (round 16): 32x32 gray
+    images in twin pairs — image i has base b = i//2 and variant
+    v = i%2; all three channels carry
+    val = ((b*53 + 2*x*x + 3*y*y + (b%7 + 1)*x*y) % 256
+           + (v=1 and x<4 and y<4 ? 180 : 0)) % 256.
+    The 4x4 patch perturbs exactly one 8x8-aHash cell plus the global
+    mean, so twins land at Hamming distance 0-6 (measured: 7 pairs at
+    0, 12 at 1, 6 at 3-6) while distinct bases stay >= 20 bits apart —
+    the separation that makes Hamming-ball collapse MEAN similarity.
+    Pure integer spec, recomputable by a SQL oracle."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    x = np.arange(32, dtype=np.int64)[None, :]
+    y = np.arange(32, dtype=np.int64)[:, None]
+    header = b"P6\n32 32\n255\n"
+    for i in range(n_images):
+        b, v = i // 2, i % 2
+        val = (b * 53 + 2 * x * x + 3 * y * y + (b % 7 + 1) * x * y) % 256
+        if v:
+            val = (val + np.where((x < 4) & (y < 4), 180, 0)) % 256
+        arr = np.repeat(val[:, :, None], 3, axis=2).astype(np.uint8)
+        with open(os.path.join(out_dir, f"nd_{i:05d}.ppm"), "wb") as f:
+            f.write(header + arr.tobytes())
+
+
 def _make_ppm_decoder():
     """Build the validated P6 decoder as a NESTED function, defined
     once and shared by every consumer (decode_ppm, image_stats,
@@ -229,7 +256,7 @@ def image_stats(
 
 def image_phash(
     df: DataFrame,
-    grid: int = 4,
+    grid: int = 8,
     content_col: str = "content",
     path_col: str = "path",
     id_pattern: str = r"img_(\d+)\.ppm$",
@@ -273,9 +300,14 @@ def image_phash(
                 ).astype(_np.int64)
                 total, n_total = int(csum.sum()), w * h
                 bits = csum * n_total > total * sums
-                phash = int(
-                    (bits.astype(_np.int64) << _np.arange(grid * grid)).sum()
-                )
+                # exact Python-int pack, then two's-complement fold to
+                # signed 64 (grid=8 sets bit 63; numpy int64 shifts
+                # would wrap UB-style, DuckDB sums in hugeint and folds
+                # identically — see _PHASH_ORACLE)
+                uhash = 0
+                for bit in _np.nonzero(bits)[0]:
+                    uhash |= 1 << int(bit)
+                phash = uhash - (1 << 64) if uhash >= 1 << 63 else uhash
                 m = pat.search(path)
                 out["img_id"].append(int(m.group(1)) if m else -1)
                 out["width"].append(w)

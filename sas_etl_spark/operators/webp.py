@@ -644,19 +644,33 @@ def _vp8l_decode_argb(payload: bytes) -> tuple[int, int, np.ndarray]:
             )
         raise ValueError(f"bad WebP chunk {payload[12:16]!r}")
     (chunk_len,) = struct.unpack("<I", payload[16:20])
+    # A declared chunk_len beyond the bytes actually present is
+    # malformed (round-16 advice: chunk_len is attacker-controlled, so
+    # a forged 0xFFFFFF00 length must not widen the allocation guard
+    # below; the slice would silently truncate and the decode would
+    # fail late, after the allocation).
+    avail = len(payload) - 20
+    if chunk_len > avail:
+        raise ValueError(
+            f"VP8L: truncated chunk — declares {chunk_len} bytes but "
+            f"only {avail} are present"
+        )
     br = _BitReader(payload[20 : 20 + chunk_len])
     if br.read(8) != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     width = br.read(14) + 1
     height = br.read(14) + 1
-    # DoS guard (round-15 advice): header-declared dims drive the pixel
-    # buffer allocation (up to 16384x16384 = 1 GiB of uint32) BEFORE any
-    # bitstream validation, so bound pixels against what the payload
-    # could plausibly encode. VP8L's max LZ77 run is ~4 Kpx per backref
-    # (prefix code 23 tops out at 2^11 extra bits), so even a
-    # solid-color image needs >= npix/4096 coded symbols; 4096 px/byte
-    # with a 1 Mpx floor therefore never rejects a decodable stream but
-    # caps a 60-byte forged-header bomb at a 4 MB allocation.
+    # DoS budget (rounds 15-16 advice): header-declared dims drive the
+    # pixel buffer allocation (up to 16384x16384 = 1 GiB of uint32)
+    # BEFORE any bitstream validation, so cap pixels against the bytes
+    # actually present. The 4096 px/byte figure is a HEURISTIC policy
+    # cap, not derivable from the format: degenerate 1-symbol prefix
+    # codes decode with 0-bit reads, so a valid tiny stream can encode
+    # unboundedly many pixels — the 1 Mpx floor keeps such legitimate
+    # tiny solid/LZ77-run images decodable. The same bound doubles as
+    # the CPU-amplification budget: the pixel decode loop runs at most
+    # max(1 Mpx, 4096*chunk_len) iterations per payload, and a forged
+    # header is capped at a 4 MB allocation per KB of actual bytes.
     if width * height > max(1 << 20, chunk_len * 4096):
         raise ValueError(
             f"VP8L: declared {width}x{height} exceeds what a "

@@ -174,12 +174,13 @@ def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         select l_returnflag,
                cast(sum(c1) as bigint) as n1,
                cast(sum(c2) as bigint) as n2,
-               cast(sum(c1 * (2 * below + t + 1)) as double) / 2.0 as w1,
+               cast(sum(cast(c1 as hugeint) * (2 * below + t + 1))
+                    as double) / 2.0 as w1,
                cast(sum(cast(t as hugeint) * t * t - t) as double) as ties
         from ranked group by l_returnflag
     )
     select l_returnflag, n1, n2,
-           round(w1 - n1 * (n1 + 1) / 2.0, 1) as u1,
+           round(w1 - cast(n1 as double) * (n1 + 1) / 2.0, 1) as u1,
            round((w1 - n1 * (cast(n1 as double) + n2 + 1) / 2.0)
                  / sqrt(cast(n1 as double) * n2 / 12.0
                         * ((n1 + n2 + 1)
@@ -202,9 +203,13 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_rank = rows_below + (ties + 1)/2, so the only window runs
     over DISTINCT quantities (50 per group at any SF), never rows.
     The rank-sum W1 = sum(c1 * (2*below + t + 1)) / 2 accumulates as
-    an exact integer (the doubled form avoids halves); the tie term
-    sum(t^3 - t) rides decimal(38,0) (hugeint in DuckDB) since t^3
-    overflows int64 once a (group, value) bucket passes ~2M rows.
+    an exact integer (the doubled form avoids halves) in
+    decimal(38,0) / hugeint — round-16 advice: the doubled sum is
+    ~2*n1*N, which would wrap int64 silently (Spark non-ANSI) near
+    sf~1000 — and the tie term sum(t^3 - t) rides the same widening
+    since t^3 overflows int64 once a (group, value) bucket passes
+    ~2M rows. u1's n1*(n1+1) product is likewise evaluated in double
+    on both engines.
     z is one fixed double expression over exact integers, identical
     operand order both sides.
 
@@ -231,9 +236,10 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
         (
-            F.sum(F.col("c1") * (2 * F.col("below") + F.col("t") + 1)).cast(
-                "double"
-            )
+            F.sum(
+                F.col("c1").cast("decimal(38,0)")
+                * (2 * F.col("below") + F.col("t") + 1)
+            ).cast("double")
             / 2.0
         ).alias("w1"),
         F.sum(
@@ -249,7 +255,9 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n1",
         "n2",
-        F.round(F.expr("w1 - n1 * (n1 + 1) / 2.0"), 1).alias("u1"),
+        F.round(F.expr("w1 - cast(n1 as double) * (n1 + 1) / 2.0"), 1).alias(
+            "u1"
+        ),
         F.round(
             F.expr(
                 "(w1 - n1 * (cast(n1 as double) + n2 + 1) / 2.0)"
@@ -299,7 +307,8 @@ def _kw_terms() -> tuple[str, str]:
         select
         {", ".join(
             f"cast(sum(c{i}) as double) as n{i}, "
-            f"cast(sum(c{i} * (2 * below + t + 1)) as double) / 2.0 as r{i}"
+            f"cast(sum(cast(c{i} as hugeint) * (2 * below + t + 1))"
+            f" as double) / 2.0 as r{i}"
             for i in range(len(_KW_CLASSES))
         )},
                cast(sum(cast(t as hugeint) * t * t - t) as double) as ties
@@ -331,7 +340,9 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(t^3-t)/(N^3-N)) as one fixed-order textual expression over
     the named per-class columns (the _anova_terms device). The class
     list is part of the operator definition (PROC NPAR1WAY CLASS
-    levels). t^3 tie sums ride decimal(38,0) / hugeint.
+    levels). Both the doubled rank sums and the t^3 tie sums ride
+    decimal(38,0) / hugeint (round-16 advice: the doubled form wraps
+    int64 near sf~1000 under Spark's non-ANSI arithmetic).
 
     Scale: identical to q_mannwhitney — the plan's only row-scale
     work is the scan."""
@@ -353,7 +364,8 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             (
                 F.sum(
-                    F.col(f"c{i}") * (2 * F.col("below") + F.col("t") + 1)
+                    F.col(f"c{i}").cast("decimal(38,0)")
+                    * (2 * F.col("below") + F.col("t") + 1)
                 ).cast("double")
                 / 2.0
             ).alias(f"r{i}")

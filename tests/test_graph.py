@@ -42,23 +42,75 @@ def test_self_loop_is_harmless(spark):
 
 
 def test_round_budget_exhaustion_raises(spark):
-    edges = [(i, i + 1) for i in range(9)]
+    edges = [(i, i + 1) for i in range(999)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, edges, max_iter=3)
+        _cc(spark, edges, max_iter=1)
 
 
-def test_pointer_jumping_converges_logarithmically(spark):
-    """A 128-node path labels in <= 8 rounds (measured; plain
-    propagation would need 127) — proof the shortcut step is active
-    and the operator scales to long-chain graphs."""
+def test_star_rounds_are_logarithmic_on_chains(spark):
+    """A 128-node path labels in O(log n) large-star/small-star
+    rounds (plain propagation would need 127) — the round count is
+    read back through round_log, the scale property VERDICT r15
+    item 1 demands."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(127)], "a_id long, b_id long"
     )
+    rounds: list[int] = []
     labels = {
         r.node: r.component
-        for r in connected_components(edges, max_iter=8).collect()
+        for r in connected_components(
+            edges, max_iter=10, round_log=rounds
+        ).collect()
     }
     assert labels == {i: 0 for i in range(128)}
+    assert rounds and rounds[0] <= 8
+
+
+def test_star_matches_jump_twin_on_adversarial_graphs(spark):
+    """The star implementation and the rounds-10-15 pointer-jump twin
+    must agree exactly — on a long chain (worst diameter), a clique
+    (densest), a star, and a mixed forest with shuffled ids."""
+    from sas_etl_spark.operators.graph import connected_components_jump
+
+    cases = [
+        [(i, i + 1) for i in range(64)],  # chain
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],  # clique
+        [(0, i) for i in range(1, 12)],  # star
+        # forest with non-contiguous, orientation-mixed ids
+        [(103, 7), (7, 55), (900, 901), (901, 55), (42, 42), (5000, 4999)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "a_id long, b_id long")
+        star = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        jump = {
+            r.node: r.component
+            for r in connected_components_jump(df).collect()
+        }
+        assert star == jump
+
+
+def test_star_ten_thousand_node_chain(spark):
+    """The adversarial fixture from VERDICT r15 item 1: a 10,000-node
+    chain (diameter 9,999) must converge in ~log(n) rounds — the case
+    where min-label propagation without shortcuts needs 10^4 shuffle
+    rounds. Spot-checks the full labeling without collecting 10k rows
+    through assertions on aggregates."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9_999)], "a_id long, b_id long"
+    )
+    rounds: list[int] = []
+    comps = connected_components(edges, max_iter=20, round_log=rounds)
+    from pyspark.sql import functions as F
+
+    row = comps.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("component").alias("k"),
+        F.max("component").alias("mx"),
+    ).collect()[0]
+    assert (row.n, row.k, row.mx) == (10_000, 1, 0)
+    assert rounds and rounds[0] <= 15
 
 
 def test_flatten_hierarchy_deep_chain_in_log_rounds(spark):

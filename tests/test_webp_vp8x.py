@@ -79,6 +79,35 @@ def test_forged_dims_rejected_before_allocation():
         decode_webp(payload)
 
 
+def test_forged_chunk_len_rejected_before_allocation():
+    """Round-16 advice: chunk_len is attacker-controlled too. A
+    ~28-byte payload declaring chunk_len=0xFFFFFF00 and 16384x16384
+    dims must be rejected as malformed (declared bytes absent), not
+    allowed to widen the pixel budget to 1 GiB."""
+    bw = W._BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16383, 14)  # width-1
+    bw.write(16383, 14)  # height-1
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    body = bw.bytes()
+    inner = b"WEBPVP8L" + struct.pack("<I", 0xFFFFFF00) + body
+    payload = b"RIFF" + struct.pack("<I", len(inner)) + inner
+    assert len(payload) < 40
+    with pytest.raises(ValueError, match="only .* are present"):
+        decode_webp(payload)
+
+
+def test_truncated_chunk_len_rejected():
+    """chunk_len only slightly past the available bytes is equally
+    malformed — the slice used to truncate silently and fail late."""
+    good = webp_bytes(8, 6, 1)
+    (chunk_len,) = struct.unpack("<I", good[16:20])
+    forged = good[:16] + struct.pack("<I", chunk_len + 64) + good[20:]
+    with pytest.raises(ValueError, match="only .* are present"):
+        decode_webp(forged)
+
+
 def test_legit_dims_pass_the_bound():
     """The bound is payload-proportional: every fixture image decodes,
     and a plausibly-sized large declaration is not rejected up front
