@@ -279,3 +279,78 @@ def winnow_fingerprint(
         F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
     )
     return F.xxhash64(selected)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal exactly-duplicated token spans of length >= k — the
+    sliding-window exact-substring detector (Lee et al. 2022 §3,
+    "ExactSubstr") in a shuffle-mergeable form, no suffix arrays
+    (round 16, VERDICT r15 item 5). The fixed-width PARTITION lanes
+    (q_chunk_dedup / q_span_dedup) only see duplicates that happen to
+    align on the width-6 grid; a copied paragraph starting at offset
+    3 in one doc and 0 in another shares NO grid cell and is missed.
+    Sliding k-grams are offset-invariant: every duplicated span of
+    length L >= k covers exactly L - k + 1 duplicated k-gram
+    positions, CONSECUTIVE in each document, so stitching consecutive
+    duplicated positions (gaps-and-islands) recovers each maximal
+    span and its exact length L = run + k - 1.
+
+    "Duplicated" means the k-gram occurs at more than one (doc,
+    position) slot corpus-wide — within-doc self-repetition counts,
+    matching Lee et al.
+
+    Returns (doc_col, start_pos, n_tokens): 0-based token offset and
+    exact token length of each maximal duplicated span.
+
+    Scale: k-gram fan-out is row-local (explode over the doc's own
+    token array; only the 32-byte sha256 digest leaves the scan);
+    the duplicate census is ONE map-side-combinable exchange on the
+    digest; marking re-joins the (usually tiny, AQE-broadcastable)
+    duplicated-digest set; run stitching is one window partitioned
+    per document. Nothing is quadratic and no stage holds more than
+    the digest grid. The suffix-array pass this approximates finds
+    the same spans but needs a global sort of every suffix."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(doc_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    kg = (
+        toks.where(F.size("_toks") >= k)
+        .select(
+            doc_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") - k + 1)
+            ).alias("_p"),
+            "_toks",
+        )
+        .select(
+            doc_col,
+            "_p",
+            F.sha2(
+                F.array_join(F.slice("_toks", F.col("_p"), k), " "), 256
+            ).alias("_g"),
+        )
+    )
+    dup = (
+        kg.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_g")
+    )
+    marked = kg.join(dup, "_g").select(doc_col, "_p")
+    w = Window.partitionBy(doc_col).orderBy("_p")
+    return (
+        marked.withColumn("_grp", F.col("_p") - F.row_number().over(w))
+        .groupBy(doc_col, "_grp")
+        .agg(
+            (F.min("_p") - 1).cast("long").alias("start_pos"),
+            (F.count(F.lit(1)) + k - 1).cast("long").alias("n_tokens"),
+        )
+        .select(doc_col, "start_pos", "n_tokens")
+    )

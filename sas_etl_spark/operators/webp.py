@@ -1361,6 +1361,154 @@ def write_webp_vp8x_fixture(out_dir: str, n_images: int = 64) -> None:
             f.write(vp8x_wrap(webp_bytes(w, h, i)))
 
 
+def encode_webp_lossy_system(arr: "np.ndarray", quality: float = 80.0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB to LOSSY WebP (VP8) through the
+    system libwebp (WebPEncodeRGB). Fixture-side only — the data path
+    never encodes — and gated exactly like decode_webp_system: raises
+    the documented NotImplementedError on hosts without the library."""
+    import ctypes
+
+    lib = _load_system_libwebp()
+    if lib is None:
+        raise NotImplementedError(
+            "lossy WebP encoding needs the system libwebp shared "
+            "library, which this host does not ship"
+        )
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    h, w, _ = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGB(
+        arr.tobytes(), w, h, w * 3, quality, ctypes.byref(out)
+    )
+    if n == 0:
+        raise ValueError("libwebp rejected the encode input")
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def webp_lossy_fixture_gray(width: int, height: int, img_idx: int) -> "np.ndarray":
+    """Analytic LOSSY-fixture source: gray value (img_idx % 100) +
+    2x + 3y (max 184 at the fixture dims — no mod-256 wrap, so the
+    image is smooth and the VP8 transform error stays tight), all
+    three channels equal (constant chroma: no 4:2:0 subsampling
+    error). Same spec as the JPEG gradient lane."""
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    val = ((img_idx % 100) + 2 * x + 3 * y).astype(np.uint8)
+    return np.repeat(val[:, :, None], 3, axis=2)
+
+
+def write_webp_lossy_fixture(out_dir: str, n_images: int = 64) -> None:
+    """Write the LOSSY WebP corpus (VP8 chunks, libwebp-encoded at
+    quality 80) over the analytic gray-gradient spec — sizes
+    (8 + (i%5)*4) x (6 + (i%3)*4) like the lossless fixtures. Raises
+    the libwebp gate error on bare hosts (callers skip-gate)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_images):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+        payload = encode_webp_lossy_system(
+            webp_lossy_fixture_gray(w, h, i), quality=80.0
+        )
+        with open(os.path.join(out_dir, f"lossy_{i:05d}.webp"), "wb") as f:
+            f.write(payload)
+
+
+def webp_lossy_error_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    id_pattern: str = r"lossy_(\d+)\.webp$",
+) -> DataFrame:
+    """Decode lossy-WebP payloads through the system libwebp ON THE
+    EXECUTORS and measure decoded pixels against the analytic source
+    regenerated inside the kernel -> (img_id, width, height,
+    max_abs_err, mean_abs_err*1e6 as exact long) — the
+    jpeg_gradient_error_stats recipe for the VP8 lane. The kernel
+    loads libwebp via ctypes per task (nothing repo-local is
+    imported on the executor) and raises the documented gate error
+    where the OS lacks the library."""
+
+    def run(batches):
+        import ctypes as _ct
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+
+        lib = None
+        for _name in (
+            "libwebp.so.7", "libwebp.so", "libwebp.7.dylib", "libwebp.dylib"
+        ):
+            try:
+                lib = _ct.CDLL(_name)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            raise NotImplementedError(
+                "lossy WebP (VP8) decode needs the system libwebp, "
+                "which this executor host does not ship"
+            )
+        lib.WebPDecodeRGB.restype = _ct.POINTER(_ct.c_uint8)
+        lib.WebPDecodeRGB.argtypes = [
+            _ct.c_char_p,
+            _ct.c_size_t,
+            _ct.POINTER(_ct.c_int),
+            _ct.POINTER(_ct.c_int),
+        ]
+        lib.WebPFree.argtypes = [_ct.c_void_p]
+        pat = _re.compile(id_pattern)
+        for pdf in batches:
+            ids, ws, hs, mx, mn = [], [], [], [], []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                i = int(pat.search(str(path)).group(1))
+                wo, ho = _ct.c_int(), _ct.c_int()
+                payload = bytes(content)
+                p = lib.WebPDecodeRGB(
+                    payload, len(payload), _ct.byref(wo), _ct.byref(ho)
+                )
+                if not p:
+                    raise ValueError("libwebp rejected the WebP payload")
+                w, h = wo.value, ho.value
+                rgb = _np.ctypeslib.as_array(p, shape=(h, w, 3)).copy()
+                lib.WebPFree(p)
+                x = _np.arange(w, dtype=_np.int64)[None, :]
+                y = _np.arange(h, dtype=_np.int64)[:, None]
+                exp = (i % 100) + 2 * x + 3 * y
+                err = _np.abs(rgb.astype(_np.int64) - exp[..., None])
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                mx.append(int(err.max()))
+                mn.append(int(err.sum() * 1_000_000) // int(err.size))
+            yield _pd.DataFrame(
+                {
+                    "img_id": _np.asarray(ids, dtype=_np.int64),
+                    "width": _np.asarray(ws, dtype=_np.int32),
+                    "height": _np.asarray(hs, dtype=_np.int32),
+                    "max_abs_err": _np.asarray(mx, dtype=_np.int64),
+                    "mean_abs_err_u": _np.asarray(mn, dtype=_np.int64),
+                }
+            )
+
+    return df.select(path_col, content_col).mapInPandas(
+        run,
+        "img_id long, width int, height int, max_abs_err long, "
+        "mean_abs_err_u long",
+    )
+
+
 #: One-shot latch for the by-value registration below: the
 #: registration mutates process-global cloudpickle state (how every
 #: later closure referencing this module serializes), is idempotent in

@@ -537,35 +537,45 @@ g as (
   from px
 ),
 cells as (
-  select i, (y * 4 // h) * 4 + (x * 4 // w) as cell,
+  select i, (y * 8 // h) * 8 + (x * 8 // w) as cell,
          sum(gray) as cs, count(*) as cn
-  from g group by i, (y * 4 // h) * 4 + (x * 4 // w)
+  from g group by i, (y * 8 // h) * 8 + (x * 8 // w)
 ),
 tot as (
   select i, sum(cs) as ts, sum(cn) as tn from cells group by i
 ),
 ph as (
   select c.i,
-         cast(sum(case when c.cs * t.tn > t.ts * c.cn
-                       then 1 << cell else 0 end) as bigint) as phash
+         sum(case when c.cs * t.tn > t.ts * c.cn
+                  then cast(1 as hugeint) << cell
+                  else cast(0 as hugeint) end) as uh
   from cells c join tot t on c.i = t.i group by c.i
+),
+phs as (
+  select i,
+         cast(uh - case when uh >= cast(1 as hugeint) << 63
+                        then cast(1 as hugeint) << 64
+                        else cast(0 as hugeint) end as bigint) as phash
+  from ph
 )
 select d.i as img_id, cast(d.w as integer) as width,
-       cast(d.h as integer) as height, ph.phash,
-       cast(count(*) over (partition by ph.phash) as bigint) as n_dup
-from dims d join ph on d.i = ph.i
+       cast(d.h as integer) as height, p.phash,
+       cast(count(*) over (partition by p.phash) as bigint) as n_dup
+from dims d join phs p on d.i = p.i
 """
 
 
 @query("q_image_phash", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup", "llm"))
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image dedup (round 15) — the image-modality
-    twin of the text fingerprint lanes: decode the 64-image PPM
-    corpus distributed via binaryFile, block-average each image's
-    integer grayscale down to a 4x4 thumbnail inside the Arrow
-    mapInPandas lane, threshold cells against the image mean by
-    integer cross-multiplication, pack the 16 bits into a hash, and
-    count images sharing each hash (brightness-shifted gradients
+    """Perceptual-hash image dedup (round 15; hash lifted 16->64 bits
+    in round 16 per VERDICT item 3) — the image-modality twin of the
+    text fingerprint lanes: decode the 64-image PPM corpus
+    distributed via binaryFile, block-average each image's integer
+    grayscale down to an 8x8 thumbnail inside the Arrow mapInPandas
+    lane, threshold cells against the image mean by integer
+    cross-multiplication, pack the 64 bits into a signed-long hash
+    (bit 63 folds two's-complement — identically on both engines),
+    and count images sharing each hash (brightness-shifted gradients
     collapse together — the near-duplicate grouping a curation
     pipeline runs before training). The oracle recomputes every step
     in pure SQL from the pixel formula, so a green hash attests
@@ -573,7 +583,9 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end (operators/multimodal.py image_phash). At 100 TB:
     decode is embarrassingly parallel over the object-store listing;
     the dedup group-by is a map-side-combined exchange on a 64-bit
-    key."""
+    key whose collisions now MEAN similarity (the 16-bit form
+    collided by pigeonhole alone past ~65k images). Hamming-ball
+    near-dup over the same hash is q_phash_neardup."""
     from sas_etl_spark.operators.multimodal import image_phash, write_ppm_fixture
 
     path = scratch_dir(spark, "phash_ppm")
@@ -587,6 +599,145 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "phash",
         F.count(F.lit(1)).over(w).alias("n_dup"),
+    )
+
+
+#: DuckDB twin of the Hamming-ball pHash near-dup: regenerate the
+#: near-dup fixture's pixels from its integer spec
+#: (operators/multimodal.py write_ppm_neardup_fixture: 32x32, twin
+#: pairs, a 4x4 +180 patch on the odd variant), recompute the 64-bit
+#: aHash per image, then BRUTE-FORCE all pairs at bit_count(xor) <= 3
+#: — the ground truth the banded Spark plan must reproduce exactly.
+_PHASH_ND_ORACLE = """
+with px as (
+  select i, unnest(range(32 * 32)) as p from range(64) t(i)
+),
+g as (
+  select i, p % 32 as x, p // 32 as y,
+         (((i // 2) * 53 + 2 * (p % 32) * (p % 32)
+           + 3 * (p // 32) * (p // 32)
+           + ((i // 2) % 7 + 1) * (p % 32) * (p // 32)) % 256
+          + case when i % 2 = 1 and (p % 32) < 4 and (p // 32) < 4
+                 then 180 else 0 end) % 256 as gray
+  from px
+),
+cells as (
+  select i, (y * 8 // 32) * 8 + (x * 8 // 32) as cell,
+         sum(gray) as cs, count(*) as cn
+  from g group by i, (y * 8 // 32) * 8 + (x * 8 // 32)
+),
+tot as (
+  select i, sum(cs) as ts, sum(cn) as tn from cells group by i
+),
+ph as (
+  select c.i,
+         sum(case when c.cs * t.tn > t.ts * c.cn
+                  then cast(1 as hugeint) << cell
+                  else cast(0 as hugeint) end) as uh
+  from cells c join tot t on c.i = t.i group by c.i
+),
+phs as (
+  select i,
+         cast(uh - case when uh >= cast(1 as hugeint) << 63
+                        then cast(1 as hugeint) << 64
+                        else cast(0 as hugeint) end as bigint) as phash
+  from ph
+)
+select a.i as a_id, b.i as b_id,
+       cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+from phs a join phs b on a.i < b.i
+where bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+@query(
+    "q_phash_neardup",
+    oracle=_PHASH_ND_ORACLE,
+    tags=("multimodal", "dedup", "llm", "scale"),
+)
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball perceptual-hash image NEAR-dup (round 16, VERDICT
+    r15 item 3): find image pairs whose 64-bit aHashes differ in <= 3
+    bits — the brightness/patch-perturbed variants exact-equality
+    grouping misses — WITHOUT the all-pairs join. Pigeonhole
+    multi-index banding, the same discipline as the text MinHash
+    bands: split the hash into d+1 = 4 disjoint 16-bit bands; any
+    pair within Hamming distance d = 3 has at least one band with
+    ZERO differing bits (pigeonhole), so an equi-join per band finds
+    every qualifying pair with NO false negatives; an exact popcount
+    on the candidate pairs then drops band-colliding far pairs. The
+    fixture plants twin pairs at distance 0-6 with distinct scenes
+    >= 20 bits apart, so the d=3 ball keeps 20 twin pairs and the
+    brute-force oracle proves the banded plan missed none.
+
+    Band extraction is (phash >> 16b) & 0xFFFF — arithmetic shift's
+    sign fill lands strictly above the mask on both engines, so the
+    bands of the signed-folded hash agree bit-for-bit. At 100 TB:
+    4 equi-joins on 16-bit band keys (one exploded shuffle), candidate
+    volume governed by band-collision rate (~n^2/2^16 per band on
+    random far hashes — for corpus-scale n, widen bands to 4x32 bits
+    via two hash words or raise the band count with a smaller d);
+    popcount verify is row-local. No stage is quadratic in the
+    corpus; the only quadratic object is the oracle."""
+    from sas_etl_spark.operators.multimodal import (
+        image_phash,
+        write_ppm_neardup_fixture,
+    )
+
+    d = 3
+    path = scratch_dir(spark, "phash_nd_ppm")
+    write_ppm_neardup_fixture(path, n_images=64)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(path)
+    )
+    hashed = image_phash(
+        raw.select("path", "content"), id_pattern=r"nd_(\d+)\.ppm$"
+    ).select("img_id", "phash")
+    bands = hashed.select(
+        "img_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(d + 1)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "img_id",
+        "phash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = bands.select(
+        F.col("img_id").alias("a_id"), F.col("phash").alias("pa"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("img_id").alias("b_id"), F.col("phash").alias("pb"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= d)
+        .select("a_id", "b_id", "hamming")
     )
 
 
@@ -622,6 +773,67 @@ def q_webp_vp8x(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+#: Measured on this container's libwebp at quality 80 over the smooth
+#: analytic gray fixture: max |err| = 7, mean |err| = 1.82 — bounds
+#: at 8 / 2.0 carry one level of headroom against libwebp-version
+#: drift while still flipping on any real routing or decode
+#: regression.
+_WEBP_LOSSY_MAX_BOUND = 8
+_WEBP_LOSSY_MEAN_BOUND_U = 2_000_000
+
+_WEBP_LOSSY_ORACLE = """
+select i as img_id,
+       cast(8 + (i % 5) * 4 as integer) as width,
+       cast(6 + (i % 3) * 4 as integer) as height,
+       cast(1 as int) as within_max_bound,
+       cast(1 as int) as within_mean_bound
+from range(64) t(i)
+"""
+
+
+@query("q_webp_lossy", oracle=_WEBP_LOSSY_ORACLE, tags=("multimodal", "io"))
+def q_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY WebP (VP8) decode attestation through the system libwebp
+    (round 16, VERDICT r15 item 6 option a): the one codec family the
+    native Python decoder deliberately does not cover — VP8's boolean
+    arithmetic coder + intra prediction — routed through the OS
+    library this container ships (libwebp.so.7). Fixture: 64 smooth
+    analytic gray gradients ((i%100) + 2x + 3y, no mod wrap, constant
+    chroma) encoded VP8-lossy at quality 80 driver-side; the
+    distributed lane decodes via ctypes INSIDE the Arrow mapInPandas
+    kernel and attests exact dimensions plus two error-bound flags
+    (max |err| <= 8, mean <= 2.0 — measured 7 / 1.82, the
+    q_jpeg_gradient bound-flag recipe). A green row proves the lossy
+    routing, the ctypes decode, and the container walk on real VP8
+    chunks. On hosts without libwebp the lane raises the documented
+    gate error (operators/webp.py webp_lossy_error_stats;
+    tests skip-gate on the same probe)."""
+    from sas_etl_spark.operators.webp import (
+        webp_lossy_error_stats,
+        write_webp_lossy_fixture,
+    )
+
+    path = scratch_dir(spark, "webp_lossy")
+    write_webp_lossy_fixture(path, n_images=64)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(path)
+    )
+    stats = webp_lossy_error_stats(raw.select("path", "content"))
+    return stats.select(
+        "img_id",
+        "width",
+        "height",
+        (F.col("max_abs_err") <= _WEBP_LOSSY_MAX_BOUND)
+        .cast("int")
+        .alias("within_max_bound"),
+        (F.col("mean_abs_err_u") <= _WEBP_LOSSY_MEAN_BOUND_U)
+        .cast("int")
+        .alias("within_mean_bound"),
     )
 
 

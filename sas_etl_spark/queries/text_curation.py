@@ -590,6 +590,75 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact duplicated-substring detection ----------------------------
+
+#: Sliding k-gram width for the exact-substring detector. 8 tokens is
+#: comfortably above chance n-gram collision in the fixtures while
+#: still catching the boilerplate spans the width-6 grid lanes see —
+#: plus the offset-misaligned ones they miss.
+EXACT_SUBSTR_K = 8
+
+
+@query(
+    "q_exact_substring",
+    oracle=f"""
+    with t as (
+        select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    pos as (
+        select doc_id,
+               unnest(generate_series(1, len(toks) - {EXACT_SUBSTR_K} + 1))
+                   as p,
+               toks
+        from t where len(toks) >= {EXACT_SUBSTR_K}
+    ),
+    kg as (
+        select doc_id, p,
+               array_to_string(
+                   toks[p : p + {EXACT_SUBSTR_K} - 1], ' ') as gram
+        from pos
+    ),
+    dup as (select gram from kg group by gram having count(*) > 1),
+    marked as (
+        select k.doc_id, k.p,
+               k.p - row_number() over (partition by k.doc_id order by k.p)
+                   as grp
+        from kg k join dup d on k.gram = d.gram
+    ),
+    islands as (
+        select doc_id, min(p) as s, count(*) as run
+        from marked group by doc_id, grp
+    )
+    select doc_id, cast(s - 1 as bigint) as start_pos,
+           cast(run + {EXACT_SUBSTR_K} - 1 as bigint) as n_tokens
+    from islands
+    """,
+    tags=("dedup", "text", "llm", "scale"),
+)
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (round 16, VERDICT r15
+    item 5): every MAXIMAL token span of length >= 8 that occurs at
+    more than one (doc, position) slot corpus-wide, reported with its
+    exact 0-based offset and exact length — the Lee et al. (2022)
+    ExactSubstr semantics the fixed-width partition lanes
+    (q_chunk_dedup / q_span_dedup) only approximate. Those lanes
+    require the duplicate to ALIGN on the width-6 grid; sliding
+    k-grams are offset-invariant, so a paragraph copied at offset 3
+    in one doc and offset 0 in another is found with its true
+    boundaries (tests/test_exact_substring.py plants exactly that
+    miss). Run-length stitching turns consecutive duplicated k-gram
+    positions into the maximal span: L = run + k - 1.
+
+    Machinery in operators/text.py::duplicated_spans; see its
+    docstring for the 100 TB exchange budget (one digest census +
+    one duplicate-mark join + one per-doc window — no suffix arrays,
+    nothing quadratic)."""
+    from sas_etl_spark.operators.text import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=EXACT_SUBSTR_K)
+
+
 # -- log2 length histogram -------------------------------------------
 
 

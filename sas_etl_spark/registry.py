@@ -71,11 +71,12 @@ ATTEST_CADENCE = 6
 #: registrations / changed-code re-attests. Entries are valid ONLY for
 #: the round they name (the staleness test fails an entry whose round
 #: has passed — the slipped row is then OVERDUE and must be in the next
-#: window unconditionally). Round 15 carries no slips: the window
-#: holds all three r14 slips (now overdue), the full due r9 cohort,
-#: both changed rows, and the six round-15 registrations — exactly
-#: full.
-DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset()
+#: window unconditionally). Round 16 runs one slip: the due r10
+#: cohort (40) + the ledger's 8 changed rows + 3 new registrations
+#: total 51, so q_ab_test (the lowest-risk due row: pure hash-split
+#: agg, unchanged since r10, green every attestation) waits one
+#: round and is unconditional in r17.
+DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset({("q_ab_test", 16)})
 
 #: Round-close protocol (promoted to standing protocol in round 14,
 #: VERDICT r13 item 8): after the tree settles, run the FULL-registry
@@ -116,72 +117,71 @@ SWEEP_SKIP: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 15 window. Composition (50 = 6 + 2 + 3 + 39):
-    # -- (a) NEW this round: the VP8X extended-container WebP lane
-    # (round-15 advice item 1 made attestable), perceptual-hash image
-    # dedup, and the PROC TTEST / NPAR1WAY / ANOVA hypothesis-test
-    # family (queries/hypothesis_tests.py).
-    "q_webp_vp8x",
+    # ROUND 16 window. Composition (50 = 3 + 8 + 39):
+    # -- (a) NEW this round: Hamming-ball pHash near-dup (VERDICT r15
+    # item 3), the sliding-k-gram exact-substring detector (item 5),
+    # and the system-libwebp lossy VP8 lane (item 6 option a).
+    "q_phash_neardup",
+    "q_exact_substring",
+    "q_webp_lossy",
+    # -- (b) changed since their attestation (settled-tree ledger):
+    # q_image_phash over the 16->64-bit hash lift; q_webp_features /
+    # q_webp_vp8x over the forged-chunk_len guard in the shared VP8L
+    # decoder; q_mannwhitney / q_kruskal_wallis over the decimal(38,0)
+    # rank-sum widening; q_neardup_apply / q_pretrain_pipeline /
+    # q_pretrain_pipeline_prod over connected_components becoming the
+    # large-star/small-star scheme (operators/graph.py).
     "q_image_phash",
-    "q_ttest_welch",
-    "q_mannwhitney",
-    "q_anova_oneway",
-    # -- (b) changed since their attestation: q_webp_features over the
-    # round-15 webp hardening (uint32 pixel buffer + forged-dims
-    # bound + VP8X routing in the shared decoder closure);
-    # q_png_features over its codec-gate docstring fix (comment-only,
-    # re-attest anyway — the ledger diffs source segments).
     "q_webp_features",
-    "q_png_features",
-    # -- (c) OVERDUE: the three r8 rows round 14's full window slipped
-    # (DOCUMENTED_SLIPS r14, expired — unconditional this round).
-    "q_tumbling_counts",
-    "q_weighted_median",
-    "q_systematic_sample",
-    # -- (d) the due 6-round rotation: the full r9 cohort (39 rows).
-    "q_anti_join",
-    "q_append_sink",
-    "q_bpe_merges",
-    "q_contamination",
-    "q_cosine_pairs",
-    "q_csv_roundtrip",
-    "q_cube",
-    "q_dataset_compare",
-    "q_dedup_containment",
-    "q_doc_embed_join",
-    "q_doc_fingerprint",
-    "q_doc_quality",
-    "q_dsir_weights",
-    "q_grouping_sets",
-    "q_json_roundtrip",
-    "q_k_anonymity",
-    "q_ks_drift",
-    "q_lang_id",
-    "q_left_join_null",
-    "q_min_per_group_join",
-    "q_mixture_apply",
-    "q_multi_split",
-    "q_near_dup_embedding",
-    "q_near_dup_simhash",
-    "q_ngram_diversity",
-    "q_percentiles",
-    "q_pii_luhn",
-    "q_semantic_decontam",
-    "q_stream_dedup",
-    "q_stream_exactly_once_sink",
-    "q_stream_join",
-    "q_stream_quality_gate",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_stateful_totals",
-    "q_stream_tumbling",
-    "q_temperature_mixture",
-    "q_winsorize",
-    "q_zipf_fit",
-    # -- (e) the 50th slot: q_kruskal_wallis, the sixth round-15
-    # registration (the k-group NPAR1WAY rank test, landed late in the
-    # round after the five above).
+    "q_webp_vp8x",
+    "q_mannwhitney",
     "q_kruskal_wallis",
+    "q_neardup_apply",
+    "q_pretrain_pipeline",
+    "q_pretrain_pipeline_prod",
+    # -- (c) the due 6-round rotation: the r10 cohort (40 rows) minus
+    # q_ab_test, slipped one round via DOCUMENTED_SLIPS (the window is
+    # exactly one slot short; q_dup_clusters stays — it also carries
+    # the star-CC plan change).
+    "q_array_ops",
+    "q_attribution",
+    "q_audio_features",
+    "q_curation_pipeline",
+    "q_distinct_count",
+    "q_dup_clusters",
+    "q_event_transitions",
+    "q_except",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_image_resize",
+    "q_json_extract",
+    "q_knn_ivf",
+    "q_knn_ivf_exactprobe",
+    "q_merge_in_flags",
+    "q_missing_semantics",
+    "q_multimodal_features",
+    "q_near_dup_minhash",
+    "q_orc_roundtrip",
+    "q_pack_sequences",
+    "q_partitioned_write",
+    "q_pipeline_spec",
+    "q_pivot_status",
+    "q_proc_sql",
+    "q_remerge_share",
+    "q_scd2_merge",
+    "q_semi_join",
+    "q_simhash_fingerprints",
+    "q_skew_salted_agg",
+    "q_skew_salted_join",
+    "q_split_hash",
+    "q_stl_decompose",
+    "q_stratified_sample",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_tfidf",
+    "q_token_count",
+    "q_triangles",
+    "q_update_master",
 )
 
 #: Window bookkeeping rule (learned twice, r7 and r8): NO @query
@@ -193,16 +193,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: code: tests/test_attestation_staleness.py recomputes due/overdue
 #: rows from the CORRECTNESS artifacts and fails any window that
 #: misses them (slips allowed only via DOCUMENTED_SLIPS, one round,
-#: named). Queries registered in round 15: q_webp_vp8x (VP8X
-#: extended-container lossless decode), q_image_phash (perceptual-
-#: hash image dedup), and q_ttest_welch / q_mannwhitney /
-#: q_kruskal_wallis / q_anova_oneway (the PROC TTEST / NPAR1WAY /
-#: ANOVA family, queries/hypothesis_tests.py).
+#: named). Queries registered in round 16: q_phash_neardup
+#: (Hamming-ball 64-bit aHash near-dup via pigeonhole banding),
+#: q_exact_substring (sliding k-gram exact duplicated-span detector,
+#: operators/text.py duplicated_spans), and q_webp_lossy (lossy VP8
+#: decode attestation through the system libwebp).
 #:
-#: ROUND 16 window plan: (1) any rows the settled-tree ledger flags
-#: changed/moved, then (2) the due rotation: the full r10 cohort (40
-#: rows) — 40 + changed + new registrations must fit 50; pause
-#: registrations or document slips accordingly.
+#: ROUND 17 window plan: (1) any rows the settled-tree ledger flags
+#: changed/moved, then (2) q_ab_test (the expired r16 slip —
+#: unconditional), then (3) the due rotation: the r11 cohort —
+#: everything must fit 50; pause registrations or document slips
+#: accordingly.
 
 
 def query(

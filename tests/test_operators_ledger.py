@@ -90,8 +90,20 @@ def test_ledger_matches_correctness_artifacts():
         f"extra={sorted(set(rows) - set(QUERIES))[:5]}"
     )
     expected = _expected_attestations(through)
+    from sas_etl_spark import registry
+
+    window = set(registry.DRIVER_PRIORITY[:50])
     for name, want in expected.items():
         got = rows[name]
+        if got.startswith("pending"):
+            # round-boundary race form: only legal for a genuinely
+            # never-attested query that holds a current-window slot
+            assert want is None and name in window, (
+                f"{name}: ledger says {got} but artifacts say "
+                f"{'never' if want is None else f'r{want}'} / "
+                f"windowed={name in window}"
+            )
+            continue
         want_s = "never" if want is None else f"r{want}"
         assert got == want_s, f"{name}: ledger says {got}, artifacts say {want_s}"
 

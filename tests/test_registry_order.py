@@ -40,32 +40,36 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the two rows the settled-r14-tree ledger flags changed
-#: (q_webp_features over the round-15 webp hardening, q_png_features
-#: over its codec-gate docstring fix).
+#: the eight rows the settled-r15-tree ledger flags changed
+#: (q_image_phash: 16->64-bit hash lift; q_webp_features/q_webp_vp8x:
+#: forged-chunk_len guard in the shared VP8L decoder;
+#: q_mannwhitney/q_kruskal_wallis: decimal(38,0) rank-sum widening;
+#: q_neardup_apply/q_pretrain_pipeline/q_pretrain_pipeline_prod:
+#: connected_components became the large-star/small-star scheme).
 RE_ATTESTS = {
-    "q_webp_features", "q_png_features",
+    "q_image_phash", "q_webp_features", "q_webp_vp8x",
+    "q_mannwhitney", "q_kruskal_wallis", "q_neardup_apply",
+    "q_pretrain_pipeline", "q_pretrain_pipeline_prod",
 }
-#: The due/overdue 6-round rotation: the three r8 rows round 14
-#: slipped (now overdue, unconditional) and the full r9 cohort (39).
+#: The due 6-round rotation: the r10 cohort (40) minus q_ab_test
+#: (DOCUMENTED_SLIPS, one round). q_dup_clusters doubles as a
+#: changed row (star CC) but was due anyway.
 SENTINELS = {
-    "q_tumbling_counts", "q_weighted_median", "q_systematic_sample",
-    "q_anti_join", "q_append_sink", "q_bpe_merges", "q_contamination",
-    "q_cosine_pairs", "q_csv_roundtrip", "q_cube", "q_dataset_compare",
-    "q_dedup_containment", "q_doc_embed_join", "q_doc_fingerprint",
-    "q_doc_quality", "q_dsir_weights", "q_grouping_sets",
-    "q_json_roundtrip", "q_k_anonymity", "q_ks_drift", "q_lang_id",
-    "q_left_join_null", "q_min_per_group_join", "q_mixture_apply",
-    "q_multi_split", "q_near_dup_embedding", "q_near_dup_simhash",
-    "q_ngram_diversity", "q_percentiles", "q_pii_luhn",
-    "q_semantic_decontam", "q_stream_dedup",
-    "q_stream_exactly_once_sink", "q_stream_join",
-    "q_stream_quality_gate", "q_stream_session", "q_stream_sliding",
-    "q_stream_stateful_totals", "q_stream_tumbling",
-    "q_temperature_mixture", "q_winsorize", "q_zipf_fit",
+    "q_array_ops", "q_attribution", "q_audio_features",
+    "q_curation_pipeline", "q_distinct_count", "q_dup_clusters",
+    "q_event_transitions", "q_except", "q_heavy_hitters",
+    "q_histogram", "q_image_resize", "q_json_extract", "q_knn_ivf",
+    "q_knn_ivf_exactprobe", "q_merge_in_flags", "q_missing_semantics",
+    "q_multimodal_features", "q_near_dup_minhash", "q_orc_roundtrip",
+    "q_pack_sequences", "q_partitioned_write", "q_pipeline_spec",
+    "q_pivot_status", "q_proc_sql", "q_remerge_share", "q_scd2_merge",
+    "q_semi_join", "q_simhash_fingerprints", "q_skew_salted_agg",
+    "q_skew_salted_join", "q_split_hash", "q_stl_decompose",
+    "q_stratified_sample", "q_text_stats", "q_text_tokens", "q_tfidf",
+    "q_token_count", "q_triangles", "q_update_master",
 }
 
 
@@ -88,20 +92,19 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round15_rotation_targets_inside_window() -> None:
-    """Round-15 plan: the five new registrations and this round's
+def test_round16_rotation_targets_inside_window() -> None:
+    """Round-16 plan: the three new registrations and this round's
     re-attests must all sit in slots 0-49."""
     must = {
-        "q_webp_vp8x", "q_image_phash", "q_ttest_welch",
-        "q_mannwhitney", "q_kruskal_wallis", "q_anova_oneway",
+        "q_phash_neardup", "q_exact_substring", "q_webp_lossy",
     } | RE_ATTESTS
     window = set(list(registry.queries_map())[:WINDOW])
     assert must <= window, f"outside window: {sorted(must - window)}"
 
 
-def test_round15_window_finishes_attestation() -> None:
-    """The r15 window must drain the never-attested backlog (recomputed
-    from pre-r15 CORRECTNESS artifacts, no hand list) and spend every
+def test_round16_window_finishes_attestation() -> None:
+    """The r16 window must drain the never-attested backlog (recomputed
+    from pre-r16 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
