@@ -186,6 +186,39 @@ def token_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_token_ngrams(
+    toks: Column, n: int, *, sep: str = " "
+) -> tuple[Column, Column]:
+    """EXPLODE-form word n-grams: returns ``(explode_col, gram_expr)``
+    — explode ``explode_col`` (aliased, say, ``z``), then project
+    ``gram_expr`` over the exploded rows to get the gram string.
+
+    Same strings as :func:`token_ngrams`, different execution path
+    (r16, guide §4.1): token_ngrams builds each gram INSIDE an
+    interpreted ``transform`` lambda (higher-order functions fall out
+    of whole-stage codegen), while this form zips ``n`` plain
+    ``slice`` views into an array of structs — all native, codegen'd
+    expressions — and defers the string concat to AFTER the explode,
+    where ``concat_ws`` runs in codegen over flat rows. Measured on
+    q_ngram_diversity at sf0.1: noop 1.82 s -> 0.70 s (-62%),
+    hash-identical output.
+
+    Only callers that explode immediately can use this; gram arrays
+    consumed as arrays (array_distinct counts etc.) keep
+    token_ngrams.
+    """
+    n_grams = F.size(toks) - (n - 1)
+    zipped = F.when(
+        n_grams >= 1,
+        F.arrays_zip(*[F.slice(toks, i + 1, n_grams) for i in range(n)]),
+    ).otherwise(F.array())
+    # arrays_zip of unnamed slices labels fields positionally "0".."n-1"
+    gram = lambda z: F.concat_ws(  # noqa: E731
+        sep, *[F.col(z).getField(str(i)) for i in range(n)]
+    )
+    return zipped, gram
+
+
 def duplicate_ngram_fraction(text: Column, n: int) -> Column:
     """Fraction of n-gram OCCURRENCES that are repeats of an earlier
     occurrence — the Gopher-style repetition quality rule (Rae et al.

@@ -121,18 +121,52 @@ def _is_bloom_merge(
     return bool(m) and "partial_bloom_filter_agg" in m.group(1)
 
 
+def _descend_through_projects(
+    plan: str, child: str | None, child_id: str | None
+) -> tuple[str | None, str | None]:
+    """Resolve a node's effective child for the funnel rule by looking
+    through Project chains: a deterministic Project preserves row
+    count and per-row state exactly, so Exchange->Project->X moves
+    the same bytes through one task as Exchange->X (r16 — the staged
+    window-operand Projects above the O(groups) aggregates in the
+    mixture family are row-preserving by construction)."""
+    tree: list[tuple[int, str, str]] = []
+    for line in plan.splitlines():
+        t = re.search(r"([A-Za-z][\w ]*?)\s*\((\d+)\)\s*$", line)
+        if t:
+            tree.append((line.index(t.group(1)), t.group(1).strip(), t.group(2)))
+    while child == "Project" and child_id is not None:
+        nxt: tuple[str | None, str | None] = (None, None)
+        for i, (indent, _op, node_id) in enumerate(tree):
+            if node_id == child_id:
+                nxt = next(
+                    (
+                        (op2, id2)
+                        for ind2, op2, id2 in tree[i + 1 :]
+                        if ind2 > indent
+                    ),
+                    (None, None),
+                )
+                break
+        child, child_id = nxt
+    return child, child_id
+
+
 def single_partition_funnels(
     plan: str,
 ) -> list[tuple[str, str | None, str | None]]:
-    """SinglePartition exchanges whose child is NOT a constant-state
-    partial aggregate — the ones that serialize O(rows) through one
-    task at scale."""
-    return [
-        (node_id, child, child_id)
-        for node_id, child, child_id in single_partition_exchanges(plan)
-        if child not in BENIGN_SINGLE_PARTITION_CHILDREN
-        and not _is_bloom_merge(plan, child, child_id)
-    ]
+    """SinglePartition exchanges whose child (looking through
+    row-preserving Project chains) is NOT a constant-state partial
+    aggregate — the ones that serialize O(rows) through one task at
+    scale."""
+    out = []
+    for node_id, child, child_id in single_partition_exchanges(plan):
+        eff_child, eff_id = _descend_through_projects(plan, child, child_id)
+        if eff_child not in BENIGN_SINGLE_PARTITION_CHILDREN and not _is_bloom_merge(
+            plan, eff_child, eff_id
+        ):
+            out.append((node_id, child, child_id))
+    return out
 
 
 def audit(df: DataFrame, execute: bool = False) -> dict[str, object]:

@@ -803,10 +803,18 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numerator stays exact past 1e10-row sources (where BIGINT would
     # wrap at ~9e9). Pinned at synthetic 2e10-row counts by
     # tests/test_llm_operators.py::test_mixture_arithmetic_1e10_rows.
-    budget = w.agg(
-        F.min(F.expr("cast(n_avail as decimal(38,0)) * 1000 div w")).alias("t")
-    )
-    rates = w.crossJoin(F.broadcast(budget)).select(
+    # r16: budget T as a single-partition window MIN over the 20-row
+    # aggregate instead of a second aggregation subtree cross-joined
+    # back — halves the documents scans (see q_mixture_apply). The
+    # min's operand is staged as an aggregate-side column so
+    # CollapseProject folds it into the HashAggregate and the window's
+    # SinglePartition exchange keeps a constant-state child (the
+    # plans/audit.py benign shape).
+    rates = w.withColumn(
+        "_tgt", F.expr("cast(n_avail as decimal(38,0)) * 1000 div w")
+    ).withColumn(
+        "t", F.min("_tgt").over(Window.partitionBy())
+    ).select(
         "source",
         "n_avail",
         "w",
@@ -820,20 +828,32 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_ppm"),
     )
-    kept = (
-        docs.join(F.broadcast(rates), "source")
-        .filter(hash_bucket("doc_id", 1_000_000, seed=7) < F.col("rate_ppm"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-    )
+    # r16 (guide §2.4): membership becomes a conditional SUM inside
+    # the per-source aggregation (rate columns ride the broadcast join
+    # as grouping keys — functionally dependent on source, groups
+    # unchanged) instead of filter + count + left-join-back-to-rates;
+    # the old tail re-evaluated the rates subtree (a second documents
+    # scan) and joined two 20-row sides. Every source emits a row even
+    # at n_kept = 0 because its docs reach the aggregate unfiltered —
+    # the same zero-row contract the left join provided.
     return (
-        rates.join(kept, "source", "left")
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_avail", "w", "rate_ppm")
+        .agg(
+            F.sum(
+                F.when(
+                    hash_bucket("doc_id", 1_000_000, seed=7)
+                    < F.col("rate_ppm"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept")
+        )
         .select(
             "source",
             F.col("n_avail").cast("long").alias("n_avail"),
             F.col("w").cast("long").alias("target_w"),
             "rate_ppm",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.col("n_kept").cast("long").alias("n_kept"),
         )
     )
 
@@ -939,18 +959,20 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_sqrt", F.expr(_isqrt_sql(f"n_avail * {_TEMP_SCALE}"))
         )
     )
-    tot = w.agg(F.sum(F.col("w_sqrt").cast("decimal(38,0)")).alias("sw"))
-    budget = (
-        w.crossJoin(F.broadcast(tot))
-        .agg(
+    # r16: weight total and budget as chained single-partition windows
+    # over the 20-row aggregate instead of two extra aggregation
+    # subtrees cross-joined back — the old shape re-computed the w
+    # subtree once per use (4 documents scans before the kept pass);
+    # this one scans documents twice in total (see q_mixture_apply).
+    rates = (
+        w.withColumn("_wsd", F.col("w_sqrt").cast("decimal(38,0)"))
+        .withColumn("sw", F.sum("_wsd").over(Window.partitionBy()))
+        .withColumn(
+            "t",
             F.min(
                 F.expr("cast(n_avail as decimal(38,0)) * sw div w_sqrt")
-            ).alias("t")
+            ).over(Window.partitionBy()),
         )
-    )
-    rates = (
-        w.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(budget))
         .select(
             "source",
             "n_avail",
@@ -964,18 +986,28 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_ppm"),
         )
     )
-    kept = (
+    # r16: conditional-sum membership inside the per-source agg, rate
+    # columns as grouping keys — no filter/count/left-join tail, no
+    # second documents scan (see q_domain_mixture).
+    return (
         docs.join(F.broadcast(rates), "source")
-        .filter(hash_bucket("doc_id", 1_000_000, seed=19) < F.col("rate_ppm"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-    )
-    return rates.join(kept, "source", "left").select(
-        "source",
-        F.col("n_avail").cast("long").alias("n_avail"),
-        F.col("w_sqrt").cast("long").alias("w_sqrt"),
-        "rate_ppm",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        .groupBy("source", "n_avail", "w_sqrt", "rate_ppm")
+        .agg(
+            F.sum(
+                F.when(
+                    hash_bucket("doc_id", 1_000_000, seed=19)
+                    < F.col("rate_ppm"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.col("w_sqrt").cast("long").alias("w_sqrt"),
+            "rate_ppm",
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
     )
 
 
@@ -1048,9 +1080,13 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(MIX_W_LOW)),
         )
     )
-    tot = w.agg((F.sum("n_avail") * MIX_BUDGET_X).alias("t_total"))
+    # r16: corpus total as a single-partition window over the 20-row
+    # aggregate instead of a second aggregation subtree cross-joined
+    # back — halves the documents scans (see q_mixture_apply).
     return (
-        w.crossJoin(F.broadcast(tot))
+        w.withColumn(
+            "t_total", F.sum("n_avail").over(Window.partitionBy()) * MIX_BUDGET_X
+        )
         # DECIMAL(38,0) DIV = int128 floor division, the oracle's
         # HUGEINT twin — exact past 1e10-row sources (BIGINT wraps at
         # ~9e9); pinned by test_mixture_arithmetic_1e10_rows.
@@ -1207,9 +1243,19 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(MIX_W_LOW)),
         )
     )
-    tot = w.agg((F.sum("n_avail") * MIX_BUDGET_X + MIX_APPLY_EXTRA).alias("t_total"))
+    # r16 (guide §2.4): the corpus total is a WINDOW over the 20-row
+    # per-source aggregate instead of a second aggregation subtree
+    # cross-joined back — the old shape re-computed the w subtree
+    # (scan + groupBy) once per use, so the full query paid FIVE
+    # documents scans; this one pays two (w + the exploded pass). The
+    # single-partition window is bounded by the source count, the
+    # same O(sources) guarantee as the broadcast it replaces.
     plan = (
-        w.crossJoin(F.broadcast(tot))
+        w.withColumn(
+            "t_total",
+            F.sum("n_avail").over(Window.partitionBy()) * MIX_BUDGET_X
+            + MIX_APPLY_EXTRA,
+        )
         .withColumn(
             "target_rows",
             F.expr("cast(w as decimal(38,0)) * t_total div 1000"),
@@ -1228,11 +1274,27 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = F.col("full_epochs") + F.when(
         resid < F.col("residual_ppm"), F.lit(1)
     ).otherwise(F.lit(0))
+    # r16 (guide §2.4): explode_OUTER keeps zero-copy docs as one
+    # e=NULL row, so every source flows through the aggregation and
+    # the old plan-LEFT-JOIN-counts tail (which re-evaluated the plan
+    # subtree — a third documents scan — and sort-merge-joined two
+    # 20-row sides) is gone entirely: the plan columns ride the
+    # broadcast join and become grouping keys (functionally dependent
+    # on source, so the groups are unchanged). NULL e contributes to
+    # no aggregate: count("e") skips it, the resid flag's otherwise(0)
+    # covers it, and h is NULL through the concat.
     exploded = (
         docs.join(F.broadcast(plan), "source")
         .withColumn("copies", copies)
-        .filter(F.col("copies") >= 1)
-        .withColumn("e", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+        .withColumn(
+            "e",
+            F.explode_outer(
+                F.when(
+                    F.col("copies") >= 1,
+                    F.sequence(F.lit(1), F.col("copies")),
+                )
+            ),
+        )
         .withColumn(
             "h",
             hash_bucket(
@@ -1246,30 +1308,34 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Output shape = plan LEFT JOIN aggregated copies (the
-    # q_temperature_mixture pattern): a source whose every document
-    # draws 0 copies still emits a zeroed row, exactly as the oracle's
-    # unfiltered perdoc grouping does. Unreachable at the current
-    # 2x+extra budget (full_epochs >= 1 everywhere) but keeps the two
-    # engines aligned if budget or weights shrink.
-    counts = exploded.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.when(F.col("e") == F.col("full_epochs") + 1, 1).otherwise(0)
-        ).alias("_n_resid"),
-        F.sum("h").alias("content_hash"),
-    )
-    return plan.join(counts, "source", "left").select(
-        "source",
-        F.col("n_avail").cast("long").alias("n_avail"),
-        F.col("full_epochs").cast("long").alias("full_epochs"),
-        F.col("residual_ppm").cast("long").alias("residual_ppm"),
-        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
-        F.when(F.col("full_epochs") >= 1, F.col("n_avail"))
-        .otherwise(F.coalesce("_n_resid", F.lit(0)))
-        .cast("long")
-        .alias("n_docs"),
-        F.coalesce("content_hash", F.lit(0)).cast("long").alias("content_hash"),
+    # A source whose every document draws 0 copies still emits a
+    # zeroed row (its docs arrive with e=NULL), exactly as the
+    # oracle's unfiltered perdoc grouping does. Unreachable at the
+    # current 2x+extra budget (full_epochs >= 1 everywhere) but keeps
+    # the two engines aligned if budget or weights shrink.
+    return (
+        exploded.groupBy("source", "n_avail", "full_epochs", "residual_ppm")
+        .agg(
+            F.count("e").alias("n_rows"),
+            F.sum(
+                F.when(F.col("e") == F.col("full_epochs") + 1, 1).otherwise(0)
+            ).alias("_n_resid"),
+            F.sum("h").alias("content_hash"),
+        )
+        .select(
+            "source",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            F.col("residual_ppm").cast("long").alias("residual_ppm"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.when(F.col("full_epochs") >= 1, F.col("n_avail"))
+            .otherwise(F.coalesce("_n_resid", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce("content_hash", F.lit(0)).cast("long").alias(
+                "content_hash"
+            ),
+        )
     )
 
 

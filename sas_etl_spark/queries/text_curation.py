@@ -572,12 +572,14 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.coalesce("dropped_cids", F.array().cast("array<int>")).alias("dropped"),
     )
+    # r16: kept cids via native array_except (order-preserving on the
+    # left operand; cids are distinct so its dedup is a no-op) instead
+    # of an interpreted filter lambda doing an O(dropped) linear
+    # array_contains probe per cid — measured sf1 noop 1.32 -> 1.00 s,
+    # hash-identical.
     kept_text = F.array_join(
         F.transform(
-            F.filter(
-                F.sequence(F.lit(0), last_cid),
-                lambda c: ~F.array_contains(F.col("dropped"), c),
-            ),
+            F.array_except(F.sequence(F.lit(0), last_cid), F.col("dropped")),
             span_at,
         ),
         " ",

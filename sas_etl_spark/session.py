@@ -46,6 +46,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r16: per-DataFrame-API-call site capture (error-context
+    # debugging) costs one extra Py4J RPC + a Python stack walk per
+    # call — measured 30-43% of plan-BUILD latency on the heaviest
+    # builders (q_rrf_hybrid 809->465 ms). Production posture is off;
+    # error messages lose only the "called from <user line>" hint.
+    # NOTE: pyspark caches this flag process-wide on first use, so it
+    # must be set before the first DataFrame API call (configure()
+    # runs inside load_table, ahead of any column expression).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

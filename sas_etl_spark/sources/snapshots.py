@@ -80,13 +80,33 @@ def write_snapshot(
     return version
 
 
+#: (applicationId, table_dir, version) -> scan handle. A published
+#: version is immutable and version numbers are never reused (see
+#: write_snapshot/vacuum_snapshots), so a cached PLAN handle can
+#: never go stale; the pointer is still re-resolved on every call, so
+#: version swings are always observed. Mirrors catalog._TABLE_CACHE —
+#: this caches file listing + footer schema resolution (measured
+#: ~110 ms per read_snapshot on the serve path builds, r16), never
+#: results.
+_SNAPSHOT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read the current snapshot, or time-travel to ``version``."""
     if version is None:
         version = current_version(table_dir)
-    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(table_dir), version)
+    cached = _SNAPSHOT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+    from sas_etl_spark.catalog import evict_dead_app_entries
+
+    evict_dead_app_entries(_SNAPSHOT_CACHE, key[0])
+    _SNAPSHOT_CACHE[key] = df
+    return df
 
 
 def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
