@@ -71,12 +71,44 @@ ATTEST_CADENCE = 6
 #: registrations / changed-code re-attests. Entries are valid ONLY for
 #: the round they name (the staleness test fails an entry whose round
 #: has passed — the slipped row is then OVERDUE and must be in the next
-#: window unconditionally). Round 16 runs one slip: the due r10
-#: cohort (40) + the ledger's 8 changed rows + 3 new registrations
-#: total 51, so q_ab_test (the lowest-risk due row: pure hash-split
-#: agg, unchanged since r10, green every attestation) waits one
-#: round and is unconditional in r17.
-DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset({("q_ab_test", 16)})
+#: window unconditionally). Round 17 is structurally over-subscribed:
+#: the 25 rows the r16 optimizations staled (VERDICT r16 item 1, the
+#: round's hard debt) + the expired q_ab_test slip (overdue, no
+#: further slip possible) + this round's own optimization blast
+#: radius (codec kernels + token_ngrams fold) consume 33 slots, while
+#: the due r11 cohort alone is 38 (37 after the q_span_dedup overlap
+#: with the changed set). 25+1+37 = 63 > 50 even with zero new work,
+#: so 20 due rows slip one round. Slipped: the lowest-risk subset —
+#: pure row transforms / set ops / format lanes, each unchanged since
+#: r11 ("clean" in OPERATORS.md) and green at every attestation; the
+#: due rows KEPT in-window are the bench queries (q_join3_revenue,
+#: q_knn_cosine, q_rollup), the float-sensitive stats lanes, and the
+#: iterative/BPE/stream operators where regressions would bite
+#: hardest.
+DOCUMENTED_SLIPS: frozenset[tuple[str, int]] = frozenset(
+    {
+        ("q_case_when", 17),
+        ("q_crosstab_pct", 17),
+        ("q_derive_cols", 17),
+        ("q_distinct_rows", 17),
+        ("q_dupout", 17),
+        ("q_filter_pred", 17),
+        ("q_fixedwidth_roundtrip", 17),
+        ("q_format_lookup", 17),
+        ("q_format_ranges", 17),
+        ("q_interleave", 17),
+        ("q_intersect", 17),
+        ("q_math_rowwise", 17),
+        ("q_merge_many_to_many", 17),
+        ("q_session_window", 17),
+        ("q_sliding_window", 17),
+        ("q_surrogate_key", 17),
+        ("q_topn_sort", 17),
+        ("q_udtf_tokens", 17),
+        ("q_union_all", 17),
+        ("q_video_frame_sample", 17),
+    }
+)
 
 #: Round-close protocol (promoted to standing protocol in round 14,
 #: VERDICT r13 item 8): after the tree settles, run the FULL-registry
@@ -117,71 +149,77 @@ SWEEP_SKIP: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 16 window. Composition (50 = 3 + 8 + 39):
-    # -- (a) NEW this round: Hamming-ball pHash near-dup (VERDICT r15
-    # item 3), the sliding-k-gram exact-substring detector (item 5),
-    # and the system-libwebp lossy VP8 lane (item 6 option a).
-    "q_phash_neardup",
-    "q_exact_substring",
-    "q_webp_lossy",
-    # -- (b) changed since their attestation (settled-tree ledger):
-    # q_image_phash over the 16->64-bit hash lift; q_webp_features /
-    # q_webp_vp8x over the forged-chunk_len guard in the shared VP8L
-    # decoder; q_mannwhitney / q_kruskal_wallis over the decimal(38,0)
-    # rank-sum widening; q_neardup_apply / q_pretrain_pipeline /
-    # q_pretrain_pipeline_prod over connected_components becoming the
-    # large-star/small-star scheme (operators/graph.py).
-    "q_image_phash",
+    # ROUND 17 window (optimization round 2 of 2 — no new
+    # registrations). Composition (50 = 25 + 1 + 7 + 17):
+    # -- (a) the 25 rows the round-16 optimizations staled AFTER the
+    # r16 window was already composed (VERDICT r16 item 1 — every r16
+    # optimization is driver-oracle-unverified until these re-attest):
+    # BM25 family (native-tf rewrite), n-gram lanes (explode-then-
+    # concat), mixture family (single-subtree + broadcast), span dedup
+    # (array_except), and the snapshot-reader cache's 15-query blast
+    # radius.
+    "q_bm25",
+    "q_rrf_hybrid",
+    "q_retrieval_eval",
+    "q_ngram_diversity",
+    "q_bigram_logprob",
+    "q_mixture_apply",
+    "q_domain_mixture",
+    "q_temperature_mixture",
+    "q_mixture_epochs",
+    "q_span_dedup",
+    "q_ivf_build",
+    "q_ivf_serve",
+    "q_ivf_compact",
+    "q_ivf_upsert",
+    "q_ivf_upsert_serve",
+    "q_ivf_pq_build",
+    "q_ivf_pq_serve",
+    "q_semdedup_serve",
+    "q_neardup_index_serve",
+    "q_neardup_mor_serve",
+    "q_snapshot_upsert",
+    "q_snapshot_time_travel",
+    "q_snapshot_vacuum",
+    "q_stream_cdc_upsert",
+    "q_stream_neardup",
+    # -- (b) the expired r16 slip — overdue, unconditional this round.
+    "q_ab_test",
+    # -- (c) this round's own optimization blast radius (function-
+    # level ledger closure of the r17 edits): VP8L kernel work flags
+    # the two pure-Python-decoder webp lanes; JPEG dequant+IDCT
+    # batching flags the two jpeg lanes; the token_ngrams HOF->native
+    # conversion flags its three consumers.
     "q_webp_features",
     "q_webp_vp8x",
-    "q_mannwhitney",
-    "q_kruskal_wallis",
-    "q_neardup_apply",
-    "q_pretrain_pipeline",
-    "q_pretrain_pipeline_prod",
-    # -- (c) the due 6-round rotation: the r10 cohort (40 rows) minus
-    # q_ab_test, slipped one round via DOCUMENTED_SLIPS (the window is
-    # exactly one slot short; q_dup_clusters stays — it also carries
-    # the star-CC plan change).
-    "q_array_ops",
-    "q_attribution",
-    "q_audio_features",
-    "q_curation_pipeline",
-    "q_distinct_count",
-    "q_dup_clusters",
-    "q_event_transitions",
-    "q_except",
-    "q_heavy_hitters",
-    "q_histogram",
-    "q_image_resize",
-    "q_json_extract",
-    "q_knn_ivf",
-    "q_knn_ivf_exactprobe",
-    "q_merge_in_flags",
-    "q_missing_semantics",
-    "q_multimodal_features",
-    "q_near_dup_minhash",
-    "q_orc_roundtrip",
-    "q_pack_sequences",
-    "q_partitioned_write",
-    "q_pipeline_spec",
-    "q_pivot_status",
-    "q_proc_sql",
-    "q_remerge_share",
-    "q_scd2_merge",
-    "q_semi_join",
-    "q_simhash_fingerprints",
-    "q_skew_salted_agg",
-    "q_skew_salted_join",
-    "q_split_hash",
-    "q_stl_decompose",
-    "q_stratified_sample",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_tfidf",
-    "q_token_count",
-    "q_triangles",
-    "q_update_master",
+    "q_jpeg_features",
+    "q_jpeg_gradient",
+    "q_bloom_contamination",
+    "q_ngram_contamination",
+    "q_repetition_ratio",
+    # -- (d) the due 6-round rotation (r11 cohort): 17 of 37 fit; the
+    # bench queries, float-sensitive stats and iterative operators
+    # stay, the 20 lowest-risk row-transform/setop/format rows slip
+    # one round via DOCUMENTED_SLIPS (see its comment for the
+    # arithmetic — this round is over-subscribed by the r16 debt
+    # alone).
+    "q_join3_revenue",
+    "q_knn_cosine",
+    "q_rollup",
+    "q_approx_percentile",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_cohort_retention",
+    "q_corr_stats",
+    "q_cusum",
+    "q_embed_quantize",
+    "q_freq_chisq",
+    "q_grouped_zscore",
+    "q_interp_linear",
+    "q_market_basket",
+    "q_prefix_join",
+    "q_stream_cusum",
+    "q_string_distance",
 )
 
 #: Window bookkeeping rule (learned twice, r7 and r8): NO @query
@@ -193,17 +231,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: code: tests/test_attestation_staleness.py recomputes due/overdue
 #: rows from the CORRECTNESS artifacts and fails any window that
 #: misses them (slips allowed only via DOCUMENTED_SLIPS, one round,
-#: named). Queries registered in round 16: q_phash_neardup
-#: (Hamming-ball 64-bit aHash near-dup via pigeonhole banding),
-#: q_exact_substring (sliding k-gram exact duplicated-span detector,
-#: operators/text.py duplicated_spans), and q_webp_lossy (lossy VP8
-#: decode attestation through the system libwebp).
+#: named). No queries registered in round 17 (optimization round —
+#: features frozen); every slot is spent on re-attestation.
 #:
-#: ROUND 17 window plan: (1) any rows the settled-tree ledger flags
-#: changed/moved, then (2) q_ab_test (the expired r16 slip —
-#: unconditional), then (3) the due rotation: the r11 cohort —
-#: everything must fit 50; pause registrations or document slips
-#: accordingly.
+#: ROUND 18 window plan: (1) any rows the settled-tree ledger flags
+#: changed/moved, then (2) the 20 expired r17 slips (overdue —
+#: unconditional), then (3) the due rotation: the r12 cohort —
+#: everything must fit 50; document slips accordingly.
 
 
 def query(

@@ -40,36 +40,42 @@ def test_queries_map_leads_with_priority() -> None:
 #: STRICTLY BEFORE this — the round-7 lesson (VERDICT r7 wrong #1):
 #: a test that recomputes "attested" from ALL artifacts self-destructs
 #: the moment its own window's results land. Bump when recomposing.
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
 #: Slots deliberately spent on already-attested queries this round:
-#: the eight rows the settled-r15-tree ledger flags changed
-#: (q_image_phash: 16->64-bit hash lift; q_webp_features/q_webp_vp8x:
-#: forged-chunk_len guard in the shared VP8L decoder;
-#: q_mannwhitney/q_kruskal_wallis: decimal(38,0) rank-sum widening;
-#: q_neardup_apply/q_pretrain_pipeline/q_pretrain_pipeline_prod:
-#: connected_components became the large-star/small-star scheme).
+#: the 25 rows the round-16 optimizations staled after the r16 window
+#: was composed (VERDICT r16 item 1 — their ledger flags are
+#: changed/changed-helper until CORRECTNESS_r17 lands), plus this
+#: round's own optimization blast radius (VP8L kernel -> the two
+#: pure-Python webp lanes; JPEG dequant+IDCT batching -> the two jpeg
+#: lanes; token_ngrams HOF->native -> its three consumers).
 RE_ATTESTS = {
-    "q_image_phash", "q_webp_features", "q_webp_vp8x",
-    "q_mannwhitney", "q_kruskal_wallis", "q_neardup_apply",
-    "q_pretrain_pipeline", "q_pretrain_pipeline_prod",
+    # r16 optimization debt (25)
+    "q_bm25", "q_rrf_hybrid", "q_retrieval_eval", "q_ngram_diversity",
+    "q_bigram_logprob", "q_mixture_apply", "q_domain_mixture",
+    "q_temperature_mixture", "q_mixture_epochs", "q_span_dedup",
+    "q_ivf_build", "q_ivf_serve", "q_ivf_compact", "q_ivf_upsert",
+    "q_ivf_upsert_serve", "q_ivf_pq_build", "q_ivf_pq_serve",
+    "q_semdedup_serve", "q_neardup_index_serve", "q_neardup_mor_serve",
+    "q_snapshot_upsert", "q_snapshot_time_travel", "q_snapshot_vacuum",
+    "q_stream_cdc_upsert", "q_stream_neardup",
+    # r17 edit blast radius (7)
+    "q_webp_features", "q_webp_vp8x", "q_jpeg_features",
+    "q_jpeg_gradient", "q_bloom_contamination", "q_ngram_contamination",
+    "q_repetition_ratio",
 }
-#: The due 6-round rotation: the r10 cohort (40) minus q_ab_test
-#: (DOCUMENTED_SLIPS, one round). q_dup_clusters doubles as a
-#: changed row (star CC) but was due anyway.
+#: The rotation slots: q_ab_test (the expired r16 slip — overdue,
+#: unconditional) plus the 17 in-window rows of the due r11 cohort
+#: (the other 20 slip one round via DOCUMENTED_SLIPS; q_span_dedup is
+#: due but already counted as a changed row above).
 SENTINELS = {
-    "q_array_ops", "q_attribution", "q_audio_features",
-    "q_curation_pipeline", "q_distinct_count", "q_dup_clusters",
-    "q_event_transitions", "q_except", "q_heavy_hitters",
-    "q_histogram", "q_image_resize", "q_json_extract", "q_knn_ivf",
-    "q_knn_ivf_exactprobe", "q_merge_in_flags", "q_missing_semantics",
-    "q_multimodal_features", "q_near_dup_minhash", "q_orc_roundtrip",
-    "q_pack_sequences", "q_partitioned_write", "q_pipeline_spec",
-    "q_pivot_status", "q_proc_sql", "q_remerge_share", "q_scd2_merge",
-    "q_semi_join", "q_simhash_fingerprints", "q_skew_salted_agg",
-    "q_skew_salted_join", "q_split_hash", "q_stl_decompose",
-    "q_stratified_sample", "q_text_stats", "q_text_tokens", "q_tfidf",
-    "q_token_count", "q_triangles", "q_update_master",
+    "q_ab_test",
+    "q_join3_revenue", "q_knn_cosine", "q_rollup",
+    "q_approx_percentile", "q_bpe_encode", "q_bpe_train",
+    "q_cohort_retention", "q_corr_stats", "q_cusum",
+    "q_embed_quantize", "q_freq_chisq", "q_grouped_zscore",
+    "q_interp_linear", "q_market_basket", "q_prefix_join",
+    "q_stream_cusum", "q_string_distance",
 }
 
 
@@ -92,19 +98,16 @@ def _attested_before_window_round() -> set[str]:
     return attested
 
 
-def test_round16_rotation_targets_inside_window() -> None:
-    """Round-16 plan: the three new registrations and this round's
-    re-attests must all sit in slots 0-49."""
-    must = {
-        "q_phash_neardup", "q_exact_substring", "q_webp_lossy",
-    } | RE_ATTESTS
+def test_round17_rotation_targets_inside_window() -> None:
+    """Round-17 plan: every declared re-attest (the r16 optimization
+    debt + this round's edit blast radius) must sit in slots 0-49."""
     window = set(list(registry.queries_map())[:WINDOW])
-    assert must <= window, f"outside window: {sorted(must - window)}"
+    assert RE_ATTESTS <= window, f"outside window: {sorted(RE_ATTESTS - window)}"
 
 
-def test_round16_window_finishes_attestation() -> None:
-    """The r16 window must drain the never-attested backlog (recomputed
-    from pre-r16 CORRECTNESS artifacts, no hand list) and spend every
+def test_round17_window_finishes_attestation() -> None:
+    """The r17 window must drain the never-attested backlog (recomputed
+    from pre-r17 CORRECTNESS artifacts, no hand list) and spend every
     remaining slot only on declared re-attests/sentinels — after this
     round no registered query lacks a driver-green row."""
     attested = _attested_before_window_round()
