@@ -74,43 +74,74 @@ from pyspark.sql import DataFrame
 
 
 class _BitWriter:
+    """LSB-first bit packer. Bits accumulate in an int and flush to the
+    byte buffer eight at a time — bit-stream-identical to the original
+    bit-at-a-time appender (r17, guide §1.2 per-task work: the encoder
+    spent ~50% of its time in the per-bit loop)."""
+
     def __init__(self) -> None:
         self._bytes = bytearray()
-        self._bitpos = 0  # bits already used in the last byte
+        self._acc = 0  # pending bits, LSB = oldest
+        self._bitpos = 0  # number of pending bits (< 8 after write())
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits):
-            bit = (value >> i) & 1
-            if self._bitpos == 0:
-                self._bytes.append(0)
-            if bit:
-                self._bytes[-1] |= 1 << self._bitpos
-            self._bitpos = (self._bitpos + 1) % 8
+        acc = self._acc | ((value & ((1 << nbits) - 1)) << self._bitpos)
+        n = self._bitpos + nbits
+        while n >= 8:
+            self._bytes.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+        self._acc = acc
+        self._bitpos = n
 
     def write_code(self, code: int, nbits: int) -> None:
-        """Huffman code: emit MSB of the code first."""
-        for i in range(nbits - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Huffman code: emit MSB of the code first (bit-reversed into
+        the LSB-first stream)."""
+        rev = 0
+        for _ in range(nbits):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.write(rev, nbits)
 
     def bytes(self) -> bytes:
-        return bytes(self._bytes)
+        out = bytes(self._bytes)
+        if self._bitpos:
+            out += bytes((self._acc,))
+        return out
 
 
 class _BitReader:
+    """LSB-first bit reader. Multi-bit reads extract the whole field
+    with one int.from_bytes + shift instead of a per-bit loop (r17;
+    same values, same truncation condition: a read whose LAST bit
+    falls past the final byte raises exactly where the per-bit loop
+    did)."""
+
     def __init__(self, data: bytes) -> None:
         self._data = data
+        self._nbits = len(data) * 8
         self._pos = 0  # absolute bit position
+        # 64-bit window cache: absolute bits [_win_start, _win_end) of
+        # the stream, loaded 8 bytes at a time. Purely positional — it
+        # stays valid when _pos is advanced externally (LUT fast path).
+        self._win = 0
+        self._win_start = 0
+        self._win_end = 0
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for i in range(nbits):
-            byte = self._pos >> 3
-            if byte >= len(self._data):
-                raise ValueError("VP8L: bitstream truncated")
-            bit = (self._data[byte] >> (self._pos & 7)) & 1
-            v |= bit << i
-            self._pos += 1
-        return v
+        pos = self._pos
+        end = pos + nbits
+        if end > self._nbits:
+            raise ValueError("VP8L: bitstream truncated")
+        if pos < self._win_start or end > self._win_end:
+            byte0 = pos >> 3
+            self._win = int.from_bytes(
+                self._data[byte0 : byte0 + 8], "little"
+            )
+            self._win_start = byte0 << 3
+            self._win_end = min(self._win_start + 64, self._nbits)
+        self._pos = end
+        return (self._win >> (pos - self._win_start)) & ((1 << nbits) - 1)
 
 
 # ---------------------------------------------------------------------
@@ -140,9 +171,19 @@ def _canonical_code_table(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _HuffDecoder:
-    """Bit-at-a-time canonical decoder. A single-symbol code (all other
-    lengths zero) decodes without consuming bits, per the VP8L simple-
-    code degenerate case."""
+    """Canonical decoder with a peek-LUT fast path. A single-symbol
+    code (all other lengths zero) decodes without consuming bits, per
+    the VP8L simple-code degenerate case.
+
+    Fast path (r17): codes of length <= _PEEK bits resolve with ONE
+    bit-peek + table lookup (the LUT is indexed by the next _PEEK raw
+    stream bits; VP8L streams are LSB-first while canonical codes
+    compare MSB-first, so each code is bit-reversed into the index).
+    Longer codes, and reads near the end of the stream, fall back to
+    the original bit-at-a-time loop — decode order, consumed bits and
+    error behavior are identical to the per-bit decoder."""
+
+    _PEEK = 9
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(s, ln) for s, ln in enumerate(lengths) if ln]
@@ -151,6 +192,8 @@ class _HuffDecoder:
         if len(nz) == 1:
             self._single: int | None = nz[0][0]
             self._table: dict[tuple[int, int], int] = {}
+            self._peek = 0
+            self._lut: list[tuple[int, int] | None] = []
             return
         self._single = None
         kraft = sum(2.0 ** -ln for _, ln in nz)
@@ -160,10 +203,47 @@ class _HuffDecoder:
             (nbits, code): sym
             for sym, (code, nbits) in _canonical_code_table(lengths).items()
         }
+        self._peek = min(max(ln for _, ln in nz), self._PEEK)
+        self._lut = None  # built lazily on first fast-path read
+
+    def _build_lut(self) -> list[tuple[int, int] | None]:
+        peek = self._peek
+        lut: list[tuple[int, int] | None] = [None] * (1 << peek)
+        for (nbits, code), sym in self._table.items():
+            if nbits > peek:
+                continue
+            rev = 0
+            c = code
+            for _ in range(nbits):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            lut[rev :: 1 << nbits] = [(sym, nbits)] * (1 << (peek - nbits))
+        self._lut = lut
+        return lut
 
     def read(self, br: _BitReader) -> int:
         if self._single is not None:
             return self._single
+        pos = br._pos
+        peek = self._peek
+        end = pos + peek
+        if end <= br._nbits:
+            if pos < br._win_start or end > br._win_end:
+                byte0 = pos >> 3
+                br._win = int.from_bytes(
+                    br._data[byte0 : byte0 + 8], "little"
+                )
+                br._win_start = byte0 << 3
+                br._win_end = min(br._win_start + 64, br._nbits)
+            lut = self._lut
+            if lut is None:
+                lut = self._build_lut()
+            entry = lut[
+                (br._win >> (pos - br._win_start)) & ((1 << peek) - 1)
+            ]
+            if entry is not None:
+                br._pos = pos + entry[1]
+                return entry[0]
         code = 0
         nbits = 0
         while True:
@@ -375,7 +455,7 @@ def _decode_entropy_coded_image(
 
     npix = width * height
     out = np.zeros(npix, dtype=np.uint32)
-    cache = [0] * cache_size
+    cache = np.zeros(max(cache_size, 1), dtype=np.uint32)
     pos = 0
     mw = _div_round_up(width, 1 << meta_bits) if meta is not None else 0
     while pos < npix:
@@ -401,12 +481,25 @@ def _decode_entropy_coded_image(
             distance = _plane_code_to_distance(dist_code, width)
             if distance > pos or pos + length > npix:
                 raise ValueError("VP8L: backref out of range")
-            for _ in range(length):
-                px = int(out[pos - distance])
-                out[pos] = px
-                if cache_bits:
-                    cache[_cache_key(px, cache_bits)] = px
-                pos += 1
+            # Vectorized copy (r17, guide §4.2): a non-overlapping run
+            # is one slice copy; an overlapping run is the periodic
+            # extension of the last `distance` pixels (exactly what the
+            # pixel-at-a-time loop produces), so tile the period. The
+            # color cache sees every copied pixel in stream order —
+            # fancy assignment keeps the LAST value per key, which is
+            # precisely the sequential loop's final cache state.
+            if distance >= length:
+                vals = out[pos - distance : pos - distance + length]
+            else:
+                reps = -(-length // distance)
+                vals = np.tile(out[pos - distance : pos], reps)[:length]
+            out[pos : pos + length] = vals
+            if cache_bits:
+                keys = (vals * np.uint32(0x1E35A7BD)) >> np.uint32(
+                    32 - cache_bits
+                )
+                cache[keys] = vals
+            pos += length
         else:  # color-cache reference
             idx = s - 256 - 24
             if idx >= cache_size:
@@ -842,6 +935,22 @@ def _flat_lengths(freqs: list[int]) -> list[int]:
     return lengths
 
 
+def _reversed_code_table(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (bit-reversed code, nbits): canonical codes compare
+    MSB-first but the stream packs LSB-first, so pre-reversing each
+    code once per table lets the writer emit it with a single
+    ``write`` instead of a per-bit loop (r17 encoder fast path —
+    stream bits unchanged)."""
+    out: dict[int, tuple[int, int]] = {}
+    for sym, (code, nbits) in _canonical_code_table(lengths).items():
+        rev = 0
+        for _ in range(nbits):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        out[sym] = (rev, nbits)
+    return out
+
+
 def _write_huffman_code(bw: _BitWriter, lengths: list[int]) -> None:
     """Emit one prefix code: the simple shape when possible, else the
     code-length-coded shape with 17/18 zero runs (no max_symbol cap)."""
@@ -893,12 +1002,12 @@ def _write_huffman_code(bw: _BitWriter, lengths: list[int]) -> None:
     for i in range(num_cl):
         bw.write(cl_lengths[_CL_ORDER[i]], 3)
     bw.write(0, 1)  # no max_symbol cap: runs cover the whole alphabet
-    cl_codes = _canonical_code_table(cl_lengths)
+    cl_codes = _reversed_code_table(cl_lengths)
     single_cl = sum(1 for ln in cl_lengths if ln) == 1
     for sym, ebits, extra in stream:
         if not single_cl:
-            code, nbits = cl_codes[sym]
-            bw.write_code(code, nbits)
+            rev, nbits = cl_codes[sym]
+            bw.write(rev, nbits)
         # single-symbol cl code consumes no bits
         if ebits:
             bw.write(extra, ebits)
@@ -929,20 +1038,32 @@ def _tokenize(
     npix = len(argb)
     cache = _Cache(cache_bits)
     toks: list[tuple] = []
+    runlens: dict[int, np.ndarray] = {}
+    if lz77:
+        # Precompute, per candidate distance d, the length of the
+        # equality run starting at each position: eq[i] = (argb[i] ==
+        # argb[i-d]); runlen[i] = distance to the next False at or
+        # after i (vectorized via searchsorted over the False
+        # positions) — exactly what the former per-pixel while loop
+        # counted (r17, guide §4.2).
+        for dist in {1, width}:
+            if dist >= npix:
+                continue
+            eq = np.empty(npix, dtype=bool)
+            eq[:dist] = False
+            eq[dist:] = argb[dist:] == argb[:-dist]
+            falses = np.flatnonzero(~eq)
+            nxt = np.searchsorted(falses, np.arange(npix), side="left")
+            ends = np.append(falses, npix)
+            runlens[dist] = ends[nxt] - np.arange(npix)
     pos = 0
     while pos < npix:
         best_run, best_dist = 0, 0
         if lz77:
             for dist in (1, width):
-                if pos < dist:
+                if pos < dist or dist >= npix:
                     continue
-                run = 0
-                while (
-                    pos + run < npix
-                    and run < 4096
-                    and argb[pos + run] == argb[pos + run - dist]
-                ):
-                    run += 1
+                run = min(int(runlens[dist][pos]), 4096, npix - pos)
                 if run > best_run:
                     best_run, best_dist = run, dist
         if best_run >= 4:
@@ -1043,7 +1164,7 @@ def _encode_entropy_coded_image(
             _write_huffman_code(bw, ln)
         tables.append(
             [
-                (_canonical_code_table(ln), sum(1 for x in ln if x) == 1)
+                (_reversed_code_table(ln), sum(1 for x in ln if x) == 1)
                 for ln in lens
             ]
         )
@@ -1052,8 +1173,8 @@ def _encode_entropy_coded_image(
         codes, single = table
         if single:
             return  # 0-bit degenerate code
-        code, nbits = codes[sym]
-        bw.write_code(code, nbits)
+        rev, nbits = codes[sym]
+        bw.write(rev, nbits)
 
     for tok in toks:
         gi = group_of(tok[1]) if group_of else 0
