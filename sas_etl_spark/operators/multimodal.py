@@ -606,15 +606,20 @@ class _BitWriter:
         self._n = 0
 
     def put(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.buf.append(self._acc)
-                if self._acc == 0xFF:
-                    self.buf.append(0x00)
-                self._acc = 0
-                self._n = 0
+        # whole-field append (r17): bytes leave the accumulator in the
+        # same order, with the same 0xFF stuffing, as the former
+        # bit-at-a-time loop
+        acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self._n + nbits
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            byte = (acc >> n) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)
+        self._acc = acc & ((1 << n) - 1)
+        self._n = n
 
     def flush(self) -> None:
         if self._n:
@@ -670,12 +675,25 @@ def jpeg_encode(arr: "np.ndarray", quant: "np.ndarray | None" = None) -> bytes:
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = np.round((m @ blk @ m.T) / q).astype(np.int64)
-                seq = [int(coef[r_, c_]) for r_, c_ in zz]
+    nby, nbx = h // 8, w // 8
+    # batched FDCT/quantize/zigzag (r17, guide §4.2): one broadcast
+    # matmul per plane instead of one small matmul per block — same
+    # float ops per 8x8 block, byte-identical streams
+    zz_idx = np.array([r_ * 8 + c_ for r_, c_ in zz], dtype=np.int64)
+    seqs = []
+    for plane in planes:
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = np.round((m @ blocks @ m.T) / q).astype(np.int64)
+        seqs.append(coef.reshape(-1, 64)[:, zz_idx].tolist())
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(planes)):
+                seq = seqs[ci][by * nbx + bx]
                 diff = seq[0] - preds[ci]
                 preds[ci] = seq[0]
                 s = category(diff)
@@ -861,37 +879,93 @@ def _make_jpeg_decoder():
     dequantize, dezigzag, matrix IDCT, level shift, YCbCr->RGB.
     Supported subset: 8-bit SOF0, 1 or 3 components, 1x1 sampling, no
     restart markers — anything else raises. Nested for
-    cloudpickle-by-value like every decoder in this module."""
+    cloudpickle-by-value like every decoder in this module.
+
+    r17 (guide §4.2, §4.5): the entropy scan still decodes
+    symbol-by-symbol (inherently sequential), but bit reads are
+    multi-bit extractions, huffman tables get a 9-bit peek LUT, the
+    per-block dezigzag/dequantize/IDCT now runs ONCE, batched over
+    every block of a component with numpy broadcasting, and the
+    payload-invariant pieces (zigzag map, DCT basis, bit-reader
+    class) build once per task in this closure instead of per image —
+    decoded bytes are bit-identical (same float ops per 8x8 block,
+    same order)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    zz = [
+        (r, c)
+        for d in range(15)
+        for r, c in (
+            [(r_, d - r_) for r_ in range(max(0, d - 7), min(d, 7) + 1)]
+            if d % 2 == 1
+            else [
+                (r_, d - r_)
+                for r_ in reversed(range(max(0, d - 7), min(d, 7) + 1))
+            ]
+        )
+    ]
+    # flat dezigzag map: natural-order index of zigzag position k
+    zz_flat = _np.array([r * 8 + c for r, c in zz], dtype=_np.int64)
+    m = _dct_basis()
+
+    class _Bits:
+        def __init__(self, data: bytes) -> None:
+            self.d = data
+            self.p = 0
+            self.n = len(data) * 8
+
+        def bit(self) -> int:
+            b = (self.d[self.p >> 3] >> (7 - (self.p & 7))) & 1
+            self.p += 1
+            return b
+
+        def bits(self, n: int) -> int:
+            # multi-bit MSB-first extraction (r17): same values
+            # and the same IndexError on a past-end read as the
+            # per-bit loop
+            p = self.p
+            end = p + n
+            if end > self.n:
+                raise IndexError("index out of range")
+            chunk = int.from_bytes(self.d[p >> 3 : (end + 7) >> 3], "big")
+            self.p = end
+            nb = ((end + 7) >> 3 << 3) - (p >> 3 << 3)
+            return (chunk >> (nb - (p & 7) - n)) & ((1 << n) - 1)
+
+    def read_huff(br, table, lut):
+        p = br.p
+        if p + 9 <= br.n:
+            chunk = int.from_bytes(br.d[p >> 3 : (p + 16) >> 3], "big")
+            nb = (((p + 16) >> 3) - (p >> 3)) * 8
+            entry = lut[(chunk >> (nb - (p & 7) - 9)) & 0x1FF]
+            if entry is not None:
+                br.p = p + entry[1]
+                return entry[0]
+        code, ln_ = 0, 0
+        while ln_ < 16:
+            code = (code << 1) | br.bit()
+            ln_ += 1
+            sym = table.get((ln_, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def decode(payload: bytes):
-        import struct as _struct
-
-        import numpy as _np
-
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: missing SOI")
         pos = 2
         qtables: dict[int, _np.ndarray] = {}
         htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        hluts: dict[tuple[int, int], list] = {}
         width = height = None
         comps: list[tuple[int, int]] = []  # (component id, qtable id)
         scan_tables: list[tuple[int, int]] = []  # (dc table, ac table)
         entropy = None
-
-        zz = [
-            (r, c)
-            for d in range(15)
-            for r, c in (
-                [(r_, d - r_) for r_ in range(max(0, d - 7), min(d, 7) + 1)]
-                if d % 2 == 1
-                else [
-                    (r_, d - r_)
-                    for r_ in reversed(
-                        range(max(0, d - 7), min(d, 7) + 1)
-                    )
-                ]
-            )
-        ]
 
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
@@ -908,10 +982,9 @@ def _make_jpeg_decoder():
                     if pq != 0:
                         raise ValueError("only 8-bit quant tables")
                     vals = list(body[bp + 1 : bp + 65])
-                    tab = _np.zeros((8, 8), dtype=_np.int64)
-                    for k, (r, c) in enumerate(zz):
-                        tab[r, c] = vals[k]
-                    qtables[tq] = tab
+                    tab = _np.zeros(64, dtype=_np.int64)
+                    tab[zz_flat] = vals  # dezigzag, one assignment
+                    qtables[tq] = tab.reshape(8, 8)
                     bp += 65
             elif marker == 0xC0:  # SOF0 baseline
                 prec, height, width, nc = _struct.unpack(">BHHB", body[:6])
@@ -942,6 +1015,17 @@ def _make_jpeg_decoder():
                             k += 1
                         code <<= 1
                     htables[(tc, th)] = table
+                    # 9-bit peek LUT (r17): index = the next 9 stream
+                    # bits MSB-first; entry = (symbol, code length)
+                    # for codes of <= 9 bits, None -> slow path.
+                    lut = [None] * 512
+                    for (ln_, code_), sym_ in table.items():
+                        if ln_ <= 9:
+                            start = code_ << (9 - ln_)
+                            lut[start : start + (1 << (9 - ln_))] = [
+                                (sym_, ln_)
+                            ] * (1 << (9 - ln_))
+                    hluts[(tc, th)] = lut
                     bp += 17 + nv
             elif marker == 0xDA:  # SOS, then entropy data to EOI
                 ns = body[0]
@@ -971,56 +1055,29 @@ def _make_jpeg_decoder():
         if width is None or entropy is None or not comps:
             raise ValueError("missing SOF0/SOS")
 
-        class _Bits:
-            def __init__(self, data: bytes) -> None:
-                self.d = data
-                self.p = 0
-
-            def bit(self) -> int:
-                b = (self.d[self.p >> 3] >> (7 - (self.p & 7))) & 1
-                self.p += 1
-                return b
-
-            def bits(self, n: int) -> int:
-                v = 0
-                for _ in range(n):
-                    v = (v << 1) | self.bit()
-                return v
-
-        def read_huff(br, table):
-            code, ln_ = 0, 0
-            while ln_ < 16:
-                code = (code << 1) | br.bit()
-                ln_ += 1
-                sym = table.get((ln_, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid huffman code")
-
-        def extend(v: int, s: int) -> int:
-            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-        m = _dct_basis()
         nbx, nby = (width + 7) // 8, (height + 7) // 8
-        out_planes = [
-            _np.zeros((nby * 8, nbx * 8), dtype=_np.float64) for _ in comps
-        ]
         br = _Bits(entropy)
         preds = [0] * len(comps)
+        ncomp = len(comps)
+        # sequential entropy scan collects every block's zigzag
+        # coefficients; dezigzag/dequant/IDCT happen batched below
+        rows: list[list[int]] = []
         for by in range(nby):
             for bx in range(nbx):
                 for ci, (cid, tq) in enumerate(comps):
                     dct_id, act_id = scan_tables[ci]
                     dc_t = htables[(0, dct_id)]
+                    dc_l = hluts[(0, dct_id)]
                     ac_t = htables[(1, act_id)]
+                    ac_l = hluts[(1, act_id)]
                     seq = [0] * 64
-                    s = read_huff(br, dc_t)
+                    s = read_huff(br, dc_t, dc_l)
                     diff = extend(br.bits(s), s) if s else 0
                     preds[ci] += diff
                     seq[0] = preds[ci]
                     k = 1
                     while k < 64:
-                        sym = read_huff(br, ac_t)
+                        sym = read_huff(br, ac_t, ac_l)
                         if sym == 0x00:  # EOB
                             break
                         run, size = sym >> 4, sym & 15
@@ -1034,14 +1091,21 @@ def _make_jpeg_decoder():
                             raise ValueError("AC index overflow")
                         seq[k] = extend(br.bits(size), size)
                         k += 1
-                    coef = _np.zeros((8, 8), dtype=_np.float64)
-                    for k2, (r, c) in enumerate(zz):
-                        coef[r, c] = seq[k2]
-                    coef *= qtables[tq]
-                    blk = m.T @ coef @ m + 128.0
-                    out_planes[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = blk
+                    rows.append(seq)
+        zigzag = _np.array(rows, dtype=_np.float64).reshape(-1, 64)
+        out_planes = []
+        for ci, (cid, tq) in enumerate(comps):
+            sub = zigzag[ci::ncomp]  # this component's blocks, scan order
+            blocks = _np.zeros((len(sub), 64), dtype=_np.float64)
+            blocks[:, zz_flat] = sub  # dezigzag, all blocks at once
+            blocks = blocks.reshape(-1, 8, 8)
+            blocks *= qtables[tq]  # same elementwise dequant per block
+            idct = m.T @ blocks @ m + 128.0  # batched 8x8 matmuls
+            out_planes.append(
+                idct.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
         planes = [
             _np.clip(_np.round(p[:height, :width]), 0, 255)
             for p in out_planes
