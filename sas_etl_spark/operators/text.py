@@ -162,26 +162,44 @@ def word_ngrams(text: Column, n: int) -> Column:
     multiset, unlike shingle_array's distinct sets). Docs shorter
     than n tokens yield an empty array.
 
-    PERF NOTE: this convenience form inlines ``split(text)`` into
-    every element lambda — interpreted HOFs get no common-
-    subexpression elimination, so the split re-runs PER GRAM
-    (O(tokens^2) per row). For anything beyond one-off use, stage the
-    split as a named column and call :func:`token_ngrams` on it."""
+    PERF NOTE: this convenience form inlines ``split(text)`` into the
+    gram build. Since the r17 token_ngrams rewrite (arrays_zip of n
+    native slices) that costs n+2 evaluations of the split per row —
+    down from once PER GRAM (O(tokens^2) per row) in the old
+    per-element-lambda form, but still n+2x the staged cost. For hot
+    paths, stage the split as a named column and call
+    :func:`token_ngrams` on it."""
     return token_ngrams(F.split(text, " "), n)
 
 
 def token_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams from an ALREADY-SPLIT token array column. Pass a
     staged (named) column so the tokenization is evaluated once per
-    row — the per-gram work is then a plain array slice + join."""
+    row — the per-gram work is then a struct-field concat.
+
+    r17 form (guide §4.1, the exploded_token_ngrams shape kept in
+    array form): ``arrays_zip`` of ``n`` native ``slice`` views builds
+    every gram's tokens in codegen — the old per-element
+    ``array_join(slice(toks, i, n))`` lambda re-sliced (and, for
+    un-staged callers like word_ngrams, re-SPLIT) the token array
+    once PER GRAM, O(tokens * n) interpreted work per row. The
+    remaining ``transform`` lambda only concats the n struct fields.
+    Same strings: element i zips (toks[i+1], ..., toks[i+n]) exactly
+    as slice(toks, i+1, n) collected them, and concat_ws/array_join
+    agree on null-free split output. Measured at sf0.1 (noop):
+    q_ngram_contamination 2.13 s -> see OPTIMIZATION_r17.md."""
     n_grams = F.size(toks) - (n - 1)
-    # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than yielding
-    # empty, so short docs need an explicit empty-array branch
+    # guard: short docs need an explicit empty-array branch (and the
+    # slices below would see a negative length)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, n_grams) for i in range(n)])
+    # arrays_zip of unnamed slices labels fields positionally "0".."n-1"
     return F.when(
         n_grams >= 1,
         F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            zipped,
+            lambda z: F.concat_ws(
+                " ", *[z.getField(str(i)) for i in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
