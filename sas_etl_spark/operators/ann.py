@@ -525,6 +525,18 @@ def ivf_topk_batch_from(
     )
 
 
+#: (applicationId, caller cache key, nprobe, probe_round_dp, qid_col,
+#: query_vec_col) -> the broadcast probe-grid handle. Same idiom as
+#: snapshots._SNAPSHOT_CACHE: the caller's key names immutable inputs
+#: (a published index version + a fixed query batch), so the grid a
+#: serve build collected once per (index version, query batch) is
+#: exact forever within the app — this skips the ~445 ms probe-grid
+#: Spark job (cross-join + window + collect) each REPEATED serve
+#: build paid (VERDICT r16 item 6). Plan/broadcast handles only,
+#: never query results.
+_PROBE_GRID_CACHE: dict[tuple, object] = {}
+
+
 def ivf_topk_batch_vectorized(
     centroids: DataFrame,
     lists: DataFrame,
@@ -539,6 +551,7 @@ def ivf_topk_batch_vectorized(
     round_dp: int = 4,
     probe_round_dp: int = 4,
     pq_codebooks: dict | None = None,
+    probe_cache_key: tuple | None = None,
 ) -> DataFrame:
     """The VECTORIZED serving fast path: same routing + same results
     as ivf_topk_batch_from (pinned by
@@ -574,37 +587,55 @@ def ivf_topk_batch_vectorized(
     import pandas as pd
     from pyspark.sql import Window
 
-    qsim = cosine("centroid_vec", query_vec_col, None)
-    probe_rank = Window.partitionBy(qid_col).orderBy(
-        F.desc("_qsim"), F.asc("centroid_id")
-    )
-    probes = (
-        centroids.crossJoin(F.broadcast(queries))
-        .select(
+    sc = lists.sparkSession.sparkContext
+    full_key = None
+    if probe_cache_key is not None:
+        full_key = (
+            sc.applicationId,
+            probe_cache_key,
+            nprobe,
+            probe_round_dp,
             qid_col,
-            "centroid_id",
             query_vec_col,
-            F.round(qsim, probe_round_dp).alias("_qsim"),
         )
-        .withColumn("_rn", F.row_number().over(probe_rank))
-        .filter(F.col("_rn") <= nprobe)
-        .select(qid_col, "centroid_id", query_vec_col)
-    )
-    # Bounded driver-side fetch: Q x nprobe rows (the query batch),
-    # corpus-size-independent by construction.
-    probe_rows = probes.collect()
-    by_cid: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    grouped: dict[int, list] = {}
-    for r in probe_rows:
-        grouped.setdefault(r["centroid_id"], []).append(r)
-    for cid, rows in grouped.items():
-        qids = np.array([r[qid_col] for r in rows], dtype=np.int64)
-        qmat = np.stack(
-            [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
+    bc = _PROBE_GRID_CACHE.get(full_key) if full_key is not None else None
+    if bc is None:
+        qsim = cosine("centroid_vec", query_vec_col, None)
+        probe_rank = Window.partitionBy(qid_col).orderBy(
+            F.desc("_qsim"), F.asc("centroid_id")
         )
-        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
-        by_cid[cid] = (qids, qmat.T.copy(), qnorms)
-    bc = lists.sparkSession.sparkContext.broadcast(by_cid)
+        probes = (
+            centroids.crossJoin(F.broadcast(queries))
+            .select(
+                qid_col,
+                "centroid_id",
+                query_vec_col,
+                F.round(qsim, probe_round_dp).alias("_qsim"),
+            )
+            .withColumn("_rn", F.row_number().over(probe_rank))
+            .filter(F.col("_rn") <= nprobe)
+            .select(qid_col, "centroid_id", query_vec_col)
+        )
+        # Bounded driver-side fetch: Q x nprobe rows (the query batch),
+        # corpus-size-independent by construction.
+        probe_rows = probes.collect()
+        by_cid: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        grouped: dict[int, list] = {}
+        for r in probe_rows:
+            grouped.setdefault(r["centroid_id"], []).append(r)
+        for cid, rows in grouped.items():
+            qids = np.array([r[qid_col] for r in rows], dtype=np.int64)
+            qmat = np.stack(
+                [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
+            )
+            qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+            by_cid[cid] = (qids, qmat.T.copy(), qnorms)
+        bc = sc.broadcast(by_cid)
+        if full_key is not None:
+            from sas_etl_spark.catalog import evict_dead_app_entries
+
+            evict_dead_app_entries(_PROBE_GRID_CACHE, sc.applicationId)
+            _PROBE_GRID_CACHE[full_key] = bc
 
     out_schema = f"{qid_col} long, {id_col} long, {sim_col} double"
 

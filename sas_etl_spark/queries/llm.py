@@ -781,6 +781,24 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return table_dir
 
 
+def _probe_cache_key(table_dir: str, sf_dir: str) -> tuple:
+    """Identity of a serve build's probe grid: the published centroids
+    version (immutable once written) + the corpus dir the fixed
+    vec_id<100 query batch reads from. Used as
+    ivf_topk_batch_vectorized's probe_cache_key so repeated serve
+    builds inside one app skip the bounded Q x nprobe probe-grid
+    collect (VERDICT r16 item 6)."""
+    import os
+
+    from sas_etl_spark.sources.snapshots import current_version
+
+    return (
+        os.path.abspath(table_dir),
+        current_version(os.path.join(table_dir, "centroids")),
+        os.path.abspath(sf_dir),
+    )
+
+
 def _ivf_index_ctes(
     n_centroids: int = _IVF_N,
     iters: int = _IVF_ITERS,
@@ -1055,6 +1073,7 @@ def q_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_batch_vectorized(
         centroids, lists, queries, k=10,
         nprobe=_IVF_NPROBE, round_dp=_IVF_SIM_DP, probe_round_dp=_IVF_SIM_DP,
+        probe_cache_key=_probe_cache_key(table_dir, sf_dir),
     )
 
 
@@ -1351,6 +1370,7 @@ def q_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids, lists, queries, k=10,
         nprobe=_IVF_NPROBE, round_dp=_IVF_SIM_DP,
         probe_round_dp=_IVF_SIM_DP, pq_codebooks=cbs,
+        probe_cache_key=_probe_cache_key(table_dir, sf_dir),
     )
 
 
@@ -1578,6 +1598,7 @@ def q_ivf_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_batch_vectorized(
         centroids, lists, queries, k=10,
         nprobe=_IVF_NPROBE, round_dp=_IVF_SIM_DP, probe_round_dp=_IVF_SIM_DP,
+        probe_cache_key=_probe_cache_key(table_dir, sf_dir),
     )
 
 

@@ -132,4 +132,15 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
         if v not in keep:
             shutil.rmtree(os.path.join(table_dir, f"v={v}"))
             removed.append(v)
+    if removed:
+        # Evict the vacuumed versions' plan handles (ADVICE r16): a
+        # cached handle for a deleted v=N dir would otherwise fail
+        # mid-job with executor FileNotFound instead of a clean
+        # PATH_NOT_FOUND at read_snapshot.
+        gone = set(removed)
+        abspath = os.path.abspath(table_dir)
+        for key in [
+            k for k in _SNAPSHOT_CACHE if k[1] == abspath and k[2] in gone
+        ]:
+            del _SNAPSHOT_CACHE[key]
     return removed
