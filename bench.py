@@ -58,6 +58,15 @@ BENCH_RUNS = 7
 WARMUP_PASSES = 2
 COLD_RUNS = 3  # fresh-plan passes; each sample pays full execution
 
+#: Historical same-session job-floor band on this box, ms (rounds
+#: 1-15 measured 25-44 ms; stamped per VERDICT r16 item 2). A run
+#: whose measured floor exceeds 2x the band's top is flagged
+#: "degraded" in floor_health and warned on stderr: its RAW warm
+#: numbers are floor-dominated noise (round 16's 128.5 ms floor
+#: mechanically scored 10 phantom regressions) and round-over-round
+#: comparisons must read the *_norm_* series instead.
+FLOOR_BAND_MS = (25.0, 44.0)
+
 #: Per-query DuckDB medians at sf0.1, ms — BASELINE.md's re-measured
 #: 2026-08-16 same-session pairing (round 15, VERDICT r14 item 4).
 #: Used ONLY to emit the above-floor ratios below; update when
@@ -193,6 +202,29 @@ def main() -> None:
     # (pure jitter) and are kept signed. Emitted only at sf0.1, where
     # the baselines were stamped.
     floor_ms = round(statistics.median(floor_samples) * 1000, 2)
+    # Floor health gate (VERDICT r16 item 2): loud, mechanical flag
+    # when the warm-series floor leaves the stamped band — the JSON
+    # contract line is unchanged (keys are additive), the warning goes
+    # to stderr so stdout stays one parseable line.
+    floor_health = "ok" if floor_ms <= 2 * FLOOR_BAND_MS[1] else "degraded"
+    if floor_health == "degraded":
+        print(
+            f"WARNING: job floor {floor_ms} ms exceeds 2x the stamped "
+            f"band {FLOOR_BAND_MS} — the box is contaminated; read the "
+            "norm_* / cold_norm_* series, not the raw warm numbers",
+            file=sys.stderr,
+        )
+    # Floor-NORMALIZED warm series (same rule as the cold_norm_* keys
+    # below): the cross-box round-over-round comparison series for the
+    # resident-plan numbers.
+    warm_norm = {
+        name: round(max(0.0, v - floor_ms / 1000), 4)
+        for name, v in per_query.items()
+    }
+    llm_warm_norm = {
+        name: round(max(0.0, v - floor_ms / 1000), 4)
+        for name, v in llm_per_query.items()
+    }
     above_floor = (
         {
             name: round((per_query[name] * 1000 - floor_ms) / duck_ms, 3)
@@ -212,6 +244,15 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "floor_ms": floor_ms,
+                # floor-health gate + floor-subtracted warm medians
+                # (VERDICT r16 item 2): the series PERF should compare
+                # round-over-round when floors differ
+                "floor_health": floor_health,
+                "floor_band_ms": list(FLOOR_BAND_MS),
+                "norm_value": round(sum(warm_norm.values()), 4),
+                "norm_queries": warm_norm,
+                "llm_norm_value": round(sum(llm_warm_norm.values()), 4),
+                "llm_norm_queries": llm_warm_norm,
                 # mechanical per-query regression gate (r16): warm
                 # above-floor latency as a ratio of the re-measured
                 # DuckDB medians; see DUCKDB_MS_SF01
