@@ -121,6 +121,42 @@ def _is_bloom_merge(
     return bool(m) and "partial_bloom_filter_agg" in m.group(1)
 
 
+def _agg_constant_state(plan: str, agg_id: str | None) -> bool:
+    """True when the HashAggregate with ``agg_id`` provably moves
+    constant-or-bounded state per upstream task: every aggregate
+    function is a ``partial_``/``merge_`` mode (one constant-size
+    state row per task), or the aggregate has zero grouping keys (a
+    global aggregate emits at most one row regardless of mode). A
+    FINAL keyed aggregate emits O(groups) rows — NOT exempt here
+    (ADVICE r16: the r16 Project-descend relaxation blessed any
+    HashAggregate, which would also bless a high-cardinality groupBy
+    feeding a global window; bounded-key cases are whitelisted at the
+    query level instead)."""
+    if agg_id is None:
+        return False
+    m = re.search(
+        rf"\({re.escape(agg_id)}\) HashAggregate\n((?:(?!\(\d+\) ).)*)",
+        plan,
+        re.S,
+    )
+    if not m:
+        return False
+    detail = m.group(1)
+    km = re.search(r"Keys \[(\d+)\]", detail)
+    if km and km.group(1) == "0":
+        return True
+    fm = re.search(r"Functions \[\d+\]: \[(.*?)\]\n", detail, re.S)
+    if not fm:
+        return False
+    funcs = fm.group(1)
+    # every function must be a partial/merge mode; formatted output
+    # prints them comma-separated as e.g. "partial_sum(x#1L)"
+    return bool(funcs) and all(
+        f.strip().startswith(("partial_", "merge_"))
+        for f in re.split(r",(?![^()]*\))", funcs)
+    )
+
+
 def _descend_through_projects(
     plan: str, child: str | None, child_id: str | None
 ) -> tuple[str | None, str | None]:
@@ -158,14 +194,34 @@ def single_partition_funnels(
     """SinglePartition exchanges whose child (looking through
     row-preserving Project chains) is NOT a constant-state partial
     aggregate — the ones that serialize O(rows) through one task at
-    scale."""
+    scale.
+
+    Two tiers (ADVICE r16 tightening): a DIRECT HashAggregate child
+    keeps the historical exemption (the classic two-stage global
+    aggregate places the partial directly under the exchange —
+    validated across every sf10 sweep since round 6), but a child
+    reached THROUGH a Project chain must additionally prove
+    constant/bounded state via its detail block
+    (_agg_constant_state): partial/merge mode or zero grouping keys.
+    A final keyed groupBy behind a Project — O(groups) rows into one
+    task — flags, and bounded-cardinality cases (e.g. the mixture
+    family's O(sources) window operands) are whitelisted per query
+    with justification in tests/test_plan_audit.py."""
     out = []
     for node_id, child, child_id in single_partition_exchanges(plan):
+        if child in BENIGN_SINGLE_PARTITION_CHILDREN:
+            continue  # direct partial-merge child: historical rule
         eff_child, eff_id = _descend_through_projects(plan, child, child_id)
-        if eff_child not in BENIGN_SINGLE_PARTITION_CHILDREN and not _is_bloom_merge(
-            plan, eff_child, eff_id
+        descended = (eff_child, eff_id) != (child, child_id)
+        if (
+            descended
+            and eff_child in BENIGN_SINGLE_PARTITION_CHILDREN
+            and _agg_constant_state(plan, eff_id)
         ):
-            out.append((node_id, child, child_id))
+            continue
+        if _is_bloom_merge(plan, eff_child, eff_id):
+            continue
+        out.append((node_id, child, child_id))
     return out
 
 

@@ -159,6 +159,18 @@ SINGLE_PARTITION_FUNNEL_ALLOWLIST = {
     # attested by q_approx_percentile's oracle-green bound flag;
     # coherence pinned by test_rfm_approx_cuts_match_exact_segments.
     "q_rfm_segments": "exact global median cuts (see allowlist comment)",
+    # Mixture-family staged scalars (r16 rewrite, whitelisted r17 when
+    # the Project-descend exemption was tightened to partial/merge-mode
+    # aggregates only — ADVICE r16): the SinglePartition window's
+    # operand is the per-source FINAL aggregate, O(sources) rows by
+    # construction (sources is a bounded config-like dimension: 4-20
+    # values at every SF; the corpus-size-bearing aggregation happened
+    # in the partial stage below it). The audit cannot read key
+    # cardinality from a plan, so the bound is recorded here instead.
+    "q_mixture_apply": "window over the O(sources) per-source aggregate",
+    "q_domain_mixture": "window over the O(sources) per-source aggregate",
+    "q_temperature_mixture": "window over the O(sources) per-source aggregate",
+    "q_mixture_epochs": "window over the O(sources) per-source aggregate",
 }
 
 
